@@ -1,0 +1,218 @@
+"""Alias dictionary: build, validate, compile, broadcast.
+
+The analog of Surfactant's RetireJS/EMBA pattern DBs
+(surfactant/infoextractors/js_file.py:54-95,
+surfactant/infoextractors/native_lib_file.py:56-104): a small driver-side
+dictionary of ``entity_key → patterns`` compiled once and broadcast to
+executors, where vectorized Arrow UDFs score page text against it.
+
+Compile rules mirror the reference's prefilter policy
+(surfactant/utils/ahocorasick.py:133-172 — skip patterns whose usable
+literal is shorter than 2 chars or that expand to more than 10 literals;
+surfactant/infoextractors/js_file.py:88-93 — invalid regexes are logged
+and skipped, never fatal).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import re
+from dataclasses import dataclass, field
+
+logger = logging.getLogger(__name__)
+
+_META = set("\\.^$*+?{}[]()|")
+
+# ---------------------------------------------------------------------------
+# Built-in fixture dictionary (FIXTURES.md §2).  Order matters:
+# first-match-wins per entity_key (js_file.py:146-148).
+# ---------------------------------------------------------------------------
+DEFAULT_ROWS: list[tuple[str, str, str, str | None]] = [
+    # (entity_key, kind, pattern, canonical_id_hint)
+    ("libalpha", "content", r"libalpha v(\d+(?:\.\d+)*)", "alpha"),
+    ("libalpha", "name", "libalpha", "alpha"),
+    ("alphalib", "name", "alphalib", "alpha"),
+    ("alphalib", "name", "alpha-lib", "alpha"),
+    ("betajs", "content", r"betajs/(\d+(?:\.\d+)*)", "beta"),
+    ("betajs", "name", "beta.js", "beta"),
+    ("betajs", "name", "betajs", "beta"),
+    ("gammasql", "content", r"gammasql (\d+(?:\.\d+)*)", "gamma"),
+    ("gammasql", "name", "gamma-sql", "gamma"),
+    ("deltadb", "name", "deltadb", None),
+    ("epsilonml", "content", r"epsilonml v(\d+(?:\.\d+)*)", "eps"),
+    ("epsilonml", "name", "eps-ml", "eps"),
+    ("zetacache", "name", "zetacache", None),
+    ("etaqueue", "name", "etaqueue", "eta"),
+    ("etaqueue", "name", "eta-q", "eta"),
+    ("thetanet", "content", r"thetanet (\d+(?:\.\d+)*)", None),
+    ("thetanet", "name", "thetanet", None),
+    # rows that MUST be skipped by compile rules:
+    ("badshort", "content", r"a(\d+)", None),  # 1-char literal prefix
+    ("badwide", "content", "(" + "|".join(f"w{i}x{i}" for i in range(12)) + ")", None),
+    ("badregex", "content", r"unclosed[(", None),  # invalid regex
+]
+
+# Alias edges between entity_keys (FIXTURES.md §3) — the union-find input.
+# Chains exercise multi-hop components; keys not in the dictionary
+# (alphacore, beta-js-core) are linked-only nodes.
+DEFAULT_ALIAS_EDGES: list[tuple[str, str]] = [
+    ("libalpha", "alphalib"),
+    ("alphalib", "alphacore"),
+    ("betajs", "beta-js-core"),
+    ("etaqueue", "eta-q-legacy"),
+]
+
+CONF_CONTENT = 90  # regex content match
+CONF_NAME = 70  # exact name match
+
+
+def literal_prefix(pattern: str) -> str:
+    """Leading literal chars of a regex (chars before the first metachar).
+
+    Simplified analog of the reference's sre-based literal extraction
+    (surfactant/utils/regex.py:66-120).
+    """
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern) and pattern[i + 1] in _META:
+            out.append(pattern[i + 1])
+            i += 2
+            continue
+        if c in _META:
+            break
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def alternation_literals(pattern: str) -> list[str] | None:
+    """If pattern is exactly ``(lit1|lit2|…)`` of plain literals, return
+    them; else None."""
+    if not (pattern.startswith("(") and pattern.endswith(")")):
+        return None
+    body = pattern[1:-1]
+    parts = body.split("|")
+    if len(parts) < 2:
+        return None
+    for p in parts:
+        if not p or any(ch in _META for ch in p):
+            return None
+    return parts
+
+
+@dataclass
+class CompiledPattern:
+    entity_key: str
+    kind: str  # 'name' | 'content'
+    pattern: str
+    order: int
+    rx: "re.Pattern"
+    prefilter: tuple[str, ...]  # lowercase literals; any-hit gates the regex
+    confidence: int
+
+
+@dataclass
+class CompiledDictionary:
+    patterns: list[CompiledPattern]
+    skipped: list[tuple[str, str, str]] = field(default_factory=list)  # (key, pattern, why)
+
+    def by_entity(self) -> dict[str, list[CompiledPattern]]:
+        out: dict[str, list[CompiledPattern]] = {}
+        for p in self.patterns:
+            out.setdefault(p.entity_key, []).append(p)
+        return out
+
+
+def _name_regex(alias: str) -> "re.Pattern":
+    # exact, case-insensitive, token-bounded (reference exact-name match:
+    # surfactant/infoextractors/native_lib_file.py:219-220)
+    return re.compile(
+        r"(?<![A-Za-z0-9])" + re.escape(alias) + r"(?![A-Za-z0-9])", re.IGNORECASE
+    )
+
+
+def compile_dictionary(
+    rows: list[tuple[str, str, str, str | None]] | None = None,
+) -> CompiledDictionary:
+    rows = DEFAULT_ROWS if rows is None else rows
+    patterns: list[CompiledPattern] = []
+    skipped: list[tuple[str, str, str]] = []
+    for order, (key, kind, pat, _hint) in enumerate(rows):
+        if kind == "name":
+            patterns.append(
+                CompiledPattern(key, kind, pat, order, _name_regex(pat), (pat.lower(),), CONF_NAME)
+            )
+            continue
+        # content regex: validate, derive prefilter literals, apply skip policy
+        try:
+            rx = re.compile(pat, re.IGNORECASE)
+        except re.error as e:
+            logger.warning("skipping invalid regex for %s: %s (%s)", key, pat, e)
+            skipped.append((key, pat, "invalid-regex"))
+            continue
+        lits = alternation_literals(pat)
+        if lits is not None:
+            if len(lits) > 10:
+                skipped.append((key, pat, "too-many-literals"))
+                continue
+            if any(len(l) < 2 for l in lits):
+                skipped.append((key, pat, "literal-too-short"))
+                continue
+            prefilter = tuple(l.lower() for l in lits)
+        else:
+            prefix = literal_prefix(pat)
+            if len(prefix) < 2:
+                skipped.append((key, pat, "literal-too-short"))
+                continue
+            prefilter = (prefix.lower(),)
+        patterns.append(CompiledPattern(key, kind, pat, order, rx, prefilter, CONF_CONTENT))
+    return CompiledDictionary(patterns=patterns, skipped=skipped)
+
+
+def alias_edges(rows=None, extra: list[tuple[str, str]] | None = None) -> list[tuple[str, str]]:
+    """Alias edges from canonical_id_hint groups + explicit edge list.
+
+    Rows sharing a non-null hint are chained pairwise (a-b, b-c …), which
+    union-find then closes transitively."""
+    rows = DEFAULT_ROWS if rows is None else rows
+    by_hint: dict[str, list[str]] = {}
+    for key, _kind, _pat, hint in rows:
+        if hint:
+            lst = by_hint.setdefault(hint, [])
+            if key not in lst:
+                lst.append(key)
+    edges: list[tuple[str, str]] = []
+    for members in by_hint.values():
+        for a, b in zip(members, members[1:]):
+            edges.append((a, b))
+    edges.extend(DEFAULT_ALIAS_EDGES if extra is None else extra)
+    # dedup, keep order
+    seen = set()
+    out = []
+    for e in edges:
+        k = tuple(sorted(e))
+        if k not in seen and e[0] != e[1]:
+            seen.add(k)
+            out.append(e)
+    return out
+
+
+def sha256_hex(s: str | bytes) -> str:
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return hashlib.sha256(s).hexdigest()
+
+
+def entity_node_id(canonical_member_min_sha: str) -> str:
+    return "e:" + canonical_member_min_sha
+
+
+def page_node_id(content_sha256: str) -> str:
+    return "p:" + content_sha256
+
+
+def host_node_id(host: str) -> str:
+    return "h:" + sha256_hex(host)

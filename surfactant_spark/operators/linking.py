@@ -1,0 +1,192 @@
+"""Phase-2 relationship resolution: mentions/links/hosts → (subj, pred, obj).
+
+Surfactant's relate phase loops every software × metadata × plugin and
+is O(n²) by its own admission (surfactant/relationships/__init__.py:12-31).
+Here every relationship family is an explicit join or pure projection:
+
+* ``Uses``    — mention rows ⋈ broadcast entity-canonical map
+                (the J4 broadcast export-index join analog,
+                surfactant/relationships/java_relationship.py:11-51)
+* ``LinksTo`` — resolved href urls ⋈ url→page-node map, skew-aware
+                (the J1 probe-path candidate join analog,
+                surfactant/relationships/elf_relationship.py:98-149)
+* ``Contains``— host → page, pure column expression, no join at all
+                (the J6 archive-Contains analog,
+                surfactant/cmd/generate.py:326-356)
+
+Edge dedup on (subj, pred, obj) mirrors graph-membership dedup
+(surfactant/relationships/__init__.py:28-31); lang is resolved by
+``min`` so results are deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import PRED_CONTAINS, PRED_LINKS_TO, PRED_USES
+from .skew import skew_aware_join
+
+
+def _page_node(col: str = "content_sha256"):
+    return F.concat(F.lit("p:"), F.col(col))
+
+
+def uses_edges(mentions: DataFrame, entity_map: DataFrame) -> DataFrame:
+    """mentions(content_sha256, entity_key, lang) ⋈ entity_map(entity_key,
+    canonical_id).  The map is dictionary-sized → broadcast hash join,
+    no shuffle of the mention table."""
+    return (
+        mentions.join(F.broadcast(entity_map.select("entity_key", "canonical_id")), "entity_key")
+        .select(
+            _page_node().alias("subj"),
+            F.lit(PRED_USES).alias("pred"),
+            F.col("canonical_id").alias("obj"),
+            "lang",
+        )
+    )
+
+
+def links_to_edges(extracted: DataFrame, hot_keys: list | None = None) -> DataFrame:
+    """Explode resolved link urls and join them to the url→page-node map.
+
+    Both sides scale with the corpus (10^12 rows), so this is the one
+    big-big join in the pipeline; heavily-linked pages are heavy hitters
+    on the probe side → skew-aware hot-key isolation (operators/skew.py).
+    Self-links are excluded like the reference's self-edge filter
+    (surfactant/relationships/java_relationship.py:44-50).
+    """
+    links_flat = extracted.select(
+        _page_node().alias("subj"),
+        "lang",
+        F.explode("links").alias("url"),
+    )
+    url_map = extracted.select("url", _page_node().alias("obj"))
+    joined = skew_aware_join(links_flat, url_map, key="url", how="inner", hot_keys=hot_keys)
+    return (
+        joined.where(F.col("subj") != F.col("obj"))
+        .select("subj", F.lit(PRED_LINKS_TO).alias("pred"), "obj", "lang")
+    )
+
+
+def contains_edges(extracted: DataFrame) -> DataFrame:
+    """host node → page node; whole-stage-codegen column expressions
+    only (sha2 + concat), so the hot host costs nothing extra."""
+    return extracted.select(
+        F.concat(F.lit("h:"), F.sha2(F.col("host"), 256)).alias("subj"),
+        F.lit(PRED_CONTAINS).alias("pred"),
+        _page_node().alias("obj"),
+        "lang",
+    )
+
+
+def dedup_edges(edges: DataFrame) -> DataFrame:
+    """(subj, pred, obj) distinct with deterministic lang (min)."""
+    return edges.groupBy("subj", "pred", "obj").agg(F.min("lang").alias("lang"))
+
+
+def build_edges(
+    extracted: DataFrame,
+    mentions: DataFrame,
+    entity_map: DataFrame,
+    hot_link_keys: list | None = None,
+) -> DataFrame:
+    e1 = uses_edges(mentions, entity_map)
+    e2 = links_to_edges(extracted, hot_keys=hot_link_keys)
+    e3 = contains_edges(extracted)
+    return dedup_edges(e1.unionByName(e2).unionByName(e3))
+
+
+# ---------------------------------------------------------------------------
+# Node tables (FIXTURES.md §4) — the Software-entry analog
+# ---------------------------------------------------------------------------
+
+def page_nodes(extracted: DataFrame) -> DataFrame:
+    """groupBy(content_sha256) dedup-merge: urls append-if-absent,
+    capture window min/max — the A1/A3 merge semantics
+    (surfactant/sbomtypes/_software.py:108-155, surfactant/cmd/merge.py:166-178)."""
+    return (
+        extracted.groupBy("content_sha256")
+        .agg(
+            F.array_sort(F.collect_set("url")).alias("urls"),
+            F.array_sort(
+                F.collect_set(F.substring_index("text", "\n", 1))
+            ).alias("names"),
+            F.min("lang").alias("lang"),
+            F.date_format(F.min("warc_ts"), "yyyy-MM-dd HH:mm:ss").alias("cap_start"),
+            F.date_format(F.max("warc_ts"), "yyyy-MM-dd HH:mm:ss").alias("cap_end"),
+        )
+        .select(
+            _page_node().alias("canonical_id"),
+            F.lit("page").alias("node_type"),
+            F.col("content_sha256").alias("sha256"),
+            "names",
+            "urls",
+            "lang",
+            F.map_from_arrays(
+                F.array(F.lit("captureStart"), F.lit("captureEnd")),
+                F.array(F.col("cap_start"), F.col("cap_end")),
+            ).alias("attrs"),
+        )
+    )
+
+
+def entity_nodes(mentions: DataFrame, entity_map: DataFrame) -> DataFrame:
+    """One node per mentioned canonical entity; names = all alias keys of
+    the component; attrs.version = confidence-argmax version hint (F6,
+    surfactant/cmd/generate.py:93-122) with deterministic tie-break."""
+    mentioned = (
+        mentions.join(F.broadcast(entity_map), "entity_key")
+        .groupBy("canonical_id")
+        .agg(
+            F.max_by(
+                F.col("version"),
+                F.struct(F.col("confidence"), F.col("version")),
+            ).alias("version"),
+            F.min("lang").alias("lang"),
+        )
+    )
+    names = entity_map.groupBy("canonical_id").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("member_keys")))).alias("names")
+    )
+    return (
+        mentioned.join(names, "canonical_id")
+        .select(
+            "canonical_id",
+            F.lit("entity").alias("node_type"),
+            F.lit(None).cast("string").alias("sha256"),
+            "names",
+            F.array().cast("array<string>").alias("urls"),
+            "lang",
+            F.when(
+                F.col("version").isNotNull(),
+                F.map_from_arrays(F.array(F.lit("version")), F.array(F.col("version"))),
+            )
+            .otherwise(F.create_map().cast("map<string,string>"))
+            .alias("attrs"),
+        )
+    )
+
+
+def host_nodes(extracted: DataFrame) -> DataFrame:
+    return (
+        extracted.groupBy("host")
+        .agg(F.min("lang").alias("lang"))
+        .select(
+            F.concat(F.lit("h:"), F.sha2(F.col("host"), 256)).alias("canonical_id"),
+            F.lit("host").alias("node_type"),
+            F.lit(None).cast("string").alias("sha256"),
+            F.array(F.col("host")).alias("names"),
+            F.array().cast("array<string>").alias("urls"),
+            "lang",
+            F.create_map().cast("map<string,string>").alias("attrs"),
+        )
+    )
+
+
+def build_nodes(extracted: DataFrame, mentions: DataFrame, entity_map: DataFrame) -> DataFrame:
+    return (
+        page_nodes(extracted)
+        .unionByName(entity_nodes(mentions, entity_map))
+        .unionByName(host_nodes(extracted))
+    )

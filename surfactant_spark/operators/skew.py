@@ -1,0 +1,98 @@
+"""Skew-aware join and aggregation primitives.
+
+The corpus is deliberately skewed (one host owns ~30% of urls, one
+entity appears on ~30% of pages — FIXTURES.md §1), and at 10^12 docs
+AQE's runtime skew splitting alone is not the contract
+(SURVEY.md §4 "Custom"): hot keys are detected explicitly and isolated.
+
+Two primitives:
+
+* ``skew_aware_join`` — big probe ⋈ big build equi-join where a few
+  probe keys are heavy hitters.  A cheap sampled count sketch finds the
+  hot keys; the build rows for those keys are tiny (keys are few) so
+  the hot slice runs as a broadcast join (no shuffle of the heavy probe
+  rows at all), while the cold remainder takes the normal shuffle path.
+* ``salted_groupby_sets`` — two-stage aggregation for set-collection on
+  skewed keys: partial ``collect_set`` on (key, salt), then merge —
+  bounds per-task state for the hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def find_hot_keys(
+    df: DataFrame,
+    key: str,
+    sample_fraction: float = 0.05,
+    hot_share: float = 0.01,
+    max_keys: int = 64,
+) -> list:
+    """Sampled heavy-hitter sketch: keys holding more than ``hot_share``
+    of sampled rows.  One cheap job over a small sample; at production
+    scale replace with a sketch accumulated during the previous stage."""
+    sample = df.select(key).sample(fraction=sample_fraction, seed=42)
+    total = sample.count()
+    if total == 0:
+        return []
+    rows = (
+        sample.groupBy(key)
+        .count()
+        .where(F.col("count") > total * hot_share)
+        .orderBy(F.desc("count"))
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[key] for r in rows]
+
+
+def skew_aware_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    how: str = "inner",
+    hot_keys: list | None = None,
+) -> DataFrame:
+    """Equi-join robust to heavy-hitter probe keys.
+
+    Hot slice: probe rows with hot keys ⋈ broadcast(build rows with hot
+    keys) — no shuffle of hot rows.  Cold slice: ordinary shuffle join
+    (AQE may still rebalance residual mild skew).
+    """
+    if hot_keys is None:
+        hot_keys = find_hot_keys(probe, key)
+    if not hot_keys:
+        return probe.join(build, key, how)
+    is_hot = F.col(key).isin(hot_keys)
+    hot_out = probe.where(is_hot).join(F.broadcast(build.where(is_hot)), key, how)
+    cold_out = probe.where(~is_hot).join(build.where(~is_hot), key, how)
+    return hot_out.unionByName(cold_out)
+
+
+def salted_groupby_sets(
+    df: DataFrame,
+    key_cols: list[str],
+    set_col: str,
+    out_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """``groupBy(key).collect_set(col)`` with a salt pre-aggregation so a
+    hot key's set is built across ``buckets`` tasks before the merge.
+
+    Result arrays are sorted → deterministic regardless of salting."""
+    salt = F.pmod(F.xxhash64(F.col(set_col)), F.lit(buckets)).alias("_salt")
+    partial = (
+        df.select(*key_cols, F.col(set_col), salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.collect_set(set_col).alias("_part"))
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("_part")))
+            ).alias(out_col)
+        )
+    )

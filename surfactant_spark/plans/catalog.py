@@ -1,0 +1,91 @@
+"""Snapshot catalog: checkpoint/resume stage boundaries.
+
+Production design is Iceberg: every stage writes a table, the run
+manifest records the committed snapshot id per stage, and a restarted
+run skips any stage whose snapshot exists (idempotent MERGE INTO).
+This module is the sandbox stand-in — parquet directories with a JSON
+manifest — exposing the same contract, so swapping in Iceberg changes
+only ``_write``/``_read``.
+
+Reference analog: Surfactant's cross-run extraction cache keyed by
+sha256 (surfactant/infoextractors/file_decompression.py:119-144) and
+pattern-DB freshness hashes
+(surfactant/database_manager/database_utils.py:173-179) — generalized
+to every stage boundary via content fingerprints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "manifest.json")
+
+    def _manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {}
+
+    def _save_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)  # atomic commit
+
+    def has(self, table: str, fingerprint: str) -> bool:
+        ent = self._manifest().get(table)
+        return bool(ent and ent.get("fingerprint") == fingerprint and os.path.exists(ent["path"]))
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        fingerprint: str,
+        partition_by: list[str] | None = None,
+        mode: str = "append_snapshot",
+    ) -> str:
+        """Write df as a new snapshot of ``table`` and commit it to the
+        manifest.  The data write and the manifest update are separate
+        steps with the manifest last — a crash mid-write leaves the old
+        snapshot committed (the resume guarantee)."""
+        m = self._manifest()
+        snap = int(m.get(table, {}).get("snapshot", -1)) + 1
+        path = os.path.join(self.root, table, f"snap-{snap:05d}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        m[table] = {
+            "snapshot": snap,
+            "path": path,
+            "fingerprint": fingerprint,
+            "committed_at": time.time(),
+            # schema travels with the snapshot so empty tables (or
+            # partition-pruned reads) reconstruct exactly
+            "schema": df.schema.json(),
+        }
+        self._save_manifest(m)
+        return path
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        ent = self._manifest().get(table)
+        if not ent:
+            raise KeyError(f"no committed snapshot for table {table!r}")
+        reader = spark.read
+        if ent.get("schema"):
+            reader = reader.schema(StructType.fromJson(json.loads(ent["schema"])))
+        return reader.parquet(ent["path"])
+
+    def snapshot_info(self, table: str) -> dict | None:
+        return self._manifest().get(table)

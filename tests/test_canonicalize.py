@@ -1,0 +1,55 @@
+"""Union-find connected components — chains, stars, isolated keys.
+The distributed analog of Surfactant's dedup-merge canonical election
+(surfactant/sbomtypes/_sbom.py:219-263); FIXTURES.md §3 shapes."""
+
+import hashlib
+
+from surfactant_spark.operators.canonicalize import connected_components, entity_canonical_map
+
+
+def _sha(s):
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def test_cc_chain_and_isolated(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["a", "b"]
+    )
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"),
+    }
+
+
+def test_cc_giant_star(spark):
+    n = 500
+    rows = [("hub", f"spoke{i:04d}") for i in range(n)]
+    edges = spark.createDataFrame(rows, ["a", "b"])
+    comp = connected_components(edges)
+    labels = {r.component for r in comp.collect()}
+    assert labels == {"hub"}
+    assert comp.count() == n + 1
+
+
+def test_cc_long_path_converges_by_pointer_jumping(spark):
+    # path of 33 nodes: min-label alone needs 32 rounds; with pointer
+    # jumping it must converge within max_iter=8
+    rows = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(32)]
+    edges = spark.createDataFrame(rows, ["a", "b"])
+    comp = connected_components(edges, max_iter=8)
+    labels = {r.component for r in comp.collect()}
+    assert labels == {"n00"}
+
+
+def test_entity_canonical_map_min_sha_election(spark):
+    emap = entity_canonical_map(
+        spark,
+        dict_keys=["k1", "k2", "solo"],
+        alias_edge_rows=[("k1", "k2")],
+    )
+    rows = {r.entity_key: (r.canonical_id, tuple(r.member_keys)) for r in emap.collect()}
+    expected_canon = "e:" + min(_sha("k1"), _sha("k2"))
+    assert rows["k1"] == (expected_canon, ("k1", "k2"))
+    assert rows["k2"] == (expected_canon, ("k1", "k2"))
+    assert rows["solo"] == ("e:" + _sha("solo"), ("solo",))

@@ -1,0 +1,56 @@
+"""Mention detection semantics: first-match-wins per entity + version
+capture — the translated js_file.py:112-149 behavior test."""
+
+from surfactant_spark.dictionary import compile_dictionary
+from surfactant_spark.operators.mentions import detect_mentions
+from surfactant_spark.oracle.pyoracle import detect_mentions_text
+
+
+ROWS = [
+    ("libx", "content", r"libx v(\d+(?:\.\d+)*)", None),
+    ("libx", "name", "libx", None),
+    ("liby", "name", "lib-y", None),
+]
+
+
+def _mk_content_df(spark, texts):
+    return spark.createDataFrame(
+        [(f"sha{i}", "en", t) for i, t in enumerate(texts)],
+        ["content_sha256", "lang", "text"],
+    )
+
+
+def test_first_match_wins_version_capture(spark):
+    compiled = compile_dictionary(ROWS)
+    texts = [
+        "we use libx v1.2.3 here",        # content pattern wins → version
+        "plain libx mention",              # name fallback, no version
+        "nothing to see",                  # no match
+        "LIB-Y and libx v9.9",            # case-insensitive name + content
+        "sublibx embedded",                # token boundary → no match
+    ]
+    df = detect_mentions(_mk_content_df(spark, texts), compiled)
+    got = {(r.content_sha256, r.entity_key, r.version, r.matched_via) for r in df.collect()}
+    assert got == {
+        ("sha0", "libx", "1.2.3", "content"),
+        ("sha1", "libx", None, "name"),
+        ("sha3", "liby", None, "name"),
+        ("sha3", "libx", "9.9", "content"),
+    }
+
+
+def test_spark_matches_oracle_detector(spark):
+    compiled = compile_dictionary()
+    texts = [
+        "site uses libalpha v2.4.11 today and beta.js",
+        "alpha-lib with gammasql 3.1",
+        "eta-q deltadb zetacache thetanet 1.0",
+        "ALPHALIB shouting",
+    ]
+    df = detect_mentions(_mk_content_df(spark, texts), compiled)
+    got = {(r.content_sha256, r.entity_key, r.version) for r in df.collect()}
+    exp = set()
+    for i, t in enumerate(texts):
+        for ent, ver, _c, _k in detect_mentions_text(t, compiled):
+            exp.add((f"sha{i}", ent, ver))
+    assert got == exp and len(exp) >= 8
