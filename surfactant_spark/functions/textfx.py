@@ -1,0 +1,108 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All JVM-side (`pyspark.sql.functions` only — no Python UDFs): token
+extraction, language-ID heuristic, quality scoring, fingerprinting.
+Every formula is also expressible in ANSI SQL (see queries.py oracles),
+and float-valued scores are integer-scaled with ``floor(x*K + 0.5)`` so
+results are bit-identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RX = "[a-z0-9]+"
+
+# deterministic stopword lists for the language-ID vote
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "une"],
+    "es": ["el", "los", "las", "es", "en", "para", "una", "del"],
+}
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Lowercased alnum tokens (the BPE-ish tokenizer baseline)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RX), F.lit(0))
+
+
+def distinct_tokens(col: str | Column = "text") -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def scaled(expr: Column, k: int = 1000) -> Column:
+    """floor(x*k + 0.5) as bigint — engine-portable rounding."""
+    return F.floor(expr * k + F.lit(0.5)).cast("long")
+
+
+def stopword_count(col: str | Column, lang: str) -> Column:
+    """Count of DISTINCT tokens that are stopwords of ``lang``."""
+    return F.size(
+        F.array_intersect(
+            distinct_tokens(col), F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        )
+    )
+
+
+def lang_guess(col: str | Column = "text") -> Column:
+    """Stopword-vote language ID with fixed priority order en>de>fr>es
+    on ties (deterministic; identical CASE chain in the SQL oracle)."""
+    en, de, fr, es = (stopword_count(col, l) for l in ("en", "de", "fr", "es"))
+    return (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
+        .when((fr >= es) & (fr > 0), F.lit("fr"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def punct_count(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, "[.,!?;:]", ""))
+
+
+def quality_features(col: str | Column = "text") -> dict[str, Column]:
+    """Quality-score features, ratios scaled ×1000 as bigint."""
+    toks = tokens(col)
+    n = F.size(toks)
+    n_d = F.size(F.array_distinct(toks))
+    c = F.col(col) if isinstance(col, str) else col
+    all_stop = F.array(
+        *[F.lit(w) for ws in STOPWORDS.values() for w in ws]
+    )
+    stop_n = F.size(F.array_intersect(F.array_distinct(toks), all_stop))
+    safe_n = F.when(n > 0, n.cast("double")).otherwise(F.lit(None))
+    return {
+        "n_tokens": n.cast("long"),
+        "uniq_ratio_x1000": scaled(n_d / safe_n),
+        "stop_ratio_x1000": scaled(stop_n / safe_n),
+        "punct_ratio_x1000": scaled(
+            punct_count(col) / F.when(F.length(c) > 0, F.length(c).cast("double"))
+        ),
+    }
+
+
+def quality_bucket(col: str | Column = "text") -> Column:
+    """Coarse quality label from the scaled features (deterministic)."""
+    f = quality_features(col)
+    return (
+        F.when(f["n_tokens"] < 10, F.lit("too_short"))
+        .when(f["uniq_ratio_x1000"] < 300, F.lit("repetitive"))
+        .when(f["stop_ratio_x1000"] == 0, F.lit("no_stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+def content_fingerprint(col: str | Column = "text") -> Column:
+    """Normalized-content fingerprint: md5 over the token join — the
+    document analog of the reference's content hashing
+    (surfactant/fileinfo.py:47-78)."""
+    return F.md5(F.concat_ws(" ", tokens(col)))

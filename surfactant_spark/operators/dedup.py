@@ -1,0 +1,206 @@
+"""Deduplication family for web-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle→minhash→band→bucket join),
+SimHash, and n-gram Jaccard — all as DataFrame→DataFrame operators
+built from JVM-side expressions only (no Python UDFs), so they inherit
+whole-stage codegen and scale by shuffle.
+
+Hash functions are md5-based (not Spark's xxhash64) so every operator
+has an exact ANSI-SQL oracle: md5 of the same string is identical in
+any engine.  Generalizes the reference's sha256 dedup-merge
+(surfactant/sbomtypes/_sbom.py:205-263) from exact to near-duplicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfx import distinct_tokens, scaled
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (content_md5, n_docs, doc_ids)
+    for groups with >1 member.  doc_ids is a sorted '|'-join so output
+    is deterministic and engine-portable."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.concat_ws(
+                "|", F.array_sort(F.collect_list(F.col(id_col).cast("string")))
+            ).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the token stream."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _seeded_md5(seed: str):
+    # NB: must be a single-arg lambda — F.transform passes the array
+    # index as a second argument to two-arg callables
+    return lambda t: F.md5(F.concat(F.lit(seed), t))
+
+
+def minhash_signature(set_col: Column, k: int = 8) -> list[Column]:
+    """k md5-seeded min-hashes of a string set: sig_i = min over members
+    of md5('<i>|' || member).  Lexicographic min over hex = a valid
+    permutation min; identical in any SQL engine."""
+    return [
+        F.array_min(F.transform(set_col, _seeded_md5(f"{i}|"))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: (id_a, id_b) where any band of
+    the signature collides.  The band join shuffles on the band hash —
+    at corpus scale this is the standard sub-quadratic dedup path (the
+    full cross-join never materializes)."""
+    rows = bands_rows = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), *minhash_signature(shingles(text_col, shingle_n), k)
+    )
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}") for r in range(bands_rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*parts)).alias("band_val"))
+        )
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bd")).select(
+        "id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
+    ).where(F.col("band_val").isNotNull())
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct tokens: token → 32-bit value from
+    the first 8 hex chars of md5; bit i of the fingerprint is set iff
+    at least half the tokens have bit i set (>= tie rule).
+
+    Shape: explode tokens → one groupBy with 32 conditional-sum
+    aggregates (map-side partial agg keeps the shuffle tiny)."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(distinct_tokens(text_col)).alias("tok")
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+        for i in range(32)
+    ]
+    per_doc = tok.groupBy("id").agg(*aggs)
+    fp = None
+    for i in range(32):
+        bit = F.when(F.col(f"b{i}") * 2 >= F.col("n"), F.lit(2**i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return per_doc.select(F.col("id").alias(id_col), fp.cast("long").alias("simhash32"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 32 bits into 4 bytes (any
+    equal byte → candidate, guaranteed to catch hamming ≤ 3), then
+    confirm with exact popcount — the LSH-style banding avoids the
+    quadratic cross join."""
+    sh = simhash32(df, id_col, text_col)
+    bands = sh.select(
+        F.col(id_col).alias("id"),
+        "simhash32",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright(F.col("simhash32"), i * 8).bitwiseAND(F.lit(255)).alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bd"),
+    ).select("id", "simhash32", F.col("bd.band_idx").alias("bi"), F.col("bd.band_val").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash32").alias("ha"),
+            F.col("b.simhash32").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.where(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming
+    ).select("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard_x1000: int = 1,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity (×1000, floor+0.5 scaled).
+
+    O(n²) by design — callers pre-filter to a candidate subset (e.g.
+    LSH buckets or a sampled slice); at corpus scale this is the
+    *confirm* stage after `lsh_candidate_pairs`, never a full sweep."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = scaled(inter / F.when(union > 0, union.cast("double")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard_x1000"),
+        )
+        .where(F.col("jaccard_x1000") >= min_jaccard_x1000)
+    )

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
+(random-hyperplane SimHash) variant as the scale path: at 10^12 rows a
+full cross join is impossible; hyperplane buckets cut candidates to
+~n/2^bits per bucket and the exact rerank runs only inside candidates.
+
+All math is done in JVM expressions (zip_with + aggregate) on
+double-cast values, and scores are integer-scaled (×10000) so results
+are deterministic and oracle-checkable.  An IVF (k-means coarse
+quantizer) variant would slot in the same candidate-generation seam;
+hyperplane LSH was chosen because it is stateless/deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_x10000(a: Column, b: Column) -> Column:
+    denom = _norm(a) * _norm(b)
+    return F.floor(_dot(a, b) / F.when(denom > 0, denom) * 10000 + F.lit(0.5)).cast("long")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    target corpus — one scan of targets, no target-side shuffle except
+    the final per-query top-k.  (query_id, rank, target_id, cos_x10000);
+    ties broken by target_id asc → fully deterministic."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    t = targets.select(F.col(id_col).alias("target_id"), F.col(vec_col).alias("tv"))
+    scored = (
+        t.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("target_id"))
+        .select(
+            "query_id",
+            "target_id",
+            cosine_x10000(F.col("qv"), F.col("tv")).alias("cos_x10000"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_x10000"), F.asc("target_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "target_id", "cos_x10000")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, salt: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 bytes (no RNG
+    state; same planes on driver and in any engine re-implementation)."""
+    planes = []
+    for b in range(bits):
+        vals: list[float] = []
+        i = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"plane|{salt}|{b}|{i}".encode()).digest()
+            vals.extend(x - 127.5 for x in h)
+            i += 1
+        planes.append([v / 127.5 for v in vals[:dim]])
+    return planes
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec, F.array(*[F.lit(x) for x in p]), lambda v, w: v.cast("double") * w
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 4,
+    tables: int = 2,
+) -> DataFrame:
+    """Approximate top-k: candidates share a hyperplane bucket in at
+    least one of ``tables`` independent LSH tables, then exact rerank.
+    Recall < 1.0 by construction; scales as the bucket join instead of
+    the cross join."""
+    from pyspark.sql.window import Window
+
+    cand = None
+    for t_i in range(tables):
+        planes = _hyperplanes(dim, bits, salt=t_i)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        t = targets.select(
+            F.col(id_col).alias("target_id"),
+            F.col(vec_col).alias("tv"),
+            hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        c = t.join(F.broadcast(q), "bucket").where(
+            F.col("query_id") != F.col("target_id")
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    scored = cand.select(
+        "query_id", "target_id", cosine_x10000(F.col("qv"), F.col("tv")).alias("cos_x10000")
+    ).dropDuplicates(["query_id", "target_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_x10000"), F.asc("target_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "target_id", "cos_x10000")
+    )

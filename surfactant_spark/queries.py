@@ -1,0 +1,726 @@
+"""Driver-facing query surface: SURVEY.md §2 operators + training-data
+pipeline ops, each as a (Spark callable, ANSI-SQL oracle) pair.
+
+Determinism rules applied throughout (these make the driver's
+order-insensitive value-hash comparison meaningful):
+  * float-valued results are integer-scaled: ``floor(x*K + 0.5)`` bigint
+  * money sums go through exact decimal(18,4) before scaling (double
+    summation order is partition-dependent; decimal addition is not)
+  * timestamps are emitted as 'yyyy-MM-dd HH:mm:ss' strings
+  * arrays are emitted as '|'-joined sorted strings
+  * every ranking has a full deterministic tie-break
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import textfx
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .operators.canonicalize import connected_components
+from .schema import PAGES_SCHEMA  # noqa: F401  (re-export convenience)
+
+MENTION_TERMS = ["spark", "query", "join", "filter", "scan", "merge"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _money(col) -> "F.Column":
+    return F.col(col).cast("decimal(18,4)") if isinstance(col, str) else col.cast("decimal(18,4)")
+
+
+def _ts(col) -> "F.Column":
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# ===========================================================================
+# TPC-H-shaped operator analogs (SURVEY.md §2)
+# ===========================================================================
+
+def q_tpch_q1_pricing(spark, sf):
+    """A5-family flagship aggregation (stat counts analog,
+    surfactant/cmd/stat.py:8-46): partial-aggregated groupBy, exact
+    decimal sums."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.floor(F.sum(_money("l_quantity")) * 10000).cast("long").alias("sum_qty_x10000"),
+            F.floor(
+                F.sum(_money("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _money("l_discount")))
+                * 10000
+            ).cast("long").alias("revenue_x10000"),
+        )
+    )
+
+
+O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       floor(sum(l_quantity::DECIMAL(18,4)) * 10000)::BIGINT AS sum_qty_x10000,
+       floor(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) * 10000)::BIGINT AS revenue_x10000
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_stat_counts(spark, sf):
+    """A5 stat counts (surfactant/cmd/stat.py:8-46): conditional sums."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_high_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+O_STAT_COUNTS = """
+SELECT event_type, count(*) AS n_events,
+       sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_capture_window(spark, sf):
+    """A3 capture window (surfactant/cmd/merge.py:166-178): min/max."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        _ts(F.min("ts")).alias("first_ts"),
+        _ts(F.max("ts")).alias("last_ts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+O_CAPTURE_WINDOW = """
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts, count(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
+def q_argmax_confidence(spark, sf):
+    """F6 confidence-argmax field resolution
+    (surfactant/cmd/generate.py:93-122): per user, the event_type of
+    the highest (value, event_id) — fully tie-broken."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.desc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"),
+                textfx.scaled(F.col("value"), 100).alias("top_value_x100"))
+    )
+
+
+O_ARGMAX = """
+SELECT user_id, event_type AS top_event_type,
+       floor(value * 100 + 0.5)::BIGINT AS top_value_x100
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rnk
+      FROM events) WHERE rnk = 1
+"""
+
+
+def q_broadcast_join_agg(spark, sf):
+    """J4 broadcast hash join (surfactant/relationships/java_relationship.py:11-51):
+    small dim broadcast against the fact table."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.floor(
+                F.sum(_money("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _money("l_discount"))) * 10000
+            ).cast("long").alias("revenue_x10000"),
+        )
+    )
+
+
+O_BROADCAST_JOIN = """
+SELECT p_brand, count(*) AS n_items,
+       floor(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) * 10000)::BIGINT AS revenue_x10000
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_probe_path_join(spark, sf):
+    """J1 probe-path equi-join family (surfactant/relationships/
+    elf_relationship.py:98-149): multi-table equi-join with pushed
+    filter; Catalyst picks broadcast for the pruned dims."""
+    li = _t(spark, sf, "lineitem")
+    sup = _t(spark, sf, "supplier")
+    part = _t(spark, sf, "part").where(F.col("p_size") > 40)
+    return (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.sum(_money("l_quantity")) * 10000).cast("long").alias("qty_x10000"),
+        )
+    )
+
+
+O_PROBE_PATH = """
+SELECT s_name, count(*) AS n,
+       floor(sum(l_quantity::DECIMAL(18,4)) * 10000)::BIGINT AS qty_x10000
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_size > 40 GROUP BY s_name
+"""
+
+
+def q_roots_antijoin(spark, sf):
+    """A6 root detection = in-degree-0 anti-join
+    (surfactant/cmd/merge.py:101): orders no lineitem points into."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"], "left_anti"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+O_ROOTS = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+
+def q_dedup_union(spark, sf):
+    """§2.6 set ops: union-with-dedup (surfactant/sbomtypes/_sbom.py:386-391)."""
+    ev = _t(spark, sf, "events").select(F.col("event_type").alias("v"))
+    li = _t(spark, sf, "lineitem").select(F.col("l_returnflag").alias("v"))
+    return ev.union(li).distinct()
+
+
+O_DEDUP_UNION = """
+SELECT event_type AS v FROM events UNION SELECT l_returnflag FROM lineitem
+"""
+
+
+def q_field_merge(spark, sf):
+    """A1 field merge: array append-if-absent → sorted joined set
+    (surfactant/sbomtypes/_software.py:108-155)."""
+    sup = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    return (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_set("s_name"))).alias("supplier_names"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+O_FIELD_MERGE = """
+SELECT n_name,
+       array_to_string(list_sort(list_distinct(array_agg(s_name))), '|') AS supplier_names,
+       count(DISTINCT s_suppkey) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_topk_orders(spark, sf):
+    """§2.6 sort/limit with full tie-break."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", textfx.scaled(F.col("o_totalprice"), 100).alias("price_x100"))
+    )
+
+
+O_TOPK_ORDERS = """
+SELECT o_orderkey, floor(o_totalprice * 100 + 0.5)::BIGINT AS price_x100
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_window_rank(spark, sf):
+    """Window ranking (the F6 argmax in window form)."""
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("lang", "rnk", "doc_id", "n_chars")
+    )
+
+
+O_WINDOW_RANK = """
+SELECT lang, rnk, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents) WHERE rnk <= 3
+"""
+
+
+def q_time_window_agg(spark, sf):
+    """Tumbling-window aggregation (batch form of the streaming path)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            _ts(F.date_trunc("hour", F.col("ts"))).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_TIME_WINDOW = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_salted_agg(spark, sf):
+    """Salted two-stage aggregation (north_rule skew handling): result
+    must equal the plain groupBy count — the oracle IS the plain SQL."""
+    ev = _t(spark, sf, "events")
+    salted = (
+        ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("event_type", "_salt")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .groupBy("event_type")
+        .agg(F.sum("pn").alias("n"))
+    )
+    return salted
+
+
+O_SALTED_AGG = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+def q_install_path_rewrite(spark, sf):
+    """F7 install-path regex rebase (surfactant/cmd/generate.py:25-29)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(F.regexp_replace("source", "^src", "catalog/s").alias("install_path"))
+        .groupBy("install_path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_INSTALL_REWRITE = """
+SELECT regexp_replace(source, '^src', 'catalog/s') AS install_path, count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_find_filter(spark, sf):
+    """cli-find predicate pushdown (surfactant/cmd/cli.py:284-312):
+    conjunctive scalar + substring filters, Catalyst-pushable."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.where(
+            (F.col("lang") == "en")
+            & (F.col("n_chars") > 300)
+            & F.col("text").contains("data")
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+O_FIND_FILTER = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang = 'en' AND n_chars > 300 AND text LIKE '%data%'
+"""
+
+
+def q_cc_components(spark, sf):
+    """M2 union-find connected components over a customer→nation→region
+    alias graph (the distributed piece; oracle = recursive CTE)."""
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    e1 = cust.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("a"),
+        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("b"),
+    )
+    e2 = nat.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("a"),
+        F.concat(F.lit("r:"), F.col("n_regionkey")).alias("b"),
+    )
+    return connected_components(e1.unionByName(e2))
+
+
+O_CC = """
+WITH RECURSIVE edges AS (
+  SELECT 'c:' || c_custkey AS a, 'n:' || c_nationkey AS b FROM customer
+  UNION ALL
+  SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+), sym AS (
+  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+"""
+
+
+# ===========================================================================
+# Training-data pipeline ops (dedup / similarity / text analysis)
+# ===========================================================================
+
+def q_hash_entities(spark, sf):
+    """E10 content hashing (surfactant/fileinfo.py:47-78)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5"),
+        F.sha2(F.col("text"), 256).alias("sha256"),
+        F.length("text").alias("text_len"),
+    )
+
+
+O_HASH_ENTITIES = """
+SELECT doc_id, md5(text) AS md5, sha256(text) AS sha256, length(text) AS text_len
+FROM documents
+"""
+
+
+def q_exact_dedup(spark, sf):
+    return dd.exact_dup_groups(_t(spark, sf, "documents"))
+
+
+O_EXACT_DEDUP = """
+SELECT md5(text) AS content_md5, count(*) AS n_docs,
+       array_to_string(list_sort(array_agg(doc_id::VARCHAR)), '|') AS doc_ids
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_fingerprint_dedup(spark, sf):
+    """Rolling-prefix fingerprint dedup: docs sharing the md5 of their
+    first 3 tokens — the document-fingerprinting dedup variant (exact
+    md5(text) dedup finds nothing on this corpus; the prefix
+    fingerprint demonstrates the same groupBy-hash machinery with
+    non-empty output)."""
+    docs = _t(spark, sf, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(textfx.tokens("text"), 1, 3)))
+    return (
+        docs.select(fp.alias("prefix_fp"), "doc_id")
+        .groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.concat_ws("|", F.array_sort(F.collect_list(F.col("doc_id").cast("string")))).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+O_FINGERPRINT_DEDUP = """
+SELECT md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[1:3], ' ')) AS prefix_fp,
+       count(*) AS n_docs,
+       array_to_string(list_sort(array_agg(doc_id::VARCHAR)), '|') AS doc_ids
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def _minhash_sql(k: int = 8) -> str:
+    mh = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, t -> md5('{i}|' || t)), 'min') AS mh{i}"
+        for i in range(k)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || mh{2*b+1}) AS band_val FROM sig"
+        for b in range(k // 2)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+  WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id, {mh} FROM base
+), bands AS (
+  {bands}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+"""
+
+
+def q_minhash_lsh(spark, sf):
+    return dd.lsh_candidate_pairs(_t(spark, sf, "documents"), k=8, bands=4)
+
+
+O_MINHASH_LSH = _minhash_sql(8)
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(f"sum((h >> {i}) & 1) AS b{i}" for i in range(32))
+    bits = " + ".join(
+        f"(CASE WHEN b{i} * 2 >= n THEN {2**i} ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok
+), agg AS (
+  SELECT doc_id, count(*) AS n, {sums} FROM h GROUP BY doc_id
+)
+SELECT doc_id, ({bits})::BIGINT AS simhash32 FROM agg
+"""
+
+
+def q_simhash(spark, sf):
+    return dd.simhash32(_t(spark, sf, "documents"))
+
+
+O_SIMHASH = _simhash_sql()
+
+
+def q_ngram_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 20 == 0)
+    return dd.ngram_jaccard_pairs(docs, min_jaccard_x1000=5)
+
+
+O_NGRAM_JACCARD = """
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents WHERE doc_id % 20 = 0)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       floor(len(list_intersect(a.sh, b.sh)) * 1000.0
+             / len(list_distinct(list_concat(a.sh, b.sh))) + 0.5)::BIGINT AS jaccard_x1000
+FROM base a, base b
+WHERE a.doc_id < b.doc_id
+  AND floor(len(list_intersect(a.sh, b.sh)) * 1000.0
+            / len(list_distinct(list_concat(a.sh, b.sh))) + 0.5) >= 5
+"""
+
+
+def q_embed_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return sim.brute_force_topk(emb.where(F.col("vec_id") < 8), emb, k=5).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
+O_EMBED_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+t AS (SELECT vec_id AS target_id, embedding AS tv FROM embeddings),
+scored AS (
+  SELECT query_id, target_id,
+         floor(list_dot_product(qv::DOUBLE[], tv::DOUBLE[])
+               / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                  * sqrt(list_dot_product(tv::DOUBLE[], tv::DOUBLE[]))) * 10000 + 0.5)::BIGINT AS cos_x10000
+  FROM t, q WHERE query_id != target_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_x10000 DESC, target_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, target_id, cos_x10000 FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_embed_neardup(spark, sf):
+    emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.cosine_x10000(F.col("va"), F.col("vb")).alias("cos_x10000"))
+        .where(F.col("cos_x10000") >= 4000)
+    )
+
+
+O_EMBED_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) * 10000 + 0.5)::BIGINT AS cos_x10000
+FROM e a, e b WHERE a.vec_id < b.vec_id
+  AND floor(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) * 10000 + 0.5) >= 4000
+"""
+
+
+def q_token_count(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        textfx.token_count("text").cast("long").alias("n_tokens"),
+        textfx.content_fingerprint("text").alias("fingerprint"),
+    )
+
+
+O_TOKEN_COUNT = """
+SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+       md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", "lang", textfx.lang_guess("text").alias("lang_guess"))
+
+
+def _lang_sql() -> str:
+    def cnt(lang):
+        words = ", ".join(f"'{w}'" for w in textfx.STOPWORDS[lang])
+        return (
+            f"len(list_intersect(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')), [{words}]))"
+        )
+
+    en, de, fr, es = (cnt(l) for l in ("en", "de", "fr", "es"))
+    return f"""
+SELECT doc_id, lang,
+  CASE WHEN {en} >= {de} AND {en} >= {fr} AND {en} >= {es} AND {en} > 0 THEN 'en'
+       WHEN {de} >= {fr} AND {de} >= {es} AND {de} > 0 THEN 'de'
+       WHEN {fr} >= {es} AND {fr} > 0 THEN 'fr'
+       WHEN {es} > 0 THEN 'es'
+       ELSE 'unknown' END AS lang_guess
+FROM documents
+"""
+
+
+O_LANG_ID = _lang_sql()
+
+
+def q_quality(spark, sf):
+    docs = _t(spark, sf, "documents")
+    feats = textfx.quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["uniq_ratio_x1000"].alias("uniq_ratio_x1000"),
+        feats["stop_ratio_x1000"].alias("stop_ratio_x1000"),
+        feats["punct_ratio_x1000"].alias("punct_ratio_x1000"),
+        textfx.quality_bucket("text").alias("bucket"),
+    )
+
+
+def _quality_sql() -> str:
+    all_stop = ", ".join(
+        f"'{w}'" for ws in textfx.STOPWORDS.values() for w in ws
+    )
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    n = f"len({toks})"
+    n_d = f"len(list_distinct({toks}))"
+    stop_n = f"len(list_intersect(list_distinct({toks}), [{all_stop}]))"
+    punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+    uniq = f"floor({n_d} * 1000.0 / nullif({n}, 0) + 0.5)::BIGINT"
+    stopr = f"floor({stop_n} * 1000.0 / nullif({n}, 0) + 0.5)::BIGINT"
+    punctr = f"floor({punct} * 1000.0 / nullif(length(text), 0) + 0.5)::BIGINT"
+    return f"""
+SELECT doc_id, {n}::BIGINT AS n_tokens,
+       {uniq} AS uniq_ratio_x1000,
+       {stopr} AS stop_ratio_x1000,
+       {punctr} AS punct_ratio_x1000,
+       CASE WHEN {n} < 10 THEN 'too_short'
+            WHEN {uniq} < 300 THEN 'repetitive'
+            WHEN {stopr} = 0 THEN 'no_stopwords'
+            ELSE 'ok' END AS bucket
+FROM documents
+"""
+
+
+O_QUALITY = _quality_sql()
+
+
+def q_mention_detect(spark, sf):
+    """E3 mention detection analog on the documents table: broadcast
+    term dictionary, token-exact containment."""
+    docs = _t(spark, sf, "documents")
+    terms = spark.createDataFrame([(t,) for t in MENTION_TERMS], ["term"])
+    toks = docs.select("doc_id", "lang", textfx.distinct_tokens("text").alias("toks"))
+    return (
+        toks.join(F.broadcast(terms), F.array_contains(F.col("toks"), F.col("term")))
+        .select("doc_id", "lang", F.col("term").alias("entity"))
+    )
+
+
+def _mention_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in MENTION_TERMS)
+    return f"""
+WITH terms(term) AS (VALUES {terms})
+SELECT doc_id, lang, term AS entity
+FROM documents, terms
+WHERE list_contains(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')), term)
+"""
+
+
+O_MENTION_DETECT = _mention_sql()
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
+
+# name → (callable, oracle_sql | None)
+REGISTRY: dict[str, tuple] = {
+    "tpch_q1_pricing": (q_tpch_q1_pricing, O_TPCH_Q1),
+    "stat_counts": (q_stat_counts, O_STAT_COUNTS),
+    "capture_window": (q_capture_window, O_CAPTURE_WINDOW),
+    "argmax_confidence": (q_argmax_confidence, O_ARGMAX),
+    "broadcast_join_agg": (q_broadcast_join_agg, O_BROADCAST_JOIN),
+    "probe_path_join": (q_probe_path_join, O_PROBE_PATH),
+    "roots_antijoin": (q_roots_antijoin, O_ROOTS),
+    "dedup_union": (q_dedup_union, O_DEDUP_UNION),
+    "field_merge": (q_field_merge, O_FIELD_MERGE),
+    "topk_orders": (q_topk_orders, O_TOPK_ORDERS),
+    "window_rank": (q_window_rank, O_WINDOW_RANK),
+    "time_window_agg": (q_time_window_agg, O_TIME_WINDOW),
+    "salted_agg": (q_salted_agg, O_SALTED_AGG),
+    "install_path_rewrite": (q_install_path_rewrite, O_INSTALL_REWRITE),
+    "find_filter": (q_find_filter, O_FIND_FILTER),
+    "cc_components": (q_cc_components, O_CC),
+    "hash_entities": (q_hash_entities, O_HASH_ENTITIES),
+    "exact_dedup": (q_exact_dedup, O_EXACT_DEDUP),
+    "fingerprint_dedup": (q_fingerprint_dedup, O_FINGERPRINT_DEDUP),
+    "minhash_lsh": (q_minhash_lsh, O_MINHASH_LSH),
+    "simhash": (q_simhash, O_SIMHASH),
+    "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
+    "embed_topk": (q_embed_topk, O_EMBED_TOPK),
+    "embed_neardup": (q_embed_neardup, O_EMBED_NEARDUP),
+    "token_count": (q_token_count, O_TOKEN_COUNT),
+    "lang_id": (q_lang_id, O_LANG_ID),
+    "quality": (q_quality, O_QUALITY),
+    "mention_detect": (q_mention_detect, O_MENTION_DETECT),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql.strip() for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: mention detection + per-(lang, entity) aggregation —
+    the documents-table analog of 'top entities by in-degree per lang'."""
+    m = q_mention_detect(spark, sf_dir)
+    return (
+        m.groupBy("lang", "entity")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("lang"), F.asc("entity"))
+    )
