@@ -1,0 +1,204 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG
+pipeline itself on a synthetic page corpus, plus a two-parallelism
+scaling probe (local[8] vs local[32] subprocesses) evidencing the
+north rule's N→4N scaling-efficiency criterion.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "kg": {...}, "scaling": {...}}
+and writes the human-readable summary to BENCH.md.
+
+Set SPARK_GRAFT_SCALING=0 to skip the scaling probe (it adds ~2 min).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1_pricing",
+    "broadcast_join_agg",
+    "probe_path_join",
+    "window_rank",
+    "stat_counts",
+    "cc_components",
+    "mention_detect",
+    "minhash_lsh",
+    "simhash",
+    "token_count",
+    "quality",
+    "embed_topk",
+]
+
+KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))
+SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "1000000"))
+SCALE_PAGES_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", f"/tmp/spark_graft_pages_{SCALE_PAGES}_s8"
+)
+
+
+def _time_df(df) -> float:
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
+
+
+def run_scaling(repo: str) -> dict:
+    """Same job (read pages table → extract → mentions → edges), two
+    parallelism levels, N→4N (default local[2] vs local[8]).
+
+    Level choice: the sandbox is a 32-vCPU VM on a shared host that
+    intermittently steals CPU when total demand spikes high; Spark's
+    JVM task threads co-locate with the Python UDF workers, so
+    local[16]/local[32] runs oversubscribe and hit steal storms.  The
+    (2, 8) pair keeps even spike demand well under the box — on a real
+    cluster these are N and 4N executors.  tools/hw_envelope.py
+    measures the machine's own ceiling for any parallel CPU work at
+    the same two levels, reported alongside for normalization."""
+    out = {}
+    for cores in (SCALE_LO, SCALE_HI):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), PYTHONPATH=repo)
+        res = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "scale_probe.py"),
+             str(SCALE_PAGES), SCALE_PAGES_DIR],
+            capture_output=True, text=True, env=env, cwd=repo, timeout=2400,
+        )
+        line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+        out[f"local[{cores}]"] = json.loads(line)
+    lo, hi = out[f"local[{SCALE_LO}]"], out[f"local[{SCALE_HI}]"]
+    speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+    out["speedup"] = round(speedup, 3)
+    out["levels"] = [SCALE_LO, SCALE_HI]
+    out["efficiency"] = round(speedup / (SCALE_HI / SCALE_LO), 3)
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "hw_envelope.py"),
+             str(SCALE_LO), str(SCALE_HI)],
+            capture_output=True, text=True, timeout=600,
+        )
+        out["hw_envelope"] = json.loads(res.stdout.splitlines()[-1])
+        out["efficiency_vs_hw"] = round(
+            out["efficiency"] / out["hw_envelope"]["hw_envelope"], 3
+        )
+    except Exception:
+        pass
+    return out
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from surfactant_spark import queries as q
+    from surfactant_spark.dictionary import alias_edges, compile_dictionary
+    from surfactant_spark.operators.canonicalize import entity_canonical_map
+    from surfactant_spark.operators.extract import extract_pages
+    from surfactant_spark.operators.linking import build_edges, build_nodes
+    from surfactant_spark.operators.mentions import content_for_detection, detect_mentions
+    from surfactant_spark.session import get_spark
+    from surfactant_spark.sources.pages import synth_pages
+
+    spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=max(2 * cores, 8))
+    spark.range(1000).selectExpr("sum(id)").collect()  # warm-up
+
+    registry = q.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(_time_df(registry[name](spark, sf_dir)), 3)
+
+    # KG pipeline end-to-end (compute + edge/node materialization to noop)
+    compiled = compile_dictionary()
+    emap = entity_canonical_map(
+        spark, sorted({p.entity_key for p in compiled.patterns}), alias_edges()
+    ).cache()
+    emap.count()
+    pages = synth_pages(spark, KG_PAGES, partitions=4 * cores)
+    t0 = time.monotonic()
+    # stage boundaries as compressed columnar cache (see SCALING.md:
+    # row-level localCheckpoint of big text frames measures GC)
+    ext = extract_pages(pages).cache()
+    ext.count()
+    mentions = detect_mentions(content_for_detection(ext), compiled).cache()
+    edges = build_edges(ext, mentions, emap)
+    nodes = build_nodes(ext, mentions, emap)
+    edges.write.format("noop").mode("overwrite").save()
+    nodes.write.format("noop").mode("overwrite").save()
+    kg_sec = time.monotonic() - t0
+    ext.unpersist()
+    mentions.unpersist()
+    times["kg_pipeline"] = round(kg_sec, 3)
+    kg = {
+        "n_pages": KG_PAGES,
+        "sec": round(kg_sec, 3),
+        "docs_per_sec": round(KG_PAGES / kg_sec, 1),
+    }
+    spark.stop()
+
+    scaling = {}
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        scaling = run_scaling(repo)
+
+    total = round(sum(times.values()), 3)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cores": cores,
+        "kg": kg,
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+    with open(os.path.join(repo, "BENCH.md"), "w") as f:
+        f.write("# BENCH — latest local run\n\n")
+        f.write(f"sf={sf}, local[{cores}], shuffle={max(2*cores,8)}\n\n")
+        f.write("| query | sec |\n|---|---|\n")
+        for k, v in times.items():
+            f.write(f"| {k} | {v} |\n")
+        f.write(f"\nKG pipeline: {kg['n_pages']} pages in {kg['sec']}s "
+                f"→ **{kg['docs_per_sec']} docs/sec**\n")
+        if scaling:
+            lo_k, hi_k = f"local[{SCALE_LO}]", f"local[{SCALE_HI}]"
+            lo, hi = scaling[lo_k], scaling[hi_k]
+            f.write(
+                f"\n## Scaling (north rule: efficiency ≥ 0.8 at N→4N)\n\n"
+                f"Same production-shaped job (read {SCALE_PAGES}-page table →\n"
+                f"extract → mention detection → edge resolution), two parallelism\n"
+                f"levels; pages are body_scale=8 (≈5-10 KB, Common-Crawl-ish).\n"
+                f"See SCALING.md for the methodology and host caveats.\n\n"
+                f"| parallelism | docs/sec | sec |\n|---|---|---|\n"
+                f"| {lo_k} | {lo['docs_per_sec']} | {lo['sec']} |\n"
+                f"| {hi_k} | {hi['docs_per_sec']} | {hi['sec']} |\n\n"
+                f"speedup {SCALE_LO}→{SCALE_HI}: **{scaling['speedup']}×** "
+                f"(ideal {SCALE_HI // SCALE_LO}×), efficiency **{scaling['efficiency']}**\n"
+            )
+            if "hw_envelope" in scaling:
+                hwe = scaling["hw_envelope"]
+                f.write(
+                    f"\nHardware control (pure multiprocessing, no Spark): the box\n"
+                    f"itself scales {SCALE_LO}→{SCALE_HI} procs at efficiency "
+                    f"**{hwe['hw_envelope']}** (all-core turbo / shared-host effects).\n"
+                    f"Engine efficiency normalized to the hardware ceiling: "
+                    f"**{scaling.get('efficiency_vs_hw')}**.\n"
+                )
+
+
+if __name__ == "__main__":
+    main()

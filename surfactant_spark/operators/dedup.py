@@ -44,9 +44,14 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the token stream."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array COLUMN.
+
+    Callers must pass an attribute (a column materialized by a prior
+    projection), not an inline expression: the lambda references the
+    tokens 3n+ times, and Catalyst inlines duplicated non-attribute
+    expressions — re-running the tokenizer regex per shingle element
+    (measured ~10x slowdown)."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     gram = F.transform(
         idx,
@@ -57,6 +62,24 @@ def shingles(text_col: str = "text", n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, s) exploded distinct shingles; tokens materialized once per
+    row via a separate projection (see shingles_from_tokens)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+    staged = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    return staged.select(
+        "id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("s")
+    )
+
+
+def shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Inline shingle expression — prefer shingle_rows for hot paths."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+    return shingles_from_tokens(toks, n)
 
 
 def _seeded_md5(seed: str):
@@ -75,6 +98,22 @@ def minhash_signature(set_col: Column, k: int = 8) -> list[Column]:
     ]
 
 
+def minhash_signature_agg(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) via explode+groupBy: the shingle array is
+    computed ONCE per row, then k seeded md5-mins partial-aggregate
+    map-side.  The array-expression form (minhash_signature) inlines
+    the shingle computation into every signature column — k× the
+    regex/md5 work — so this is the formulation that scales."""
+    exploded = shingle_rows(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}") for i in range(k)
+    ]
+    return exploded.groupBy("id").agg(*aggs)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -87,13 +126,11 @@ def lsh_candidate_pairs(
     the signature collides.  The band join shuffles on the band hash —
     at corpus scale this is the standard sub-quadratic dedup path (the
     full cross-join never materializes)."""
-    rows = bands_rows = k // bands
-    sig = df.select(
-        F.col(id_col).alias("id"), *minhash_signature(shingles(text_col, shingle_n), k)
-    )
+    rows = k // bands
+    sig = minhash_signature_agg(df, id_col, text_col, k, shingle_n)
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"mh{b * rows + r}") for r in range(bands_rows)]
+        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
         band_cols.append(
             F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*parts)).alias("band_val"))
         )
@@ -184,23 +221,37 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard_x1000: int = 1,
 ) -> DataFrame:
-    """Pairwise n-gram Jaccard similarity (×1000, floor+0.5 scaled).
+    """Pairwise n-gram Jaccard similarity (×1000, floor+0.5 scaled)
+    for every pair sharing at least one shingle.
 
-    O(n²) by design — callers pre-filter to a candidate subset (e.g.
-    LSH buckets or a sampled slice); at corpus scale this is the
-    *confirm* stage after `lsh_candidate_pairs`, never a full sweep."""
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    jac = scaled(inter / F.when(union > 0, union.cast("double")))
-    return (
-        a.crossJoin(b)
+    Inverted-index formulation — no cross join: explode shingles, pair
+    docs through a self-equi-join on the shingle (pairs that share
+    nothing never materialize), count shared shingles per pair, then
+    |A∪B| = |A|+|B|−|A∩B|.  The shingle join key is the shuffle axis,
+    so hot shingles (stop-gram analogs) are the skew point — at corpus
+    scale feed this only LSH-bucketed candidates or drop top-frequency
+    shingles first (the reference's skip-common-patterns policy,
+    surfactant/utils/ahocorasick.py:158-169).
+
+    Requires ``min_jaccard_x1000 >= 1``: zero-overlap pairs are never
+    emitted (their Jaccard is 0)."""
+    assert min_jaccard_x1000 >= 1
+    ex = shingle_rows(df, id_col, text_col, n)
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))  # shingles are distinct
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, "s")
         .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            jac.alias("jaccard_x1000"),
-        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    jac = scaled(F.col("inter") / F.when(union > 0, union.cast("double")))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard_x1000"))
         .where(F.col("jaccard_x1000") >= min_jaccard_x1000)
     )

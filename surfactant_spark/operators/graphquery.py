@@ -1,0 +1,124 @@
+"""Query/update surface over the nodes/edges tables — the `surfactant
+cli find/add` and `surfactant stat` analogs (SURVEY.md §3.3, §2.5 A5).
+
+The reference does linear scans with per-type matchers
+(surfactant/cmd/cli.py:218-341); these are the declarative versions so
+Catalyst pushes the predicates into the table scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def find_nodes(
+    nodes: DataFrame,
+    node_type: str | None = None,
+    name_contains: str | None = None,
+    url_contains: str | None = None,
+    sha256: str | None = None,
+    attr_equals: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Conjunctive find:
+
+    * scalar equality (cli.py:284-292)            → node_type / sha256
+    * substring-in-any-array-element (293-302)    → names / urls via exists()
+    * dict any-common-(k,v) (304-312)             → attrs[k] == v
+    """
+    out = nodes
+    if node_type is not None:
+        out = out.where(F.col("node_type") == node_type)
+    if sha256 is not None:
+        out = out.where(F.col("sha256") == sha256)
+    if name_contains is not None:
+        out = out.where(F.exists("names", lambda x: x.contains(name_contains)))
+    if url_contains is not None:
+        out = out.where(F.exists("urls", lambda x: x.contains(url_contains)))
+    if attr_equals is not None:
+        k, v = attr_equals
+        out = out.where(F.col("attrs").getItem(k) == v)
+    return out
+
+
+def stat_counts(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """A5 stat (surfactant/cmd/stat.py:8-46): per node type — count,
+    mentioned-in-edges count, in/out degree sums."""
+    out_deg = edges.groupBy(F.col("subj").alias("canonical_id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_deg = edges.groupBy(F.col("obj").alias("canonical_id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        nodes.join(out_deg, "canonical_id", "left")
+        .join(in_deg, "canonical_id", "left")
+        .groupBy("node_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce("out_deg", F.lit(0))).alias("total_out_edges"),
+            F.sum(F.coalesce("in_deg", F.lit(0))).alias("total_in_edges"),
+            F.sum(F.when(F.coalesce("in_deg", F.lit(0)) == 0, 1).otherwise(0)).alias("n_roots"),
+        )
+    )
+
+
+def top_by_in_degree(nodes: DataFrame, edges: DataFrame, k: int = 10) -> DataFrame:
+    """'Top entities by in-degree per lang' — the M1 flagship query
+    shape (SURVEY.md §7): broadcast-joinable agg + windowed top-k."""
+    from pyspark.sql.window import Window
+
+    deg = edges.groupBy("obj", "lang").agg(F.count(F.lit(1)).alias("in_deg"))
+    w = Window.partitionBy("lang").orderBy(F.desc("in_deg"), F.asc("obj"))
+    return (
+        deg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .join(nodes.select("canonical_id", "node_type", "names"),
+              deg["obj"] == F.col("canonical_id"), "left")
+        .select("lang", "rnk", "obj", "in_deg", "node_type", "names")
+    )
+
+
+def cycle_nodes(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """A7 cycle detection (surfactant/cmd/merge.py:105-109, which uses
+    nx.simple_cycles): nodes that reach themselves within ``max_hops``
+    directed steps.  Iterative doubling of the reachability relation —
+    O(log max_hops) self-joins, each deduped and checkpointed, so the
+    frontier never blows past |E|·avg-degree per round.  Diagnostic
+    operator: bounded by design, like the reference's use."""
+    reach = edges.select(F.col("subj").alias("a"), F.col("obj").alias("b")).distinct()
+    reach = reach.localCheckpoint(eager=True)
+    hops = 1
+    while hops < max_hops:
+        nxt = (
+            reach.alias("x")
+            .join(reach.alias("y"), F.col("x.b") == F.col("y.a"))
+            .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+        )
+        reach = reach.unionByName(nxt).distinct().localCheckpoint(eager=True)
+        hops *= 2
+    return reach.where(F.col("a") == F.col("b")).select(F.col("a").alias("canonical_id"))
+
+
+def add_relationship(edges: DataFrame, subj: str, pred: str, obj: str,
+                     lang: str | None = None) -> DataFrame:
+    """cli add relationship (surfactant/cmd/cli.py:148-215): append one
+    edge, keeping (subj, pred, obj) dedup invariant."""
+    spark = edges.sparkSession
+    new = spark.createDataFrame([(subj, pred, obj, lang)], edges.schema)
+    return edges.unionByName(new).groupBy("subj", "pred", "obj").agg(
+        F.min("lang").alias("lang")
+    )
+
+
+def add_installpath(nodes: DataFrame, container_prefix: str, install_prefix: str) -> DataFrame:
+    """cli add installpath (surfactant/cmd/cli.py:209-215): derive new
+    url aliases by prefix rewrite across all matching nodes — pure
+    column transform (no UDF)."""
+    rewritten = F.transform(
+        F.filter("urls", lambda u: u.startswith(container_prefix)),
+        lambda u: F.concat(F.lit(install_prefix), u.substr(F.lit(len(container_prefix) + 1), F.length(u))),
+    )
+    return nodes.withColumn(
+        "urls", F.array_sort(F.array_distinct(F.concat(F.col("urls"), rewritten)))
+    )

@@ -39,6 +39,30 @@ def unique_content(extracted: DataFrame) -> DataFrame:
     )
 
 
+def content_for_detection(
+    extracted: DataFrame, dedup_threshold: float = 0.10, sample_fraction: float = 0.02
+) -> DataFrame:
+    """Adaptive pre-dedup: deduping before the detection UDF trades a
+    full shuffle of the text column against re-detecting duplicate
+    contents.  Worth it only when the duplicate rate is material —
+    estimated from a cheap hash-only sample (the text column never
+    moves for the estimate).  Real web crawls (30-60% dup) take the
+    dedup path; low-dup corpora skip the shuffle entirely.  Either
+    path yields the same edge set: downstream aggregations dedup on
+    (content, entity)."""
+    sample = extracted.select("content_sha256").sample(fraction=sample_fraction, seed=42)
+    agg = sample.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("content_sha256").alias("d"),
+    ).collect()[0]
+    if agg["n"] == 0:
+        return unique_content(extracted)
+    dup_rate = 1.0 - agg["d"] / agg["n"]
+    if dup_rate >= dedup_threshold:
+        return unique_content(extracted)
+    return extracted.select("content_sha256", "lang", "text")
+
+
 def _detect_batches(compiled: CompiledDictionary):
     patterns = compiled.patterns  # already in first-match-wins order
 

@@ -1,0 +1,129 @@
+"""Cross-snapshot graph merge — the SBOM-merge analog.
+
+Surfactant's merge (surfactant/sbomtypes/_sbom.py:314-426) unions two
+SBOMs: software entries match by **any** hash (sha256 OR sha1 OR md5,
+else UUID), losing entries' UUIDs are remapped onto the keeper, fields
+merge with append-if-absent semantics, and edges union with exact-dupe
+skip.  The Spark restatement:
+
+1. any-hash matching = a small connected-components instance over
+   (id ↔ id) match edges derived from hash-equality joins (hashes can
+   chain a-sha256=b-sha256, b-md5=c-md5 → one entity);
+2. canonical election = deterministic min(canonical_id) per component
+   (the keep-the-first-UUID rule made order-free);
+3. field merge = groupBy + first-non-null / sorted set-union (A1,
+   surfactant/sbomtypes/_software.py:108-155);
+4. edge remap = join both endpoints through the id-map, then
+   (subj, pred, obj) dedup (_sbom.py:380-391).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .canonicalize import connected_components
+
+
+def _match_edges(nodes: DataFrame) -> DataFrame:
+    """(a, b) canonical-id pairs that must merge: same non-null sha256.
+    Extendable to more hash columns by unioning further equality joins
+    (the any-hash rule, surfactant/sbomtypes/_sbom.py:451-490)."""
+    keyed = nodes.where(F.col("sha256").isNotNull()).select("canonical_id", "sha256")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, "sha256")
+        .where(F.col("a.canonical_id") < F.col("b.canonical_id"))
+        .select(F.col("a.canonical_id").alias("a"), F.col("b.canonical_id").alias("b"))
+        .distinct()
+    )
+
+
+def merge_graphs(
+    nodes_a: DataFrame,
+    edges_a: DataFrame,
+    nodes_b: DataFrame,
+    edges_b: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Union two (nodes, edges) snapshots with any-hash dedup-merge and
+    edge UUID remap.  Returns (nodes, edges).
+
+    Scale shape: the hash-equality self-join shuffles on sha256 (never
+    a cross join); the id-map is component-sized (small) and broadcast
+    into the edge remap, so edges — the big table — shuffle only for
+    the final dedup groupBy."""
+    nodes = nodes_a.unionByName(nodes_b)
+    edges = edges_a.unionByName(edges_b)
+
+    match = _match_edges(nodes)
+    cc = connected_components(match)  # (node=old_id, component)
+    id_map = cc.select(
+        F.col("node").alias("old_id"), F.col("component").alias("new_id")
+    )
+
+    # remap nodes, then A1 field-merge per surviving id
+    remapped = (
+        nodes.join(F.broadcast(id_map), nodes["canonical_id"] == id_map["old_id"], "left")
+        .withColumn("mid", F.coalesce(F.col("new_id"), F.col("canonical_id")))
+    )
+    base = (
+        remapped.groupBy("mid")
+        .agg(
+            F.min("node_type").alias("node_type"),
+            F.min("sha256").alias("sha256"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("names")))).alias("names"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("urls")))).alias("urls"),
+            F.min("lang").alias("lang"),
+        )
+    )
+    # attr merge: per-key min value (deterministic stand-in for the
+    # reference's existing-value-wins, which depends on merge order);
+    # done by explode + two-level agg so conflicting keys can't trip
+    # map_from_entries' duplicate-key check
+    attrs = (
+        remapped.select("mid", F.explode(F.map_entries("attrs")).alias("e"))
+        .groupBy("mid", F.col("e.key").alias("k"))
+        .agg(F.min("e.value").alias("v"))
+        .groupBy("mid")
+        .agg(F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("attrs"))
+    )
+    merged_nodes = (
+        base.join(attrs, "mid", "left")
+        .withColumn("attrs", F.coalesce(F.col("attrs"), F.create_map().cast("map<string,string>")))
+        .withColumnRenamed("mid", "canonical_id")
+    )
+
+    remap_subj = edges.join(
+        F.broadcast(id_map), edges["subj"] == id_map["old_id"], "left"
+    ).select(
+        F.coalesce(F.col("new_id"), F.col("subj")).alias("subj"), "pred", "obj", "lang"
+    )
+    remap_both = remap_subj.join(
+        F.broadcast(id_map), remap_subj["obj"] == id_map["old_id"], "left"
+    ).select(
+        "subj", "pred", F.coalesce(F.col("new_id"), F.col("obj")).alias("obj"), "lang"
+    )
+    merged_edges = remap_both.groupBy("subj", "pred", "obj").agg(
+        F.min("lang").alias("lang")
+    )
+    return merged_nodes, merged_edges
+
+
+def hash_collision_check(nodes: DataFrame) -> DataFrame:
+    """A2 collision diagnostics (surfactant/sbomtypes/_software.py:157-174):
+    same sha256 appearing under multiple canonical ids or node types."""
+    return (
+        nodes.where(F.col("sha256").isNotNull())
+        .groupBy("sha256")
+        .agg(
+            F.countDistinct("canonical_id").alias("n_ids"),
+            F.countDistinct("node_type").alias("n_types"),
+        )
+        .where((F.col("n_ids") > 1) | (F.col("n_types") > 1))
+    )
+
+
+def graph_roots(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """A6 root detection: nodes with no inbound edge
+    (surfactant/cmd/merge.py:101) — left anti join."""
+    return nodes.join(edges, nodes["canonical_id"] == edges["obj"], "left_anti")

@@ -32,7 +32,7 @@ from ..dictionary import alias_edges, compile_dictionary
 from ..operators.canonicalize import entity_canonical_map
 from ..operators.extract import extract_pages
 from ..operators.linking import build_edges, build_nodes
-from ..operators.mentions import detect_mentions, unique_content
+from ..operators.mentions import content_for_detection, detect_mentions
 from .catalog import SnapshotCatalog
 from .lineage import LineageCollector
 
@@ -88,7 +88,7 @@ def run_pipeline(
     mentions = stage(
         "mentions",
         fp_mentions,
-        lambda: detect_mentions(unique_content(extracted), compiled),
+        lambda: detect_mentions(content_for_detection(extracted), compiled),
     )
 
     fp_emap = _fingerprint(__version__, "entity_map", dict_fp)

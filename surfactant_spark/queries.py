@@ -650,11 +650,15 @@ def q_mention_detect(spark, sf):
     term dictionary, token-exact containment."""
     docs = _t(spark, sf, "documents")
     terms = spark.createDataFrame([(t,) for t in MENTION_TERMS], ["term"])
-    toks = docs.select("doc_id", "lang", textfx.distinct_tokens("text").alias("toks"))
-    return (
-        toks.join(F.broadcast(terms), F.array_contains(F.col("toks"), F.col("term")))
-        .select("doc_id", "lang", F.col("term").alias("entity"))
+    # explode distinct tokens → broadcast hash equi-join: tokens are
+    # computed once per doc (an array_contains nested-loop join would
+    # recompute the token array per term)
+    toks = docs.select(
+        "doc_id", "lang", F.explode(textfx.distinct_tokens("text")).alias("tok")
     )
+    return toks.join(
+        F.broadcast(terms), toks["tok"] == terms["term"]
+    ).select("doc_id", "lang", F.col("term").alias("entity"))
 
 
 def _mention_sql() -> str:

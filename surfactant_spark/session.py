@@ -24,7 +24,7 @@ _DEFAULTS = {
     # Arrow for all pandas UDF exchange; cap batch size so page batches
     # with html blobs stay well under executor memory.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
     # Small dims (alias dictionary, nation/region analogs) broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
@@ -32,7 +32,12 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # single-JVM local mode: driver heap IS executor memory.  16g is
+    # the measured sweet spot on this box — an oversized (48g) heap
+    # regressed UDF throughput ~4x (GC/allocation pathology), and big
+    # intermediates should flow through parquet stage boundaries, not
+    # the heap (localCheckpoint of multi-million-row frames spills).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

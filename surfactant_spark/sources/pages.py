@@ -22,10 +22,10 @@ from ..schema import PAGES_SCHEMA
 from ..testing.corpus import make_page
 
 
-def _gen(n_pages: int):
+def _gen(n_pages: int, body_scale: int = 1):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pages = [make_page(int(pid), n_pages) for pid in pdf["id"]]
+            pages = [make_page(int(pid), n_pages, body_scale) for pid in pdf["id"]]
             yield pd.DataFrame(
                 {
                     "url": [p.url for p in pages],
@@ -39,11 +39,16 @@ def _gen(n_pages: int):
     return fn
 
 
-def synth_pages(spark: SparkSession, n_pages: int, partitions: int | None = None) -> DataFrame:
+def synth_pages(
+    spark: SparkSession,
+    n_pages: int,
+    partitions: int | None = None,
+    body_scale: int = 1,
+) -> DataFrame:
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
     base = spark.range(0, n_pages, numPartitions=partitions)
-    return base.mapInPandas(_gen(n_pages), schema=PAGES_SCHEMA)
+    return base.mapInPandas(_gen(n_pages, body_scale), schema=PAGES_SCHEMA)
 
 
 def write_pages_parquet(spark: SparkSession, n_pages: int, path: str) -> None:

@@ -1,0 +1,118 @@
+"""Structured-Streaming form of the KG pipeline.
+
+The reference is a batch CLI (SURVEY.md §2.8 — no streaming exists);
+this is the incremental-ingest extension a crawl pipeline needs: pages
+arrive continuously (WARC drops), extraction + mention detection run
+per micro-batch, and edge/node updates append to the graph tables.
+
+Key semantics:
+  * extraction and mention detection are the SAME operators as batch
+    (stateless DataFrame→DataFrame functions compose with readStream);
+  * per-host page counts use an event-time window on ``warc_ts`` with
+    a watermark, so late crawl records fold in within the allowed
+    lateness and state is bounded;
+  * sinks are append-mode; canonical-group re-aggregation (urls per
+    content hash) runs as the periodic batch merge (operators/merge.py)
+    rather than unbounded streaming state — the lambda-architecture cut
+    matching the reference's batch merge semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dictionary import CompiledDictionary, compile_dictionary
+from ..operators.extract import extract_pages
+from ..operators.mentions import detect_mentions
+
+
+def stream_extract(pages_stream: DataFrame) -> DataFrame:
+    """readStream(pages) → extracted stream (same operator as batch —
+    mapInPandas composes with streaming DataFrames)."""
+    return extract_pages(pages_stream)
+
+
+def stream_mentions(
+    extracted_stream: DataFrame, compiled: CompiledDictionary | None = None
+) -> DataFrame:
+    """Per-batch mention detection.  NOTE: streaming cannot dedup by
+    content hash across batches without state; dedup happens at the
+    periodic batch merge (run-length is bounded per micro-batch)."""
+    if compiled is None:
+        compiled = compile_dictionary()
+    src = extracted_stream.select("content_sha256", "lang", "text")
+    return detect_mentions(src, compiled)
+
+
+def windowed_host_counts(
+    extracted_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling window of pages per host with late-data
+    tolerance — the streaming stat-counts analog (A5)."""
+    return (
+        extracted_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "host")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "n_pages",
+        )
+    )
+
+
+def _mentions_stream(spark, pages_dir: str, max_files_per_trigger: int):
+    from ..schema import PAGES_SCHEMA
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+    return stream_mentions(stream_extract(stream))
+
+
+def run_stream_to_memory(
+    spark,
+    pages_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "mentions_stream",
+    max_files_per_trigger: int = 4,
+):
+    """Debug/inspection runner: micro-batches into an in-memory table.
+    NOTE: Spark memory sinks cannot recover from a checkpoint — this is
+    for interactive inspection only; durable runs use
+    run_stream_to_parquet."""
+    mentions = _mentions_stream(spark, pages_dir, max_files_per_trigger)
+    return (
+        mentions.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def run_stream_to_parquet(
+    spark,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """Durable streaming run: mentions append to a parquet table with a
+    real checkpoint — restart resumes exactly-once from the last
+    committed offsets (the streaming face of the pipeline's
+    snapshot-resume contract, plans/catalog.py)."""
+    mentions = _mentions_stream(spark, pages_dir, max_files_per_trigger)
+    return (
+        mentions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -135,20 +135,33 @@ def href_for(src_pid: int, dst_pid: int, k: int) -> str:
     return dst_url  # absolute url
 
 
-def _sentence(pid: int, j: int) -> str:
+def _sentence(pid: int, j: int, body_scale: int = 1) -> str:
     r = _h(SEED, "sent", pid, j)
-    words = [_FILLER[_h(SEED, "w", pid, j, i) % len(_FILLER)] for i in range(4 + r % 6)]
-    return " ".join(words)
+    n_words = (4 + r % 6) * min(body_scale, 4)
+    # one md5 seeds 8 word picks — keeps generation cheap at scale
+    words = []
+    i = 0
+    while len(words) < n_words:
+        seed = _h(SEED, "w", pid, j, i)
+        for k in range(8):
+            words.append(_FILLER[(seed >> (k * 8)) % len(_FILLER)])
+        i += 1
+    return " ".join(words[:n_words])
 
 
-def page_body_parts(pid: int) -> tuple[str, list[str]]:
-    """(title, paragraphs) — the canonical text parts of a page."""
+def page_body_parts(pid: int, body_scale: int = 1) -> tuple[str, list[str]]:
+    """(title, paragraphs) — the canonical text parts of a page.
+
+    ``body_scale`` grows pages toward realistic web sizes (scale 1 ≈
+    0.5 KB for fast unit tests; scale 8 ≈ 5-10 KB for benchmarks, the
+    Common-Crawl-ish regime).  Mentions/links/dup/gzip rules are
+    identical at every scale — only filler volume changes."""
     title = f"Page {pid} on {page_host(pid)}"
     paras = []
     mentions = page_mentions_spec(pid)
-    n_paras = 2 + _h(SEED, "np", pid) % 3
+    n_paras = (2 + _h(SEED, "np", pid) % 3) * body_scale
     for j in range(n_paras):
-        s = _sentence(pid, j)
+        s = _sentence(pid, j, body_scale)
         # weave mention phrases into paragraphs round-robin
         for mi, (_ent, phrase) in enumerate(mentions):
             if mi % n_paras == j:
@@ -164,8 +177,8 @@ def canonical_text(title: str, paras: list[str]) -> str:
     return "\n".join([title, *paras])
 
 
-def render_html(pid: int, n_pages: int) -> bytes:
-    title, paras = page_body_parts(pid)
+def render_html(pid: int, n_pages: int, body_scale: int = 1) -> bytes:
+    title, paras = page_body_parts(pid, body_scale)
     links = [
         f'<a href="{href_for(pid, t, k)}">l{k}</a>'
         for k, t in enumerate(page_link_targets(pid, n_pages))
@@ -175,11 +188,11 @@ def render_html(pid: int, n_pages: int) -> bytes:
     return html.encode("utf-8")
 
 
-def make_page(pid: int, n_pages: int) -> Page:
+def make_page(pid: int, n_pages: int, body_scale: int = 1) -> Page:
     """Fully materialized page row (pure function of pid)."""
     src_pid = pid - 1 if (pid % DUP_MOD == DUP_MOD - 1 and pid > 0) else pid
-    html = render_html(src_pid, n_pages)
-    title, paras = page_body_parts(src_pid)
+    html = render_html(src_pid, n_pages, body_scale)
+    title, paras = page_body_parts(src_pid, body_scale)
     text = canonical_text(title, paras)
     if pid % GZIP_MOD == 3:
         html = gzip.compress(html, mtime=0)
