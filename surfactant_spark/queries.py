@@ -371,6 +371,74 @@ SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
 """
 
 
+def q_cycle_nodes(spark, sf):
+    """A7 cycle detection (surfactant/cmd/merge.py:105-109) over a
+    deterministic cyclic graph: each nation points to the next
+    nationkey within its region (wrap-around) → one directed cycle per
+    region.  Spark side = reachability-doubling operator; oracle =
+    recursive CTE."""
+    from .operators.graphquery import cycle_nodes
+
+    nat = _t(spark, sf, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    nxt = nat.select(
+        "n_regionkey", "n_nationkey",
+        F.lead("n_nationkey").over(w).alias("nk_next"),
+        F.first("n_nationkey").over(w).alias("nk_first"),
+    )
+    edges = nxt.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("subj"),
+        F.lit("Next").alias("pred"),
+        F.concat(F.lit("n:"), F.coalesce("nk_next", "nk_first")).alias("obj"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    return cycle_nodes(edges, max_hops=32).withColumnRenamed("canonical_id", "node")
+
+
+O_CYCLE_NODES = """
+WITH RECURSIVE nxt AS (
+  SELECT n_nationkey,
+         coalesce(lead(n_nationkey) OVER w,
+                  first_value(n_nationkey) OVER w) AS nk_next
+  FROM nation
+  WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_nationkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+), edges AS (
+  SELECT 'n:' || n_nationkey AS a, 'n:' || nk_next AS b FROM nxt
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT DISTINCT a AS node FROM reach WHERE a = b
+"""
+
+
+def q_expand_fixpoint(spark, sf):
+    """S2 work-queue fixpoint (surfactant/cmd/generate.py:303-325,
+    recursive archive expansion): seed = region keys; expand k → k*2+1
+    while ≤ 24 (nation-key space) — transitive closure of a generator,
+    deduped on key."""
+    from .operators.expand import iterative_expand
+
+    seed = _t(spark, sf, "region").select(F.col("r_regionkey").cast("long").alias("k"))
+
+    def expand(df):
+        return df.where(F.col("k") <= 24).select((F.col("k") * 2 + 1).alias("k"))
+
+    return iterative_expand(seed, expand, key="k", max_depth=10)
+
+
+O_EXPAND_FIXPOINT = """
+WITH RECURSIVE exp(k) AS (
+  SELECT DISTINCT r_regionkey::BIGINT FROM region
+  UNION
+  SELECT k * 2 + 1 FROM exp WHERE k <= 24
+)
+SELECT k FROM exp
+"""
+
+
 # ===========================================================================
 # Training-data pipeline ops (dedup / similarity / text analysis)
 # ===========================================================================
@@ -696,6 +764,8 @@ REGISTRY: dict[str, tuple] = {
     "install_path_rewrite": (q_install_path_rewrite, O_INSTALL_REWRITE),
     "find_filter": (q_find_filter, O_FIND_FILTER),
     "cc_components": (q_cc_components, O_CC),
+    "cycle_nodes": (q_cycle_nodes, O_CYCLE_NODES),
+    "expand_fixpoint": (q_expand_fixpoint, O_EXPAND_FIXPOINT),
     "hash_entities": (q_hash_entities, O_HASH_ENTITIES),
     "exact_dedup": (q_exact_dedup, O_EXACT_DEDUP),
     "fingerprint_dedup": (q_fingerprint_dedup, O_FINGERPRINT_DEDUP),
