@@ -63,8 +63,31 @@ def content_for_detection(
     return extracted.select("content_sha256", "lang", "text")
 
 
-def _detect_batches(compiled: CompiledDictionary):
+AC_THRESHOLD = 32  # above this many patterns, one AC scan beats per-literal passes
+
+
+def _detect_batches(compiled: CompiledDictionary, ac_threshold: int = AC_THRESHOLD):
     patterns = compiled.patterns  # already in first-match-wins order
+    use_ac = len(patterns) > ac_threshold
+    ac = None
+    if use_ac:
+        from ..functions.ahocorasick import AhoCorasick
+
+        lit_map: dict[str, list[int]] = {}
+        for idx, p in enumerate(patterns):
+            for lit in p.prefilter:
+                lit_map.setdefault(lit, []).append(idx)
+        ac = AhoCorasick(lit_map)
+
+    def _confirm(i, p, text_i, matched, out_rows):
+        if p.entity_key in matched[i]:
+            return  # first-match-wins per entity
+        m = p.rx.search(text_i)
+        if m is None:
+            return
+        version = m.group(1) if p.rx.groups >= 1 else None
+        matched[i].add(p.entity_key)
+        out_rows.append((i, p.entity_key, version, p.confidence, p.kind))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -72,26 +95,28 @@ def _detect_batches(compiled: CompiledDictionary):
             if n == 0:
                 continue
             text = pdf["text"].fillna("")
-            lower = text.str.lower()
             matched: list[set] = [set() for _ in range(n)]
             out_rows: list[tuple[int, str, str | None, int, str]] = []
-            for p in patterns:
-                # vectorized literal prefilter (Aho-Corasick analog)
-                mask = None
-                for lit in p.prefilter:
-                    m = lower.str.contains(lit, regex=False)
-                    mask = m if mask is None else (mask | m)
-                if not mask.any():
-                    continue
-                for i in mask.to_numpy().nonzero()[0]:
-                    if p.entity_key in matched[i]:
-                        continue  # first-match-wins per entity
-                    m = p.rx.search(text.iat[i])
-                    if m is None:
+            if use_ac:
+                # one automaton pass per row finds ALL candidate
+                # patterns; confirm in pattern order so first-match-wins
+                # semantics are identical to the vectorized path
+                for i in range(n):
+                    t = text.iat[i]
+                    for idx in sorted(ac.search_ids(t)):
+                        _confirm(i, patterns[idx], t, matched, out_rows)
+            else:
+                lower = text.str.lower()
+                for p in patterns:
+                    # vectorized literal prefilter (small dictionaries)
+                    mask = None
+                    for lit in p.prefilter:
+                        m = lower.str.contains(lit, regex=False)
+                        mask = m if mask is None else (mask | m)
+                    if not mask.any():
                         continue
-                    version = m.group(1) if p.rx.groups >= 1 else None
-                    matched[i].add(p.entity_key)
-                    out_rows.append((i, p.entity_key, version, p.confidence, p.kind))
+                    for i in mask.to_numpy().nonzero()[0]:
+                        _confirm(i, p, text.iat[i], matched, out_rows)
             if not out_rows:
                 continue
             idx = [r[0] for r in out_rows]
@@ -112,6 +137,7 @@ def _detect_batches(compiled: CompiledDictionary):
 def detect_mentions(
     content: DataFrame,
     compiled: CompiledDictionary | None = None,
+    ac_threshold: int = AC_THRESHOLD,
 ) -> DataFrame:
     """content(content_sha256, lang, text) → MENTIONS_SCHEMA.
 
@@ -119,11 +145,18 @@ def detect_mentions(
     init_hook analog, surfactant/plugin/hookspecs.py:146-156) and ships
     to executors inside the serialized closure — it is a few KB; for a
     multi-MB production dictionary swap in ``sparkContext.broadcast``.
+
+    Above ``ac_threshold`` patterns the prefilter switches from
+    per-literal vectorized substring passes to a single Aho-Corasick
+    scan per row (functions/ahocorasick.py) — the reference's automaton
+    strategy (surfactant/utils/ahocorasick.py:133-172).
     """
     if compiled is None:
         compiled = compile_dictionary()
     src = content.select("content_sha256", "lang", "text")
-    return src.mapInPandas(_detect_batches(compiled), schema=MENTIONS_SCHEMA)
+    return src.mapInPandas(
+        _detect_batches(compiled, ac_threshold), schema=MENTIONS_SCHEMA
+    )
 
 
 def resolve_version_hints(mentions: DataFrame) -> DataFrame:

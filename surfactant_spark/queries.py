@@ -371,6 +371,41 @@ SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
 """
 
 
+def q_order_revenue_topk(spark, sf):
+    """TPC-H Q3-shaped multi-join: customer⋈orders⋈lineitem with
+    selective filters on all three tables (Catalyst join reordering +
+    pushdown), top-10 revenue orders with full tie-break."""
+    cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > F.lit("1997-01-01"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.floor(
+                F.sum(_money("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _money("l_discount"))) * 10000
+            ).cast("long").alias("revenue_x10000")
+        )
+        .orderBy(F.desc("revenue_x10000"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+O_ORDER_REVENUE_TOPK = """
+SELECT l_orderkey, o_orderpriority,
+       floor(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) * 10000)::BIGINT AS revenue_x10000
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue_x10000 DESC, l_orderkey ASC LIMIT 10
+"""
+
+
 def q_cycle_nodes(spark, sf):
     """A7 cycle detection (surfactant/cmd/merge.py:105-109) over a
     deterministic cyclic graph: each nation points to the next
@@ -555,6 +590,24 @@ def q_simhash(spark, sf):
 
 
 O_SIMHASH = _simhash_sql()
+
+
+def q_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs (hamming ≤ 3): Spark side uses banded LSH
+    (4 byte-bands — pigeonhole-exact for ≤3); the oracle brute-forces
+    the cross join with bit_count.  Identical results from different
+    algorithms is the point."""
+    return dd.simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=3)
+
+
+O_SIMHASH_PAIRS = f"""
+WITH sh AS (
+{O_SIMHASH.strip()}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash32, b.simhash32)) <= 3
+"""
 
 
 def q_ngram_jaccard(spark, sf):
@@ -771,6 +824,8 @@ REGISTRY: dict[str, tuple] = {
     "fingerprint_dedup": (q_fingerprint_dedup, O_FINGERPRINT_DEDUP),
     "minhash_lsh": (q_minhash_lsh, O_MINHASH_LSH),
     "simhash": (q_simhash, O_SIMHASH),
+    "simhash_pairs": (q_simhash_pairs, O_SIMHASH_PAIRS),
+    "order_revenue_topk": (q_order_revenue_topk, O_ORDER_REVENUE_TOPK),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
     "embed_topk": (q_embed_topk, O_EMBED_TOPK),
     "embed_neardup": (q_embed_neardup, O_EMBED_NEARDUP),
