@@ -173,26 +173,72 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return per_doc.select(F.col("id").alias(id_col), fp.cast("long").alias("simhash32"))
 
 
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as two 32-bit halves (sh_hi, sh_lo): token → 64
+    bits from the first 16 hex chars of md5 (hi = chars 1-8, lo = 9-16);
+    bit i is set iff at least half the tokens have it set (>= tie rule).
+
+    The (hi, lo) pair representation keeps every value inside signed
+    BIGINT range in ANY engine (a true 64-bit unsigned fingerprint
+    overflows DuckDB's BIGINT and Spark's conv-cast), at zero cost:
+    hamming(a, b) = bit_count(hi_a^hi_b) + bit_count(lo_a^lo_b).
+
+    Shape: explode tokens → ONE groupBy with 64 conditional-sum
+    aggregates; map-side partial agg keeps the shuffle tiny."""
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(distinct_tokens(text_col)).alias("tok")
+        )
+        .withColumn("hhi", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+        .withColumn("hlo", F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for half, col in (("hi", "hhi"), ("lo", "hlo")):
+        aggs += [
+            F.sum(F.shiftright(F.col(col), i).bitwiseAND(F.lit(1))).alias(f"{half}{i}")
+            for i in range(32)
+        ]
+    per_doc = tok.groupBy("id").agg(*aggs)
+    def fold(half: str):
+        fp = None
+        for i in range(32):
+            bit = F.when(F.col(f"{half}{i}") * 2 >= F.col("n"), F.lit(2**i)).otherwise(F.lit(0))
+            fp = bit if fp is None else fp + bit
+        return fp.cast("long")
+    return per_doc.select(
+        F.col("id").alias(id_col), fold("hi").alias("sh_hi"), fold("lo").alias("sh_lo")
+    )
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 32 bits into 4 bytes (any
-    equal byte → candidate, guaranteed to catch hamming ≤ 3), then
-    confirm with exact popcount — the LSH-style banding avoids the
-    quadratic cross join."""
-    sh = simhash32(df, id_col, text_col)
+    """Near-dup pairs by 64-bit SimHash: band the 64 bits into 4
+    16-bit bands (any equal band → candidate, pigeonhole-guaranteed to
+    catch hamming ≤ 3), then confirm with exact popcount.
+
+    Scale: band-join key cardinality is 4 × 65,536 values *per distinct
+    fingerprint region* — the key space grows with the corpus (65,536
+    values per band vs 256 for a 32-bit/8-bit scheme, whose ≤1,024
+    total buckets go quadratic at ≥10⁶ docs)."""
+    sh = simhash64(df, id_col, text_col)
+    band_val = {
+        0: F.col("sh_lo").bitwiseAND(F.lit(0xFFFF)),
+        1: F.shiftright(F.col("sh_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+        2: F.col("sh_hi").bitwiseAND(F.lit(0xFFFF)),
+        3: F.shiftright(F.col("sh_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+    }
     bands = sh.select(
         F.col(id_col).alias("id"),
-        "simhash32",
+        "sh_hi",
+        "sh_lo",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("band_idx"),
-                    F.shiftright(F.col("simhash32"), i * 8).bitwiseAND(F.lit(255)).alias("band_val"),
-                )
+                F.struct(F.lit(i).alias("band_idx"), band_val[i].alias("band_val"))
                 for i in range(4)
             ])
         ).alias("bd"),
-    ).select("id", "simhash32", F.col("bd.band_idx").alias("bi"), F.col("bd.band_val").alias("bv"))
+    ).select("id", "sh_hi", "sh_lo",
+             F.col("bd.band_idx").alias("bi"), F.col("bd.band_val").alias("bv"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["bi", "bv"])
@@ -200,14 +246,17 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash32").alias("ha"),
-            F.col("b.simhash32").alias("hb"),
+            F.col("a.sh_hi").alias("ha_hi"),
+            F.col("a.sh_lo").alias("ha_lo"),
+            F.col("b.sh_hi").alias("hb_hi"),
+            F.col("b.sh_lo").alias("hb_lo"),
         )
         .distinct()
     )
-    return cand.where(
-        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming
-    ).select("id_a", "id_b")
+    hamming = F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi"))) + F.bit_count(
+        F.col("ha_lo").bitwiseXOR(F.col("hb_lo"))
+    )
+    return cand.where(hamming <= max_hamming).select("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -220,6 +269,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     min_jaccard_x1000: int = 1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard similarity (×1000, floor+0.5 scaled)
     for every pair sharing at least one shingle.
@@ -227,16 +277,30 @@ def ngram_jaccard_pairs(
     Inverted-index formulation — no cross join: explode shingles, pair
     docs through a self-equi-join on the shingle (pairs that share
     nothing never materialize), count shared shingles per pair, then
-    |A∪B| = |A|+|B|−|A∩B|.  The shingle join key is the shuffle axis,
-    so hot shingles (stop-gram analogs) are the skew point — at corpus
-    scale feed this only LSH-bucketed candidates or drop top-frequency
-    shingles first (the reference's skip-common-patterns policy,
-    surfactant/utils/ahocorasick.py:158-169).
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    Hot-shingle skew: the shingle join key is the shuffle axis, and a
+    shingle appearing in d docs contributes d² candidate rows — one
+    stop-gram analog in 1% of a 10⁹-doc corpus is 10¹⁴ rows.  With
+    ``max_df`` set, shingles whose document frequency exceeds it are
+    EXCLUDED from intersection and union alike (Jaccard is then defined
+    over the rare-shingle sets — the reference's skip-common-patterns
+    policy, surfactant/utils/ahocorasick.py:158-169): the hot list is a
+    cheap groupBy sketch, removed via a broadcast anti-join, and the
+    per-shingle join fan-out is bounded by max_df².
 
     Requires ``min_jaccard_x1000 >= 1``: zero-overlap pairs are never
     emitted (their Jaccard is 0)."""
     assert min_jaccard_x1000 >= 1
     ex = shingle_rows(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > max_df)
+            .select("s")
+        )
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))  # shingles are distinct
     a, b = ex.alias("a"), ex.alias("b")
     inter = (

@@ -65,19 +65,33 @@ def content_for_detection(
 
 AC_THRESHOLD = 32  # above this many patterns, one AC scan beats per-literal passes
 
+# Regex-confirm window around an AC candidate position, matching the
+# reference's ±(50, 4096)-byte windows
+# (surfactant/infoextractors/native_lib_file.py:246-270): a true regex
+# match must contain a prefilter literal, so scanning only
+# [literal_start-50, literal_start+4096) is result-identical to the
+# full-text search while costing O(window) instead of O(len(text)) per
+# candidate — the difference grows with dictionary size × text length.
+WINDOW_BEFORE = 50
+WINDOW_AFTER = 4096
+
 
 def _detect_batches(compiled: CompiledDictionary, ac_threshold: int = AC_THRESHOLD):
     patterns = compiled.patterns  # already in first-match-wins order
     use_ac = len(patterns) > ac_threshold
     ac = None
+    lit_info: list[tuple[int, list[int]]] = []  # lit_id → (len, pattern idxs)
     if use_ac:
         from ..functions.ahocorasick import AhoCorasick
 
-        lit_map: dict[str, list[int]] = {}
+        lit_ids: dict[str, int] = {}
         for idx, p in enumerate(patterns):
             for lit in p.prefilter:
-                lit_map.setdefault(lit, []).append(idx)
-        ac = AhoCorasick(lit_map)
+                li = lit_ids.setdefault(lit, len(lit_ids))
+                if li == len(lit_info):
+                    lit_info.append((len(lit), []))
+                lit_info[li][1].append(idx)
+        ac = AhoCorasick({lit: [li] for lit, li in lit_ids.items()})
 
     def _confirm(i, p, text_i, matched, out_rows):
         if p.entity_key in matched[i]:
@@ -89,6 +103,22 @@ def _detect_batches(compiled: CompiledDictionary, ac_threshold: int = AC_THRESHO
         matched[i].add(p.entity_key)
         out_rows.append((i, p.entity_key, version, p.confidence, p.kind))
 
+    def _confirm_windowed(i, p, text_i, starts, matched, out_rows):
+        """Regex confirm restricted to ±(WINDOW_BEFORE, WINDOW_AFTER)
+        around each ascending candidate start; the first confirming
+        window wins, which is the leftmost confirmed occurrence — the
+        same match full-text ``rx.search`` returns for in-window
+        matches."""
+        if p.entity_key in matched[i]:
+            return
+        for s in starts:
+            m = p.rx.search(text_i, max(0, s - WINDOW_BEFORE), s + WINDOW_AFTER)
+            if m is not None:
+                version = m.group(1) if p.rx.groups >= 1 else None
+                matched[i].add(p.entity_key)
+                out_rows.append((i, p.entity_key, version, p.confidence, p.kind))
+                return
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
@@ -99,12 +129,20 @@ def _detect_batches(compiled: CompiledDictionary, ac_threshold: int = AC_THRESHO
             out_rows: list[tuple[int, str, str | None, int, str]] = []
             if use_ac:
                 # one automaton pass per row finds ALL candidate
-                # patterns; confirm in pattern order so first-match-wins
-                # semantics are identical to the vectorized path
+                # positions; confirm in pattern order (first-match-wins
+                # identical to the vectorized path) inside windows
+                # around those positions only
                 for i in range(n):
                     t = text.iat[i]
-                    for idx in sorted(ac.search_ids(t)):
-                        _confirm(i, patterns[idx], t, matched, out_rows)
+                    cand: dict[int, list[int]] = {}
+                    for lit_id, end in ac.find_all(t):
+                        lit_len, pidxs = lit_info[lit_id]
+                        for pi in pidxs:
+                            cand.setdefault(pi, []).append(end - lit_len + 1)
+                    for pi in sorted(cand):
+                        _confirm_windowed(
+                            i, patterns[pi], t, sorted(cand[pi]), matched, out_rows
+                        )
             else:
                 lower = text.str.lower()
                 for p in patterns:

@@ -65,7 +65,10 @@ def skew_aware_join(
         hot_keys = find_hot_keys(probe, key)
     if not hot_keys:
         return probe.join(build, key, how)
-    is_hot = F.col(key).isin(hot_keys)
+    # Null-safe slicing: `isin` evaluates to NULL for NULL keys, which
+    # both `where(is_hot)` and `where(~is_hot)` would exclude — silently
+    # dropping null-key probe rows that an outer join must preserve.
+    is_hot = F.coalesce(F.col(key).isin(hot_keys), F.lit(False))
     hot_out = probe.where(is_hot).join(F.broadcast(build.where(is_hot)), key, how)
     cold_out = probe.where(~is_hot).join(build.where(~is_hot), key, how)
     return hot_out.unionByName(cold_out)

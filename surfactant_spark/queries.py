@@ -74,17 +74,21 @@ GROUP BY l_returnflag, l_linestatus
 def q_stat_counts(spark, sf):
     """A5 stat counts (surfactant/cmd/stat.py:8-46): conditional sums."""
     ev = _t(spark, sf, "events")
+    # Conditional sums cast to BIGINT on BOTH engine sides: DuckDB's
+    # sum(CASE…) yields HUGEINT while Spark emits BIGINT, and the driver
+    # hashes the wire representation (round-1 gate `stat_counts` was the
+    # one hash mismatch for exactly this reason).
     return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_high_value"),
-        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).cast("long").alias("n_high_value"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
     )
 
 
 O_STAT_COUNTS = """
-SELECT event_type, count(*) AS n_events,
-       sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high_value,
-       count(DISTINCT user_id) AS n_users
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)::BIGINT AS n_high_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY event_type
 """
 
@@ -592,27 +596,71 @@ def q_simhash(spark, sf):
 O_SIMHASH = _simhash_sql()
 
 
+def _simhash64_sql() -> str:
+    """64-bit SimHash as (sh_hi, sh_lo) halves — see dedup.simhash64."""
+    parts = []
+    for half, lohi in (("hi", 1), ("lo", 9)):
+        parts.append(
+            (
+                ", ".join(f"sum((h{half} >> {i}) & 1) AS {half}{i}" for i in range(32)),
+                " + ".join(
+                    f"(CASE WHEN {half}{i} * 2 >= n THEN {2**i} ELSE 0 END)"
+                    for i in range(32)
+                ),
+            )
+        )
+    (sums_hi, bits_hi), (sums_lo, bits_lo) = parts
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hhi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hlo
+  FROM tok
+), agg AS (
+  SELECT doc_id, count(*) AS n, {sums_hi}, {sums_lo} FROM h GROUP BY doc_id
+)
+SELECT doc_id, ({bits_hi})::BIGINT AS sh_hi, ({bits_lo})::BIGINT AS sh_lo FROM agg
+"""
+
+
+O_SIMHASH64 = _simhash64_sql()
+
+
+def q_simhash64(spark, sf):
+    return dd.simhash64(_t(spark, sf, "documents"))
+
+
 def q_simhash_pairs(spark, sf):
     """SimHash near-dup pairs (hamming ≤ 3): Spark side uses banded LSH
-    (4 byte-bands — pigeonhole-exact for ≤3); the oracle brute-forces
-    the cross join with bit_count.  Identical results from different
-    algorithms is the point."""
+    over the 64-bit fingerprint (4 × 16-bit bands — pigeonhole-exact
+    for ≤3, 65,536 bucket values per band so the join-key cardinality
+    scales with the corpus); the oracle brute-forces the cross join
+    with popcounts.  Identical results from different algorithms is
+    the point."""
     return dd.simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=3)
 
 
 O_SIMHASH_PAIRS = f"""
 WITH sh AS (
-{O_SIMHASH.strip()}
+{O_SIMHASH64.strip()}
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM sh a, sh b
-WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash32, b.simhash32)) <= 3
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.sh_hi, b.sh_hi)) + bit_count(xor(a.sh_lo, b.sh_lo)) <= 3
 """
 
 
 def q_ngram_jaccard(spark, sf):
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 20 == 0)
-    return dd.ngram_jaccard_pairs(docs, min_jaccard_x1000=5)
+    """Unsampled (full documents table) with the hot-shingle guard
+    engaged: shingles in more than max_df docs are excluded from the
+    similarity definition on BOTH engine sides, bounding the inverted
+    index's per-shingle join fan-out at max_df²."""
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), min_jaccard_x1000=5, max_df=5
+    )
 
 
 O_NGRAM_JACCARD = """
@@ -621,15 +669,24 @@ WITH base AS (
          list_distinct(list_transform(range(1, len(toks) - 1),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
   FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        FROM documents WHERE doc_id % 20 = 0)
+        FROM documents)
+  WHERE len(toks) >= 3
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM base
+), kept AS (
+  SELECT doc_id, s FROM ex
+  WHERE s IN (SELECT s FROM ex GROUP BY s HAVING count(*) <= 5)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       floor(len(list_intersect(a.sh, b.sh)) * 1000.0
-             / len(list_distinct(list_concat(a.sh, b.sh))) + 0.5)::BIGINT AS jaccard_x1000
-FROM base a, base b
-WHERE a.doc_id < b.doc_id
-  AND floor(len(list_intersect(a.sh, b.sh)) * 1000.0
-            / len(list_distinct(list_concat(a.sh, b.sh))) + 0.5) >= 5
+SELECT id_a, id_b,
+       floor(i * 1000.0 / (sa.sz + sb.sz - i) + 0.5)::BIGINT AS jaccard_x1000
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE floor(i * 1000.0 / (sa.sz + sb.sz - i) + 0.5) >= 5
 """
 
 
@@ -657,29 +714,57 @@ SELECT query_id, rnk, target_id, cos_x10000 FROM ranked WHERE rnk <= 5
 """
 
 
+_NEARDUP = dict(min_cos_x10000=4000, dim=64, bits=4, tables=4)
+
+
 def q_embed_neardup(spark, sf):
-    emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 200)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.cosine_x10000(F.col("va"), F.col("vb")).alias("cos_x10000"))
-        .where(F.col("cos_x10000") >= 4000)
+    """Embedding near-dup through the hyperplane-LSH candidate seam +
+    exact rerank (similarity.lsh_near_pairs) — NO cross join anywhere;
+    runs the FULL embeddings table.  The operator is defined as
+    LSH-candidates ∩ threshold with deterministic md5 hyperplanes, so
+    the DuckDB oracle replicates the identical bucket scheme; recall vs
+    the exact cross join is asserted in tests/test_dedup_similarity.py."""
+    return sim.lsh_near_pairs(_t(spark, sf, "embeddings"), **_NEARDUP)
+
+
+def _lsh_neardup_sql(min_cos_x10000: int, dim: int, bits: int, tables: int) -> str:
+    """DuckDB restatement of lsh_near_pairs: same hyperplane literals
+    (similarity.table_planes), same bucket fold, same rerank."""
+    planes = sim.table_planes(dim, bits, tables)
+    cos = (
+        "floor(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
+        " * 10000 + 0.5)"
     )
-
-
-O_EMBED_NEARDUP = """
-WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       floor(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) * 10000 + 0.5)::BIGINT AS cos_x10000
-FROM e a, e b WHERE a.vec_id < b.vec_id
-  AND floor(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) * 10000 + 0.5) >= 4000
+    selects = []
+    for t_i, tp in enumerate(planes):
+        terms = " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+            + ", ".join(repr(x) for x in p)
+            + "]::DOUBLE[]) >= 0 THEN " + str(2 ** i) + " ELSE 0 END)"
+            for i, p in enumerate(tp)
+        )
+        selects.append(
+            f"SELECT vec_id, {t_i} AS tbl, ({terms})::BIGINT AS bucket FROM e"
+        )
+    buckets = "\n  UNION ALL ".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+b AS (
+  {buckets}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM b a JOIN b b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {cos}::BIGINT AS cos_x10000
+FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b
+WHERE {cos} >= {min_cos_x10000}
 """
+
+
+O_EMBED_NEARDUP = _lsh_neardup_sql(**_NEARDUP)
 
 
 def q_token_count(spark, sf):
@@ -824,6 +909,7 @@ REGISTRY: dict[str, tuple] = {
     "fingerprint_dedup": (q_fingerprint_dedup, O_FINGERPRINT_DEDUP),
     "minhash_lsh": (q_minhash_lsh, O_MINHASH_LSH),
     "simhash": (q_simhash, O_SIMHASH),
+    "simhash64": (q_simhash64, O_SIMHASH64),
     "simhash_pairs": (q_simhash_pairs, O_SIMHASH_PAIRS),
     "order_revenue_topk": (q_order_revenue_topk, O_ORDER_REVENUE_TOPK),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),

@@ -10,9 +10,14 @@ from surfactant_spark.operators.dedup import (
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash32,
+    simhash64,
     simhash_near_pairs,
 )
-from surfactant_spark.operators.similarity import brute_force_topk, lsh_topk
+from surfactant_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_near_pairs,
+    lsh_topk,
+)
 
 
 BASE = (
@@ -63,6 +68,71 @@ def test_ngram_jaccard_ordering(spark, near_dup_docs):
             for r in ngram_jaccard_pairs(near_dup_docs, min_jaccard_x1000=1).collect()}
     assert rows[(0, 1)] == 1000  # identical
     assert rows[(0, 2)] > rows.get((0, 3), 0)
+
+
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    """max_df excludes stop-gram-like shingles from the similarity
+    definition: docs related ONLY through a hot shingle pair up without
+    the guard and must not with it, while rare-shingle pairs keep their
+    full Jaccard."""
+    rows = [(i, f"common shared trigram unique{i} word{i} end{i}") for i in range(10)]
+    rows += [(100, "rare pair text alpha beta gamma"),
+             (101, "rare pair text alpha beta gamma")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    unguarded = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, min_jaccard_x1000=1).collect()}
+    assert (0, 1) in unguarded  # hot shingle 'common shared trigram' pairs everything
+    guarded = {(r.id_a, r.id_b): r.jaccard_x1000
+               for r in ngram_jaccard_pairs(df, min_jaccard_x1000=1, max_df=5).collect()}
+    assert guarded == {(100, 101): 1000}
+
+
+def test_simhash64_halves_and_pairs(spark, near_dup_docs):
+    rows = {r.doc_id: (r.sh_hi, r.sh_lo) for r in simhash64(near_dup_docs).collect()}
+    assert rows[0] == rows[1]  # identical text → identical fingerprint
+    for hi, lo in rows.values():  # halves stay in unsigned-32 range
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert ham(rows[0], rows[2]) < ham(rows[0], rows[3])
+    # banded pairs == brute force over the 64-bit fingerprints
+    got = {(r.id_a, r.id_b) for r in simhash_near_pairs(near_dup_docs, max_hamming=3).collect()}
+    ids = sorted(rows)
+    exp = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ham(rows[a], rows[b]) <= 3
+    }
+    assert got == exp
+
+
+def test_lsh_near_pairs_no_crossjoin_and_recall(spark):
+    """lsh_near_pairs: (a) every emitted pair's score is exact, (b) it
+    is a subset of the brute-force pairs with a sane recall floor, and
+    (c) the physical plan has no CartesianProduct."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = lsh_near_pairs(emb, min_cos_x10000=4000, dim=64, bits=4, tables=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    gmap = {(r.id_a, r.id_b): r.cos_x10000 for r in got.collect()}
+    from surfactant_spark.operators.similarity import cosine_x10000
+    from pyspark.sql import functions as F  # noqa: F811
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_x10000(F.col("va"), F.col("vb")).alias("c"))
+        .where(F.col("c") >= 4000)
+    )
+    bmap = {(r.id_a, r.id_b): r.c for r in brute.collect()}
+    assert set(gmap) <= set(bmap)
+    for k, v in gmap.items():
+        assert bmap[k] == v
+    assert len(gmap) >= 0.4 * len(bmap), (len(gmap), len(bmap))
 
 
 def test_lsh_ann_recall_vs_brute_force(spark):

@@ -39,6 +39,26 @@ def test_first_match_wins_version_capture(spark):
     }
 
 
+def test_windowed_ac_confirm_on_long_text(spark):
+    """The AC path confirms the regex only inside ±(50, 4096)-char
+    windows around candidate literal positions (the reference's
+    native_lib_file.py:246-270 windowing).  A literal occurrence whose
+    window does NOT contain a full regex match must not suppress a
+    later occurrence whose window does."""
+    compiled = compile_dictionary([("libx", "content", r"libx\s+v(\d+)", None)])
+    filler = " ".join(["filler"] * 900)  # ≈ 6,300 chars > WINDOW_AFTER
+    texts = [
+        # bare 'libx' at pos 0 (its window has no version), true match
+        # only after the >4096-char gap
+        "libx alone " + filler + " libx v7 end",
+        # no true match anywhere despite two candidate literals
+        "libx start " + filler + " libx end",
+    ]
+    df = detect_mentions(_mk_content_df(spark, texts), compiled, ac_threshold=0)
+    got = {(r.content_sha256, r.entity_key, r.version) for r in df.collect()}
+    assert got == {("sha0", "libx", "7")}
+
+
 def test_spark_matches_oracle_detector(spark):
     compiled = compile_dictionary()
     texts = [

@@ -79,6 +79,71 @@ def test_stream_sessions_match_batch(spark, tmp_path):
     assert all(v == 1 for v in open_per_user.values()), open_per_user
 
 
+def test_stream_sessions_cross_batch_disorder(spark, tmp_path):
+    """Out-of-order events the watermark explicitly admits: a late event
+    older than the open session's start must extend it backward, and a
+    late event more than `gap` before the session must form its OWN
+    earlier session — exactly as the batch oracle sessionizes them."""
+    import datetime
+
+    def t(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    batches = [
+        [(1, t(10, 0)), (1, t(10, 10))],
+        # admitted late (watermark 2h behind 10:10 = 8:10): 8:30 is its
+        # own earlier session; 9:50 extends the 10:00 session backward
+        [(1, t(8, 30)), (1, t(9, 50))],
+        [(1, t(20, 0))],   # pushes the watermark source data forward
+        [(2, t(21, 0))],   # one more batch so user 1's timeout fires
+    ]
+    src = str(tmp_path / "events")
+    for rows in batches:
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("t_sessions_disorder")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from t_sessions_disorder").collect()
+    }
+    # closed sessions: the lone 8:30 event AND the backward-extended
+    # 9:50-10:10 session (n=3); 20:00 / 21:00 stay open (watermark
+    # never passes them in a finite stream)
+    assert (1, t(8, 30), t(8, 30), 1) in got, got
+    assert (1, t(9, 50), t(10, 10), 3) in got, got
+    exp_all = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(
+            spark.read.parquet(src), gap="30 minutes"
+        ).collect()
+    }
+    assert got <= exp_all, list(got - exp_all)
+
+
 def test_batch_sessionizer_gap_semantics(spark):
     import datetime
 
