@@ -103,6 +103,163 @@ def alternation_literals(pattern: str) -> list[str] | None:
     return parts
 
 
+# ---------------------------------------------------------------------------
+# sre-tree literal extraction
+# ---------------------------------------------------------------------------
+#
+# Every regex match must contain, contiguously, one member of each
+# "chunk" extracted below — so any single chunk is a sound prefilter
+# (the Aho-Corasick automaton scans for its members and the regex runs
+# only near hits).  This covers arbitrary regexes — e.g. the optional
+# prefix `(?:lib)?foo\d` yields chunk {"foo"} — where the older
+# prefix/pure-alternation extractors gave up (silent recall loss as the
+# dictionary grows).  Semantics-parity target: the reference's
+# sre-based extractor (surfactant/utils/regex.py:66-120) with its skip
+# policy (surfactant/utils/ahocorasick.py:158-169: >10 literals or
+# <2-char literals → pattern is unfiltered / skipped).
+
+_CHUNK_CAP = 64  # alternation cross-products beyond this → chunk unusable
+
+
+def _parse_tree(pattern: str):
+    try:
+        from re import _parser as sre_parser  # py3.11+
+    except ImportError:  # pragma: no cover
+        import sre_parse as sre_parser
+    return sre_parser.parse(pattern)
+
+
+def _exact_strings(seq, cap: int = _CHUNK_CAP) -> set[str] | None:
+    """The finite set of strings a purely-literal subtree matches, or
+    None if the subtree is not purely literal (or explodes past cap)."""
+    out = {""}
+    for op, av in seq:
+        name = str(op)
+        if name == "LITERAL":
+            out = {s + chr(av).lower() for s in out}
+        elif name == "SUBPATTERN":
+            inner = _exact_strings(av[3], cap)
+            if inner is None:
+                return None
+            out = {s + i for s in out for i in inner}
+        elif name == "BRANCH":
+            alts = set()
+            for branch in av[1]:
+                b = _exact_strings(branch, cap)
+                if b is None:
+                    return None
+                alts |= b
+            out = {s + a for s in out for a in alts}
+        elif name == "MAX_REPEAT" or name == "MIN_REPEAT":
+            lo, hi, item = av
+            if lo != hi:
+                return None
+            inner = _exact_strings(item, cap)
+            if inner is None:
+                return None
+            for _ in range(lo):
+                out = {s + i for s in out for i in inner}
+                if len(out) > cap:
+                    return None
+        else:
+            return None
+        if len(out) > cap:
+            return None
+    return out
+
+
+def _walk(seq, chunks: list[set[str]], cur: set[str]) -> set[str]:
+    """Concatenation walk: grow the current literal chunk through
+    mandatory literal material; CLOSE it (push to chunks) at anything
+    variable.  Anchors and lookarounds consume nothing → transparent."""
+
+    def close(cur: set[str]) -> set[str]:
+        # a chunk containing "" is unsound (the region may match empty,
+        # so no member is guaranteed present) — drop it entirely
+        if cur and all(cur) and len(cur) <= _CHUNK_CAP:
+            chunks.append(cur)
+        return {""}
+
+    for op, av in seq:
+        name = str(op)
+        if name == "LITERAL":
+            cur = {s + chr(av).lower() for s in cur}
+        elif name == "SUBPATTERN":
+            exact = _exact_strings(av[3])
+            if exact is not None:
+                cur = {s + e for s in cur for e in exact}
+            else:
+                cur = _walk(av[3], chunks, cur)
+        elif name == "BRANCH":
+            exact = _exact_strings([(op, av)])
+            if exact is not None:
+                cur = {s + e for s in cur for e in exact}
+            else:
+                # some alternative is variable: chunks from one branch
+                # are not required by the others → close and restart
+                cur = close(cur)
+        elif name in ("MAX_REPEAT", "MIN_REPEAT"):
+            lo, hi, item = av
+            if lo == 0:
+                cur = close(cur)
+                continue
+            exact = _exact_strings(item)
+            if exact is not None:
+                for _ in range(lo):
+                    cur = {s + e for s in cur for e in exact}
+                    if len(cur) > _CHUNK_CAP:
+                        break
+                if hi != lo:
+                    cur = close(cur)
+            else:
+                cur = _walk(item, chunks, cur)
+                cur = close(cur)
+        elif name in ("AT", "ASSERT", "ASSERT_NOT"):
+            continue  # zero-width: does not interrupt adjacency
+        else:  # IN, ANY, NOT_LITERAL, GROUPREF, …: variable material
+            cur = close(cur)
+        if len(cur) > _CHUNK_CAP:
+            cur = set()  # oversized chunk is unusable; reset
+            cur = close(cur)
+    return cur
+
+
+def regex_literal_chunks(pattern: str) -> list[set[str]]:
+    """All literal chunks of ``pattern`` (lowercased): every match
+    contains one member of EACH returned set, contiguously."""
+    chunks: list[set[str]] = []
+    try:
+        tree = _parse_tree(pattern)
+    except Exception:
+        return []
+    tail = _walk(list(tree), chunks, {""})
+    if tail and all(tail) and len(tail) <= _CHUNK_CAP:
+        chunks.append(tail)
+    return chunks
+
+
+def required_literals(pattern: str) -> tuple[tuple[str, ...] | None, str | None]:
+    """Best prefilter literal set for ``pattern`` under the reference's
+    skip policy: eligible chunks have ≤10 members, all ≥2 chars; the
+    chunk with the longest shortest-member wins (ties → fewer members,
+    then earliest).  Returns (literals, None) or (None, skip_reason)."""
+    chunks = regex_literal_chunks(pattern)
+    if not chunks:
+        return None, "no-literals"
+    eligible = [
+        c for c in chunks if len(c) <= 10 and min(len(s) for s in c) >= 2
+    ]
+    if not eligible:
+        if any(len(c) > 10 for c in chunks):
+            return None, "too-many-literals"
+        return None, "literal-too-short"
+    best = max(
+        enumerate(eligible),
+        key=lambda ic: (min(len(s) for s in ic[1]), -len(ic[1]), -ic[0]),
+    )[1]
+    return tuple(sorted(best)), None
+
+
 @dataclass
 class CompiledPattern:
     entity_key: str
@@ -153,22 +310,11 @@ def compile_dictionary(
             logger.warning("skipping invalid regex for %s: %s (%s)", key, pat, e)
             skipped.append((key, pat, "invalid-regex"))
             continue
-        lits = alternation_literals(pat)
-        if lits is not None:
-            if len(lits) > 10:
-                skipped.append((key, pat, "too-many-literals"))
-                continue
-            if any(len(l) < 2 for l in lits):
-                skipped.append((key, pat, "literal-too-short"))
-                continue
-            prefilter = tuple(l.lower() for l in lits)
-        else:
-            prefix = literal_prefix(pat)
-            if len(prefix) < 2:
-                skipped.append((key, pat, "literal-too-short"))
-                continue
-            prefilter = (prefix.lower(),)
-        patterns.append(CompiledPattern(key, kind, pat, order, rx, prefilter, CONF_CONTENT))
+        lits, why = required_literals(pat)
+        if lits is None:
+            skipped.append((key, pat, why))
+            continue
+        patterns.append(CompiledPattern(key, kind, pat, order, rx, lits, CONF_CONTENT))
     return CompiledDictionary(patterns=patterns, skipped=skipped)
 
 

@@ -19,7 +19,7 @@ _RX_TITLE = re.compile(r"<title>(.*?)</title>", re.DOTALL)
 _RX_PARA = re.compile(r"<p>(.*?)</p>", re.DOTALL)
 _RX_HREF = re.compile(r'<a href="([^"]+)"')
 _RX_TAG = re.compile(r"<[^>]+>")
-_RX_URL = re.compile(r"^(https?)://([^/]+)(/.*)?$")
+_RX_URL = re.compile(r"^(https?)://([^/?#]+)([^?#]*)(?:\?[^#]*)?(?:#.*)?$")
 
 GZIP_MAGIC = b"\x1f\x8b"
 
@@ -80,7 +80,9 @@ def posix_normpath(path: str) -> str:
 
 
 def split_url(url: str) -> tuple[str, str, str] | None:
-    """(scheme, host, path) or None if not an absolute http(s) url."""
+    """(scheme, host, path) or None if not an absolute http(s) url.
+    Query string and fragment are dropped (they never change which
+    page/document the url denotes for linking purposes)."""
     m = _RX_URL.match(url)
     if not m:
         return None
@@ -93,29 +95,58 @@ def url_host(url: str) -> str | None:
 
 
 def resolve_href(src_url: str, href: str) -> str | None:
-    """Resolve an href against its source page url.
+    """Resolve an href against its source page url → canonical absolute
+    http(s) url, or None for non-page schemes.
 
-    Three forms, mirroring the reference's candidate-path generation for
-    ELF deps (absolute / install-path-relative / search-path —
-    surfactant/relationships/elf_relationship.py:98-149):
-      * absolute url  → as-is (normalized path)
-      * absolute path → same scheme+host
-      * relative path → against the source page's directory
+    Full form coverage, mirroring the reference's candidate-path
+    branching for ELF deps (absolute / install-path-relative /
+    search-path with ``$ORIGIN``/``$LIB`` token substitution and
+    ``$PLATFORM`` drop — surfactant/relationships/elf_relationship.py:98-149,
+    307-396; the unresolvable-token drop maps to the non-http-scheme
+    drop here):
+
+      * absolute url ``http(s)://host/path``  → normalized as-is
+      * protocol-relative ``//host/path``     → inherits the SOURCE
+        page's scheme, NOT its host (RFC 3986 network-path reference;
+        round-1 mis-resolved this as a same-host path)
+      * absolute path ``/path``               → same scheme+host
+      * relative path                         → against the source
+        page's directory; ``..`` above root clamps at root
+      * query string                          → stripped (canonical
+        page identity; consistent with split_url)
+      * fragment ``#…``                       → stripped; a pure
+        fragment href ("#top", "") resolves to the source page itself
+      * non-http schemes (mailto:, javascript:, data:, ftp:)  → None
     """
+    # fragment never names a different resource
+    href = href.split("#", 1)[0]
     if href.startswith(("http://", "https://")):
+        # absolute url: resolvable even when the SOURCE url is junk
         p = split_url(href)
         if p is None:
             return None
-        scheme, host, path = p
-        return f"{scheme}://{host}{posix_normpath(path)}"
-    # non-http schemes (mailto:, javascript:, ftp:, data:) are not pages
-    head = href.split("/", 1)[0]
-    if ":" in head:
-        return None
+        h_scheme, h_host, h_path = p
+        return f"{h_scheme}://{h_host}{posix_normpath(h_path)}"
     src = split_url(src_url)
     if src is None:
         return None
     scheme, host, src_path = src
+    if href == "":
+        return f"{scheme}://{host}{posix_normpath(src_path)}"
+    if href.startswith("//"):
+        # network-path reference: scheme from source, host from href
+        rest = href[2:].split("?", 1)[0]
+        h_host, _, h_path = rest.partition("/")
+        if not h_host:
+            return None
+        return f"{scheme}://{h_host}{posix_normpath('/' + h_path)}"
+    # non-http schemes (mailto:, javascript:, ftp:, data:) are not pages
+    head = href.split("/", 1)[0]
+    if ":" in head:
+        return None
+    href = href.split("?", 1)[0]
+    if href == "":
+        return f"{scheme}://{host}{posix_normpath(src_path)}"
     if href.startswith("/"):
         return f"{scheme}://{host}{posix_normpath(href)}"
     base_dir = src_path.rsplit("/", 1)[0]

@@ -80,6 +80,47 @@ def contains_edges(extracted: DataFrame) -> DataFrame:
     )
 
 
+def probe_dir_candidates(base_col, name_col, cultures: list[str],
+                         subdirs: list[str]):
+    """J3 probe-dir generator (surfactant/relationships/
+    dotnet_relationship.py:203-243): the candidate-path array for one
+    dependency — base dir × {'' + privatePath subdirs} × {'' + culture
+    dirs} × name, in deterministic enumeration order.  Returns
+    array<string>; callers explode and equi-join against the target
+    path set (the J10 shared-matcher seam).  Pure column expressions —
+    one dep row fans out to (1+|subdirs|)·(1+|cultures|) candidates
+    with no UDF and no extra pass."""
+    out = []
+    for sd in [""] + list(subdirs):
+        for cu in [""] + list(cultures):
+            parts = [base_col]
+            if sd:
+                parts.append(F.lit(sd))
+            if cu:
+                parts.append(F.lit(cu))
+            parts.append(name_col)
+            out.append(F.concat_ws("/", *parts))
+    return F.array(*out)
+
+
+def ci_path_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Case-insensitive path-equality equi-join — the J2/J10 analog
+    (PureWindowsPath case-fold at surfactant/relationships/_internal/
+    windows_utils.py:18-39): both sides join on ``lower(key)``; the
+    original-case columns survive on the output.  The fold is a pure
+    column expression, so this stays a hash join with the normalized
+    key as the shuffle axis (no UDF, no extra pass)."""
+    p = probe.withColumn("_ci_key", F.lower(F.col(probe_key)))
+    b = build.withColumn("_ci_key", F.lower(F.col(build_key)))
+    return p.join(b, "_ci_key", how).drop("_ci_key")
+
+
 def dedup_edges(edges: DataFrame) -> DataFrame:
     """(subj, pred, obj) distinct with deterministic lang (min)."""
     return edges.groupBy("subj", "pred", "obj").agg(F.min("lang").alias("lang"))

@@ -25,18 +25,34 @@ from pyspark.sql import functions as F
 from .canonicalize import connected_components
 
 
-def _match_edges(nodes: DataFrame) -> DataFrame:
-    """(a, b) canonical-id pairs that must merge: same non-null sha256.
-    Extendable to more hash columns by unioning further equality joins
-    (the any-hash rule, surfactant/sbomtypes/_sbom.py:451-490)."""
-    keyed = nodes.where(F.col("sha256").isNotNull()).select("canonical_id", "sha256")
-    a, b = keyed.alias("a"), keyed.alias("b")
-    return (
-        a.join(b, "sha256")
-        .where(F.col("a.canonical_id") < F.col("b.canonical_id"))
-        .select(F.col("a.canonical_id").alias("a"), F.col("b.canonical_id").alias("b"))
-        .distinct()
-    )
+HASH_COLS = ("sha256", "sha1", "md5")
+
+
+def _present_hash_cols(nodes: DataFrame) -> list[str]:
+    return [c for c in HASH_COLS if c in nodes.columns]
+
+
+def _match_edges(nodes: DataFrame, hash_cols: list[str] | None = None) -> DataFrame:
+    """(a, b) canonical-id pairs that must merge: same non-null value in
+    ANY of the hash columns present — the reference's any-hash rule
+    (sha256 OR sha1 OR md5, surfactant/sbomtypes/_sbom.py:451-490).
+    One equality self-join per hash column, unioned; chains
+    (a.sha256=b.sha256, b.md5=c.md5) connect through the downstream
+    connected-components pass, matching the reference's transitive
+    dedup-merge."""
+    if hash_cols is None:
+        hash_cols = _present_hash_cols(nodes)
+    out = None
+    for hc in hash_cols:
+        keyed = nodes.where(F.col(hc).isNotNull()).select("canonical_id", hc)
+        a, b = keyed.alias("a"), keyed.alias("b")
+        pairs = (
+            a.join(b, hc)
+            .where(F.col("a.canonical_id") < F.col("b.canonical_id"))
+            .select(F.col("a.canonical_id").alias("a"), F.col("b.canonical_id").alias("b"))
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
 
 
 def merge_graphs(
@@ -61,7 +77,9 @@ def merge_graphs(
         F.col("node").alias("old_id"), F.col("component").alias("new_id")
     )
 
-    # remap nodes, then A1 field-merge per surviving id
+    # remap nodes, then A1 field-merge per surviving id; every hash
+    # column present survives the merge (first non-null, deterministic
+    # min) so later merges can keep chaining on any hash
     remapped = (
         nodes.join(F.broadcast(id_map), nodes["canonical_id"] == id_map["old_id"], "left")
         .withColumn("mid", F.coalesce(F.col("new_id"), F.col("canonical_id")))
@@ -70,7 +88,7 @@ def merge_graphs(
         remapped.groupBy("mid")
         .agg(
             F.min("node_type").alias("node_type"),
-            F.min("sha256").alias("sha256"),
+            *[F.min(hc).alias(hc) for hc in _present_hash_cols(nodes)],
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("names")))).alias("names"),
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("urls")))).alias("urls"),
             F.min("lang").alias("lang"),

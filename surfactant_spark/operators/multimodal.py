@@ -43,21 +43,13 @@ FEATURES_SCHEMA = T.StructType(
     ]
 )
 
-_MAGIC = [
-    (b"\x89PNG", "image"),
-    (b"\xff\xd8\xff", "image"),
-    (b"GIF8", "image"),
-    (b"RIFF", "audio"),   # wav/avi container; refined by sub-header in a real decoder
-    (b"ID3", "audio"),
-    (b"\x00\x00\x00\x18ftyp", "video"),
-]
+from ..functions.filetype import KIND_OF, format_expr, sniff_format
 
 
 def sniff_media_type(content: bytes) -> str:
-    for magic, kind in _MAGIC:
-        if content[: len(magic)] == magic:
-            return kind
-    return "unknown"
+    """Coarse media kind via the shared ~30-signature magic table
+    (functions/filetype.py, the id_magic.py-breadth F1 analog)."""
+    return KIND_OF.get(sniff_format(content), "unknown")
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, list[float]]:
@@ -75,13 +67,17 @@ def _fake_decode(content: bytes) -> tuple[int, int, list[float]]:
 
 def classify_media(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Columnar magic-byte classification — stays in whole-stage
-    codegen (substring/startswith on binary), no Python."""
-    c = F.col(content_col)
-    expr = F.lit("unknown")
-    for magic, kind in reversed(_MAGIC):
-        lit = F.lit(bytearray(magic))
-        expr = F.when(F.substring(c, 1, len(magic)) == lit, F.lit(kind)).otherwise(expr)
-    return df.withColumn("media_type", expr)
+    codegen (substring comparisons on binary, offset-aware), no Python.
+    Tags come from the shared magic table; the output column is the
+    coarse media kind (image/audio/video/archive/…/unknown)."""
+    # the tag expr is materialized as an attribute FIRST so the
+    # tag→kind chain references it once (Catalyst re-inlines duplicated
+    # non-attribute expressions — the k× trap documented in dedup.py)
+    staged = df.withColumn("_fmt_tag", format_expr(content_col))
+    kind_expr = F.lit("unknown")
+    for t, k in KIND_OF.items():
+        kind_expr = F.when(F.col("_fmt_tag") == t, F.lit(k)).otherwise(kind_expr)
+    return staged.withColumn("media_type", kind_expr).drop("_fmt_tag")
 
 
 def extract_media_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
@@ -125,6 +121,38 @@ def extract_media_features(df: DataFrame, decode_stub: bool = True) -> DataFrame
 
     src = df.select("media_id", "media_type", "content")
     return src.mapInPandas(fn, schema=FEATURES_SCHEMA)
+
+
+BINMETA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def extract_binary_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Typed header metadata for binary blobs — the E-family extraction
+    stage (ELF/PE/Mach-O/Java-class/RPM/uImage core fields) as one
+    Arrow pass over functions/binmeta.py parsers.  Unrecognized blobs
+    yield format=NULL with an empty map (total, never throws)."""
+    from ..functions.binmeta import parse_binary_meta
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                meta = parse_binary_meta(b)
+                if meta is None:
+                    rows.append((mid, None, {}))
+                else:
+                    fmt = meta.pop("format")
+                    rows.append((mid, fmt, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "format", "meta"])
+
+    return df.select("media_id", content_col).mapInPandas(fn, schema=BINMETA_SCHEMA)
 
 
 def synth_media(spark, n: int, partitions: int = 8) -> DataFrame:

@@ -168,6 +168,122 @@ def lsh_topk(
     )
 
 
+def _kmeans(vecs: list[list[float]], k: int, iters: int) -> list[list[float]]:
+    """Deterministic Lloyd's iterations: init = evenly spaced sample
+    points, fixed iteration count, ties to lower index."""
+    if not vecs:
+        return []
+    n = len(vecs)
+    cents = [vecs[(i * n) // k] for i in range(min(k, n))]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for _ in range(iters):
+        groups: list[list[list[float]]] = [[] for _ in cents]
+        for v in vecs:
+            best = min(range(len(cents)), key=lambda c: (d2(v, cents[c]), c))
+            groups[best].append(v)
+        cents = [
+            [sum(col) / len(g) for col in zip(*g)] if g else cents[ci]
+            for ci, g in enumerate(groups)
+        ]
+    return [[float(x) for x in c] for c in cents]
+
+
+def train_ivf_centroids(
+    targets: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+    sample: int = 256,
+) -> list[list[float]]:
+    """Deterministic driver-side k-means on a fixed sample — the IVF
+    coarse-quantizer training step.  Production pattern: the quantizer
+    trains on a tiny sample pulled to the driver and ships to executors
+    as literals/broadcast; the full corpus never moves.  Sample = first
+    ``sample`` rows by id, so two engines/runs build identical
+    centroids."""
+    rows = (
+        targets.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    return _kmeans([[float(x) for x in r[1]] for r in rows], k, iters)
+
+
+def _dist_proxy(vec: Column, centroid: list[float]) -> Column:
+    """cc − 2·(v·c): same argmin as ‖v−c‖² (the ‖v‖² term is constant
+    per row) and — unlike the squared-difference sum — expressible as
+    one dot product, whose bit-exact parity with DuckDB's
+    list_dot_product is already established by the embed gates.  cc is
+    a Python-computed literal, identical in both engines."""
+    cc = float(sum(x * x for x in centroid))
+    return F.lit(cc) - 2.0 * _dot(vec, F.array(*[F.lit(x) for x in centroid]))
+
+
+def _nearest_cluster(vec_attr: Column, centroids: list[list[float]]) -> Column:
+    """argmin over centroid literals; first-position-of-min = lowest
+    index on ties, matching list_position in the SQL oracle.  vec_attr
+    MUST be an attribute (materialized column), not an inline
+    expression — the distance list references it k times."""
+    dists = F.array(*[_dist_proxy(vec_attr, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: targets are bucketed by nearest centroid
+    (the inverted lists); each query probes its ``nprobe`` nearest
+    lists and reranks exactly inside them.  Same candidate-generation
+    seam as lsh_topk — the cluster id is the join/shuffle key, so
+    candidate volume is Σ probed-list sizes, never n².  At 10¹² rows
+    the inverted lists are the partition/bucket layout of the stored
+    table and this join is partition-pruned."""
+    from pyspark.sql.window import Window
+
+    t = targets.select(F.col(id_col).alias("target_id"), F.col(vec_col).alias("tv"))
+    t = t.withColumn("cluster", _nearest_cluster(F.col("tv"), centroids))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # nprobe nearest clusters per query: repeated first-position-of-min
+    # with the taken slot masked to +inf — identical tie semantics to
+    # the SQL oracle's list_position(…, list_min(…)) construction
+    qd = q.withColumn(
+        "dists", F.array(*[_dist_proxy(F.col("qv"), c) for c in centroids])
+    )
+    def _mask(taken):
+        # (element, index) two-arg transform lambda; index is 0-based
+        return lambda d, i: F.when(i == taken, F.lit(float("inf"))).otherwise(d)
+
+    probes = []
+    masked = F.col("dists")
+    for _p in range(nprobe):
+        idx = (F.array_position(masked, F.array_min(masked)) - 1).cast("int")
+        probes.append(idx)
+        masked = F.transform(masked, _mask(idx))
+    q = qd.select(
+        "query_id", "qv", F.explode(F.array(*probes)).alias("cluster")
+    )
+    cand = t.join(F.broadcast(q), "cluster").where(
+        F.col("query_id") != F.col("target_id")
+    )
+    scored = cand.select(
+        "query_id", "target_id", cosine_x10000(F.col("qv"), F.col("tv")).alias("cos_x10000")
+    ).dropDuplicates(["query_id", "target_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_x10000"), F.asc("target_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "target_id", "cos_x10000")
+    )
+
+
 def lsh_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -13,6 +13,7 @@ order-insensitive value-hash comparison meaningful):
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves stringified pandas_udf type hints
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -767,6 +768,94 @@ WHERE {cos} >= {min_cos_x10000}
 O_EMBED_NEARDUP = _lsh_neardup_sql(**_NEARDUP)
 
 
+_IVF_CENTROIDS: list[list[float]] | None = None
+
+
+def _ivf_centroids() -> list[list[float]]:
+    """The IVF coarse quantizer, trained ONCE driver-side (deterministic
+    k-means on the first 256 vectors of the sf0.01 embeddings table —
+    the pre-trained-quantizer production pattern) and injected as
+    literals into BOTH the Spark plan and the DuckDB oracle."""
+    global _IVF_CENTROIDS
+    if _IVF_CENTROIDS is None:
+        from .operators.similarity import _kmeans
+
+        vecs: list[list[float]] = []
+        try:
+            import duckdb
+
+            rows = duckdb.sql(
+                "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet'"
+                " ORDER BY vec_id LIMIT 256"
+            ).fetchall()
+            vecs = [[float(x) for x in r[0]] for r in rows]
+        except Exception:
+            pass
+        if not vecs:  # no testdata: deterministic pseudo-random fallback
+            from .operators.similarity import _hyperplanes
+
+            vecs = _hyperplanes(64, 16, salt=7)
+        _IVF_CENTROIDS = _kmeans(vecs, 8, 5)
+    return _IVF_CENTROIDS
+
+
+def q_ivf_topk(spark, sf):
+    """IVF ANN top-k (similarity.ivf_topk): targets bucketed by nearest
+    centroid (inverted lists), queries probe their 2 nearest lists,
+    exact cosine rerank inside candidates — the k-means sibling of the
+    hyperplane-LSH scale path.  Distance is the cc−2·(v·c) proxy so the
+    two engines compute bit-identical argmin cluster assignments."""
+    emb = _t(spark, sf, "embeddings")
+    return sim.ivf_topk(
+        emb.where(F.col("vec_id") < 8), emb, _ivf_centroids(), k=5, nprobe=2
+    ).withColumnRenamed("rank", "rnk")
+
+
+def _ivf_sql() -> str:
+    cents = _ivf_centroids()
+    def dlist(col: str) -> str:
+        parts = []
+        for c in cents:
+            cc = repr(float(sum(x * x for x in c)))
+            lits = ", ".join(repr(float(x)) for x in c)
+            parts.append(f"{cc} - 2.0 * list_dot_product({col}::DOUBLE[], [{lits}]::DOUBLE[])")
+        return "[" + ",\n    ".join(parts) + "]"
+
+    cos = (
+        "floor(list_dot_product(qv::DOUBLE[], tv::DOUBLE[])"
+        " / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))"
+        " * sqrt(list_dot_product(tv::DOUBLE[], tv::DOUBLE[]))) * 10000 + 0.5)::BIGINT"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+t AS (
+  SELECT target_id, tv, (list_position(d, list_min(d)) - 1) AS cluster
+  FROM (SELECT vec_id AS target_id, embedding AS tv, {dlist("embedding")} AS d FROM e)
+), q1 AS (
+  SELECT query_id, qv, d, (list_position(d, list_min(d)) - 1) AS c1
+  FROM (SELECT vec_id AS query_id, embedding AS qv, {dlist("embedding")} AS d FROM e
+        WHERE vec_id < 8)
+), q2 AS (
+  SELECT query_id, qv, c1, (list_position(d2, list_min(d2)) - 1) AS c2
+  FROM (SELECT *, list_transform(d, (x, i) -> CASE WHEN i = c1 + 1 THEN 1e308 ELSE x END) AS d2
+        FROM q1)
+), probes AS (
+  SELECT query_id, qv, c1 AS cluster FROM q2
+  UNION ALL SELECT query_id, qv, c2 FROM q2
+), cand AS (
+  SELECT DISTINCT query_id, target_id, qv, tv
+  FROM t JOIN probes USING (cluster)
+  WHERE query_id != target_id
+), ranked AS (
+  SELECT query_id, target_id, {cos} AS cos_x10000,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cos} DESC, target_id ASC) AS rnk
+  FROM cand
+)
+SELECT query_id, rnk, target_id, cos_x10000 FROM ranked WHERE rnk <= 5
+"""
+
+
 def q_token_count(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.select(
@@ -880,6 +969,247 @@ WHERE list_contains(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
 O_MENTION_DETECT = _mention_sql()
 
 
+def q_local_supplier_volume(spark, sf):
+    """TPC-H Q5-shaped 6-table join: region→nation→(customer, supplier)
+    →orders→lineitem with the local-supplier condition
+    (c_nationkey = s_nationkey) — the canonical Catalyst join-reordering
+    / broadcast-selection stress.  Dims prune through pushed filters;
+    lineitem is the only big side, so every dim lands as a broadcast
+    build and lineitem never shuffles before the final groupBy."""
+    region = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    orders = _t(spark, sf, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, (li["l_suppkey"] == supp["s_suppkey"])
+              & (cust["c_nationkey"] == supp["s_nationkey"]))
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.floor(
+                F.sum(_money("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _money("l_discount"))) * 10000
+            ).cast("long").alias("revenue_x10000"),
+        )
+    )
+
+
+O_LOCAL_SUPPLIER = """
+SELECT n_name, count(*)::BIGINT AS n_items,
+       floor(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) * 10000)::BIGINT AS revenue_x10000
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+_EXT_VARIANTS = [".html", ".js", ".gz", ".PNG", ".pdf?download=1", ".weird"]
+_EXT_EXPECTED = ["html", "javascript", "archive", "image", "pdf", "unknown"]
+
+
+def q_ext_type_id(spark, sf):
+    """F2 extension typing (surfactant/filetypeid/id_extension.py:15-64):
+    a deterministic filename matrix (case variance, query strings,
+    unknown suffixes) classified by the codegen suffix chain
+    (functions/filetype.ext_type_expr); the oracle states the expected
+    type per variant directly."""
+    from .functions.filetype import ext_type_expr
+
+    docs = _t(spark, sf, "documents")
+    v = (F.col("doc_id") % 6).cast("int")
+    staged = docs.select(
+        "doc_id",
+        F.format_string(
+            "%s/f%d%s", F.col("source"), F.col("doc_id"),
+            F.element_at(F.array(*[F.lit(e) for e in _EXT_VARIANTS]), v + 1),
+        ).alias("fname"),
+    )
+    return staged.select("doc_id", "fname", ext_type_expr("fname").alias("ftype"))
+
+
+O_EXT_TYPE = f"""
+SELECT doc_id,
+       source || '/f' || doc_id ||
+         (CASE (doc_id % 6)
+            WHEN 0 THEN '.html' WHEN 1 THEN '.js' WHEN 2 THEN '.gz'
+            WHEN 3 THEN '.PNG' WHEN 4 THEN '.pdf?download=1' ELSE '.weird'
+          END) AS fname,
+       (CASE (doc_id % 6)
+          WHEN 0 THEN 'html' WHEN 1 THEN 'javascript' WHEN 2 THEN 'archive'
+          WHEN 3 THEN 'image' WHEN 4 THEN 'pdf' ELSE 'unknown'
+        END) AS ftype
+FROM documents
+"""
+
+
+def q_probe_dir_expansion(spark, sf):
+    """J3 .NET probe-dir expansion (surfactant/relationships/
+    dotnet_relationship.py:107-243): each dep generates base ×
+    {'',bin,lib} × {'',en,de} candidate paths (linking.
+    probe_dir_candidates), exploded and equi-joined against a target
+    set that places each library in a different probe location by
+    doc_id — every match must come from the RIGHT candidate."""
+    from .operators.linking import probe_dir_candidates
+
+    docs = _t(spark, sf, "documents")
+    deps = docs.select(
+        "doc_id",
+        F.format_string("https://%s.example.org/app", F.col("source")).alias("base"),
+        F.format_string("lib%d.dll", (F.col("doc_id") % 10).cast("int")).alias("nm"),
+    )
+    cand = deps.select(
+        "doc_id",
+        F.explode(
+            probe_dir_candidates(F.col("base"), F.col("nm"), ["en", "de"], ["bin", "lib"])
+        ).alias("cand_path"),
+    )
+    place = F.when(F.col("doc_id") % 4 == 0, F.concat_ws("/", "base", F.lit("bin"), "nm")) \
+        .when(F.col("doc_id") % 4 == 1, F.concat_ws("/", "base", F.lit("en"), "nm")) \
+        .when(F.col("doc_id") % 4 == 2, F.concat_ws("/", "base", F.lit("lib"), F.lit("de"), "nm"))
+    targets = deps.select(place.alias("target_path")).where(
+        F.col("target_path").isNotNull()
+    ).distinct()
+    return (
+        cand.join(targets, cand["cand_path"] == targets["target_path"])
+        .select("doc_id", F.col("cand_path").alias("matched_path"))
+    )
+
+
+O_PROBE_DIR = """
+WITH deps AS (
+  SELECT doc_id, 'https://' || source || '.example.org/app' AS base,
+         'lib' || (doc_id % 10) || '.dll' AS nm
+  FROM documents
+), grid AS (
+  SELECT sd.sd, cu.cu FROM (VALUES (''), ('bin'), ('lib')) sd(sd)
+  CROSS JOIN (VALUES (''), ('en'), ('de')) cu(cu)
+), cand AS (
+  SELECT doc_id,
+         base || (CASE WHEN sd = '' THEN '' ELSE '/' || sd END)
+              || (CASE WHEN cu = '' THEN '' ELSE '/' || cu END)
+              || '/' || nm AS cand_path
+  FROM deps CROSS JOIN grid
+), targets AS (
+  SELECT DISTINCT CASE
+    WHEN doc_id % 4 = 0 THEN base || '/bin/' || nm
+    WHEN doc_id % 4 = 1 THEN base || '/en/' || nm
+    WHEN doc_id % 4 = 2 THEN base || '/lib/de/' || nm
+  END AS target_path
+  FROM deps WHERE doc_id % 4 < 3
+)
+SELECT doc_id, cand_path AS matched_path
+FROM cand JOIN targets ON cand_path = target_path
+"""
+
+
+def q_case_fold_join(spark, sf):
+    """J2 case-insensitive Windows-path equality (surfactant/
+    relationships/_internal/windows_utils.py:18-39): probes carry mixed
+    case (every even doc_id upper-cased), targets are upper-cased — the
+    join must still land every probe on its target via the lower()
+    fold (linking.ci_path_join)."""
+    from .operators.linking import ci_path_join
+
+    docs = _t(spark, sf, "documents")
+    probes = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("probe_path"),
+    )
+    targets = docs.select(F.upper("source").alias("target_path")).distinct()
+    return (
+        ci_path_join(probes, targets, "probe_path", "target_path")
+        .groupBy("target_path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+O_CASE_FOLD_JOIN = """
+WITH probes AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS probe_path
+  FROM documents
+), targets AS (
+  SELECT DISTINCT upper(source) AS target_path FROM documents
+)
+SELECT target_path, count(*)::BIGINT AS n
+FROM probes JOIN targets ON lower(probe_path) = lower(target_path)
+GROUP BY target_path
+"""
+
+
+def q_href_resolve(spark, sf):
+    """§2.7 DST-token-expansion analog: full href-form resolution
+    (surfactant/relationships/elf_relationship.py:307-396 branching —
+    absolute, protocol-relative //host, same-host absolute path,
+    relative with .., query/fragment stripping, non-page-scheme drop,
+    ..-above-root clamp).  A deterministic matrix of one href per
+    branch is synthesized from the documents table and resolved by the
+    engine's real resolve_href; the oracle states the expected url per
+    form DIRECTLY (independent ground truth, not a normpath port)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .functions.extract import resolve_href
+
+    @pandas_udf("string")
+    def _resolve(base: pd.Series, href: pd.Series) -> pd.Series:
+        return pd.Series(
+            [resolve_href(b, h) for b, h in zip(base, href)], dtype=object
+        )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    d3 = (F.col("doc_id") % 3).cast("int")
+    base = F.format_string(
+        "https://%s.example.org/dir%d/sub/page%d.html", F.col("source"), d3, F.col("doc_id")
+    )
+    hrefs = F.array(
+        F.format_string("http://ext%d.org/a/b%d.html?x=1#f",
+                        (F.col("doc_id") % 5).cast("int"), F.col("doc_id")),
+        F.format_string("//cdn%d.net/lib/app.js", (F.col("doc_id") % 4).cast("int")),
+        F.format_string("/root%d/x.html#sec", d3),
+        F.format_string("../up%d/y.html", (F.col("doc_id") % 2).cast("int")),
+        F.format_string("z%d.html?q=2", (F.col("doc_id") % 7).cast("int")),
+        F.lit("mailto:user@example.com"),
+        F.lit("#top"),
+        F.lit("../../../../esc.html"),
+    )
+    return (
+        docs.select("doc_id", base.alias("base"), F.posexplode(hrefs).alias("form", "href"))
+        .select(
+            "doc_id",
+            F.col("form").cast("long").alias("form"),
+            _resolve(F.col("base"), F.col("href")).alias("resolved"),
+        )
+    )
+
+
+O_HREF_RESOLVE = """
+SELECT doc_id, f.form,
+  CASE f.form
+    WHEN 0 THEN 'http://ext' || (doc_id % 5) || '.org/a/b' || doc_id || '.html'
+    WHEN 1 THEN 'https://cdn' || (doc_id % 4) || '.net/lib/app.js'
+    WHEN 2 THEN 'https://' || source || '.example.org/root' || (doc_id % 3) || '/x.html'
+    WHEN 3 THEN 'https://' || source || '.example.org/dir' || (doc_id % 3) || '/up' || (doc_id % 2) || '/y.html'
+    WHEN 4 THEN 'https://' || source || '.example.org/dir' || (doc_id % 3) || '/sub/z' || (doc_id % 7) || '.html'
+    WHEN 5 THEN NULL
+    WHEN 6 THEN 'https://' || source || '.example.org/dir' || (doc_id % 3) || '/sub/page' || doc_id || '.html'
+    WHEN 7 THEN 'https://' || source || '.example.org/esc.html'
+  END AS resolved
+FROM documents CROSS JOIN (SELECT unnest(range(8)) AS form) f
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -900,6 +1230,10 @@ REGISTRY: dict[str, tuple] = {
     "time_window_agg": (q_time_window_agg, O_TIME_WINDOW),
     "salted_agg": (q_salted_agg, O_SALTED_AGG),
     "install_path_rewrite": (q_install_path_rewrite, O_INSTALL_REWRITE),
+    "href_resolve": (q_href_resolve, O_HREF_RESOLVE),
+    "case_fold_join": (q_case_fold_join, O_CASE_FOLD_JOIN),
+    "ext_type_id": (q_ext_type_id, O_EXT_TYPE),
+    "probe_dir_expansion": (q_probe_dir_expansion, O_PROBE_DIR),
     "find_filter": (q_find_filter, O_FIND_FILTER),
     "cc_components": (q_cc_components, O_CC),
     "cycle_nodes": (q_cycle_nodes, O_CYCLE_NODES),
@@ -912,8 +1246,10 @@ REGISTRY: dict[str, tuple] = {
     "simhash64": (q_simhash64, O_SIMHASH64),
     "simhash_pairs": (q_simhash_pairs, O_SIMHASH_PAIRS),
     "order_revenue_topk": (q_order_revenue_topk, O_ORDER_REVENUE_TOPK),
+    "local_supplier_volume": (q_local_supplier_volume, O_LOCAL_SUPPLIER),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
     "embed_topk": (q_embed_topk, O_EMBED_TOPK),
+    "ivf_topk": (q_ivf_topk, _ivf_sql),  # callable → lazily generated SQL
     "embed_neardup": (q_embed_neardup, O_EMBED_NEARDUP),
     "token_count": (q_token_count, O_TOKEN_COUNT),
     "lang_id": (q_lang_id, O_LANG_ID),
@@ -927,7 +1263,11 @@ def queries():
 
 
 def oracle_sql():
-    return {name: sql.strip() for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: (sql() if callable(sql) else sql).strip()
+        for name, (_fn, sql) in REGISTRY.items()
+        if sql is not None
+    }
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

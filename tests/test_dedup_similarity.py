@@ -135,6 +135,27 @@ def test_lsh_near_pairs_no_crossjoin_and_recall(spark):
     assert len(gmap) >= 0.4 * len(bmap), (len(gmap), len(bmap))
 
 
+def test_ivf_ann_recall_and_exactness(spark):
+    """IVF top-k: scores are exact where emitted, recall vs brute force
+    has a sane floor at nprobe=2/8 clusters, and the quantizer is
+    deterministic (two trainings produce identical centroids)."""
+    from surfactant_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, k=8, iters=5, sample=256)
+    assert cents == train_ivf_centroids(emb, k=8, iters=5, sample=256)
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.target_id): r.cos_x10000
+             for r in brute_force_topk(queries, emb, k=5).collect()}
+    approx = {(r.query_id, r.target_id): r.cos_x10000
+              for r in ivf_topk(queries, emb, cents, k=5, nprobe=2).collect()}
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.4, recall
+    for key, v in approx.items():
+        if key in exact:
+            assert exact[key] == v
+
+
 def test_lsh_ann_recall_vs_brute_force(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 5)

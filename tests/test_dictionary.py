@@ -36,7 +36,40 @@ def test_compile_skips_bad_rows():
 def test_alternation_prefilter_used():
     rows = [("multi", "content", "(foo1|bar2)", None)]
     compiled = compile_dictionary(rows)
-    assert compiled.patterns[0].prefilter == ("foo1", "bar2")
+    assert compiled.patterns[0].prefilter == ("bar2", "foo1")  # sorted set
+
+
+def test_sre_literal_extraction_cases():
+    """The sre-tree extractor finds sound prefilter literals where the
+    prefix/alternation-only extractors gave up — semantics parity with
+    the reference's regex.py extractor + ahocorasick.py skip policy."""
+    from surfactant_spark.dictionary import required_literals
+
+    import re
+
+    cases = {
+        r"(?:lib)?foo\d": ("foo",),           # optional prefix
+        r"(ab|cd)ef": ("abef", "cdef"),       # alternation × suffix
+        r"x(?=yy)zw": ("xzw",),               # lookahead is zero-width
+        r"^\bhello\b$": ("hello",),           # anchors are zero-width
+        r"a{3}b": ("aaab",),                  # exact repeat inlined
+        r"(ab){2,}c": ("abab",),              # min-repeat inlined once
+        r"libx\s+v(\d+)": ("libx",),          # run broken by \s
+        r"a(\d+)": None,                      # 1-char literal → skip
+        r"(x|)ab": ("ab", "xab"),             # empty alt absorbed
+        r"\d+\.\d+": None,                    # no ≥2-char literal
+    }
+    for pat, exp in cases.items():
+        got, why = required_literals(pat)
+        assert got == exp, (pat, got, why)
+        if got is not None:
+            # soundness: every match of the regex contains ≥1 literal
+            rx = re.compile(pat)
+            for probe in ("libfoo7", "foo1", "abef x", "cdef", "xzwyy",
+                          "hello", "aaab", "ababab c", "libx  v22", "xab"):
+                m = rx.search(probe)
+                if m:
+                    assert any(l in probe.lower() for l in got), (pat, probe)
 
 
 def test_alias_edges_from_hints_and_explicit():

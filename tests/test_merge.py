@@ -46,6 +46,41 @@ def test_merge_dedups_by_hash_and_remaps_edges(spark):
     assert erows == {("p:n1", "Uses", "e:aa"), ("h:hh", "Contains", "p:n1")}
 
 
+def test_merge_any_hash_chain(spark):
+    """The reference's chained any-hash case (surfactant/sbomtypes/
+    _sbom.py:451-490, tests/cmd/test_merge.py:48-56 shape): a matches b
+    on sha256, b matches c on md5 — all three entries collapse into ONE
+    node through the connected-components pass, and every hash value
+    survives on the keeper so later merges can keep chaining."""
+    schema = ("canonical_id string, node_type string, sha256 string, "
+              "sha1 string, md5 string, names array<string>, "
+              "urls array<string>, lang string, attrs map<string,string>")
+    na = spark.createDataFrame(
+        [
+            ("p:a", "page", "SHA_X", None, None, ["a"], ["ua"], "en", {}),
+            ("p:b", "page", "SHA_X", None, "MD5_Y", ["b"], ["ub"], "en", {}),
+        ],
+        schema,
+    )
+    nb = spark.createDataFrame(
+        [
+            ("p:c", "page", None, "SHA1_Z", "MD5_Y", ["c"], ["uc"], "en", {}),
+            ("p:d", "page", None, None, None, ["d"], ["ud"], "en", {}),
+        ],
+        schema,
+    )
+    ea = _edges(spark, [("p:b", "Uses", "p:d", "en")])
+    eb = _edges(spark, [("p:c", "Uses", "p:d", "en")])
+    nodes, edges = merge_graphs(na, ea, nb, eb)
+    nrows = {r.canonical_id: r for r in nodes.collect()}
+    assert set(nrows) == {"p:a", "p:d"}  # a,b,c collapse onto min id p:a
+    keeper = nrows["p:a"]
+    assert (keeper.sha256, keeper.sha1, keeper.md5) == ("SHA_X", "SHA1_Z", "MD5_Y")
+    assert list(keeper.names) == ["a", "b", "c"]
+    erows = {(r.subj, r.pred, r.obj) for r in edges.collect()}
+    assert erows == {("p:a", "Uses", "p:d")}  # both edges remap + dedup
+
+
 def test_merge_idempotent(spark):
     na = _nodes(spark, [("p:a", "page", "S", ["t"], ["u"], "en", {})])
     ea = _edges(spark, [("p:a", "Uses", "e:x", "en")])

@@ -49,12 +49,53 @@ def test_make_page_gunzip_total(pid):
     assert html_to_text(content.decode()) == pg.text
 
 
-@given(st.text(alphabet="abcxyz/.:", min_size=0, max_size=20))
-@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcxyz/.:?#", min_size=0, max_size=20))
+@settings(max_examples=300, deadline=None)
 def test_resolve_href_total_and_absolute(href):
-    """resolve_href never throws and yields absolute http urls or None."""
+    """resolve_href never throws; yields absolute http(s) urls or None;
+    never emits a query string or fragment; is idempotent on its own
+    absolute-url output."""
     out = resolve_href("http://h.org/a/b/c.html", href)
-    assert out is None or out.startswith("http://")
+    assert out is None or out.startswith(("http://", "https://"))
+    if out is not None:
+        assert "#" not in out and "?" not in out
+        assert resolve_href("http://h.org/x.html", out) == out
+
+
+@given(
+    st.text(alphabet="abc123.-", min_size=1, max_size=10),
+    st.lists(st.sampled_from(["x", "yy", "..", "."]), max_size=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_resolve_href_protocol_relative(host, segs):
+    """//host/path inherits the SOURCE scheme and the HREF host —
+    never the source host (the round-1 mis-resolution)."""
+    path = "/".join(segs)
+    out = resolve_href("https://src.org/d/p.html", f"//{host}/{path}")
+    assert out is not None and out.startswith(f"https://{host}/")
+    assert "src.org" not in out
+    out_http = resolve_href("http://src.org/d/p.html", f"//{host}/{path}")
+    assert out_http.startswith(f"http://{host}/")
+
+
+def test_resolve_href_golden_forms():
+    src = "https://h.example.org/d1/s2/page.html"
+    cases = {
+        "//cdn.net/lib/a.js": "https://cdn.net/lib/a.js",
+        "//cdn.net": "https://cdn.net/",  # bare network-path ref → root
+        "//": None,  # hostless network-path ref
+        "/a/b.html?q=1#f": "https://h.example.org/a/b.html",
+        "p2.html?x=2": "https://h.example.org/d1/s2/p2.html",
+        "#top": "https://h.example.org/d1/s2/page.html",
+        "": "https://h.example.org/d1/s2/page.html",
+        "?only=query": "https://h.example.org/d1/s2/page.html",
+        "../../../../esc.html": "https://h.example.org/esc.html",
+        "http://x.org/a/../b.html#s": "http://x.org/b.html",
+        "mailto:a@b": None,
+        "javascript:void(0)": None,
+    }
+    for href, exp in cases.items():
+        assert resolve_href(src, href) == exp, (href, resolve_href(src, href), exp)
 
 
 @given(st.text(alphabet=" abgelmnoptz0123456789.-/", min_size=0, max_size=200))

@@ -24,12 +24,17 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # plans hide per-stage codegen markers until execution, so codegen is
 # audited on the non-AQE scan/filter query and aggregation structure
 # (two HashAggregates = map-side partial agg) on the AQE ones.
+# A "!needle" audit asserts the string is ABSENT (anti-pattern check).
 AUDITS = {
     "find_filter": ["PushedFilters", "* Filter"],
     "broadcast_join_agg": ["BroadcastHashJoin", "HashAggregate"],
     "mention_detect": ["BroadcastHashJoin"],
     "tpch_q1_pricing": ["HashAggregate", "PushedFilters"],
     "probe_path_join": ["BroadcastHashJoin"],
+    "local_supplier_volume": ["BroadcastHashJoin", "!CartesianProduct"],
+    "embed_neardup": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    "simhash_pairs": ["HashAggregate", "!CartesianProduct"],
+    "ngram_jaccard": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -48,8 +53,9 @@ def main() -> None:
     registry = q.queries()
     names = [
         "find_filter", "broadcast_join_agg", "probe_path_join",
-        "tpch_q1_pricing", "mention_detect", "minhash_lsh",
-        "window_rank", "roots_antijoin", "embed_topk",
+        "local_supplier_volume", "tpch_q1_pricing", "mention_detect",
+        "minhash_lsh", "window_rank", "roots_antijoin", "embed_topk",
+        "embed_neardup", "simhash_pairs", "ngram_jaccard",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
@@ -57,8 +63,13 @@ def main() -> None:
         txt = plan_text(registry[name](spark, SF))
         out.append(f"\n## {name}\n\n```\n{txt}\n```\n")
         for needle in AUDITS.get(name, []):
-            ok = needle in txt
-            out.append(f"- audit `{needle}`: {'OK' if ok else '**MISSING**'}\n")
+            if needle.startswith("!"):
+                ok = needle[1:] not in txt
+                label = f"absent `{needle[1:]}`"
+            else:
+                ok = needle in txt
+                label = f"`{needle}`"
+            out.append(f"- audit {label}: {'OK' if ok else '**MISSING**'}\n")
             if not ok:
                 failures.append((name, needle))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

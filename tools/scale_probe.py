@@ -102,13 +102,26 @@ def main() -> None:
         ext.unpersist()
         return sec
 
-    sec = min(one_run() for _ in range(2))  # steady-state: best of 2
+    # Run to JIT steady state: C2 compilation of the whole-stage-codegen
+    # and UDF paths keeps improving run-over-run (measured at local[8]:
+    # 71 s → 45 s → 34 s for identical work), and short high-parallelism
+    # runs finish before the JIT warms.  Repeat until the last run stops
+    # improving on the best by >5% (max 4), report the best.
+    times = [one_run()]
+    while len(times) < 4:
+        t = one_run()
+        improved = t < min(times) * 0.95
+        times.append(t)
+        if not improved:
+            break
+    sec = min(times)
 
     print(json.dumps({
         "cores": cores,
         "n_pages": n_pages,
         "sec": round(sec, 3),
         "docs_per_sec": round(n_pages / sec, 1),
+        "runs_sec": [round(t, 3) for t in times],
     }))
     spark.stop()
 
