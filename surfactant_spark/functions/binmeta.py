@@ -99,20 +99,67 @@ def parse_macho(b: bytes) -> dict[str, str] | None:
     }
 
 
+# constant-pool entry payload sizes by tag (JVM spec §4.4); Utf8 (1) is
+# variable, Long/Double (5/6) occupy two pool slots
+_CP_FIXED = {3: 4, 4: 4, 7: 2, 8: 2, 9: 4, 10: 4, 11: 4, 12: 4,
+             15: 3, 16: 2, 17: 4, 18: 4, 19: 2, 20: 2}
+
+
 def parse_java_class(b: bytes) -> dict[str, str] | None:
-    """Class-file version (java_file.py:68-98 min-SE-version source).
-    major 52 = SE 8, 55 = SE 11, 61 = SE 17 (major - 44 = SE)."""
-    if len(b) < 8 or b[:4] != b"\xca\xfe\xba\xbe":
+    """Class-file version + constant-pool class references — the
+    javaImports/javaExports source (java_file.py:68-98): exports =
+    this_class name, imports = every other CONSTANT_Class entry
+    (sorted, '|'-joined; array-member refs excluded).  major - 44 = SE.
+    Truncated/malformed pools degrade to the version-only fields."""
+    if len(b) < 10 or b[:4] != b"\xca\xfe\xba\xbe":
         return None
     minor, major = struct.unpack_from(">HH", b, 4)
     if major < 45 or major > 80:  # fat Mach-O shares the magic
         return None
-    return {
+    out = {
         "format": "javaclass",
         "major": str(major),
         "minor": str(minor),
         "min_se": str(major - 44),
     }
+    try:
+        (cp_count,) = struct.unpack_from(">H", b, 8)
+        pos = 10
+        utf8: dict[int, str] = {}
+        class_refs: dict[int, int] = {}  # cp index → utf8 index
+        i = 1
+        while i < cp_count:
+            tag = b[pos]
+            pos += 1
+            if tag == 1:
+                (ln,) = struct.unpack_from(">H", b, pos)
+                utf8[i] = b[pos + 2:pos + 2 + ln].decode("utf-8", errors="replace")
+                pos += 2 + ln
+            elif tag in (5, 6):
+                pos += 8
+                i += 1  # longs/doubles take two slots
+            elif tag in _CP_FIXED:
+                if tag == 7:
+                    (name_idx,) = struct.unpack_from(">H", b, pos)
+                    class_refs[i] = name_idx
+                pos += _CP_FIXED[tag]
+            else:
+                raise ValueError(f"bad cp tag {tag}")
+            i += 1
+        _access, this_class = struct.unpack_from(">HH", b, pos)
+        names = {
+            ci: utf8.get(ni, "") for ci, ni in class_refs.items()
+        }
+        exports = names.get(this_class, "")
+        imports = sorted(
+            n for ci, n in names.items()
+            if ci != this_class and n and not n.startswith("[")
+        )
+        out["exports"] = exports
+        out["imports"] = "|".join(imports)
+    except Exception:
+        pass  # version-only on malformed pools (log-and-continue policy)
+    return out
 
 
 def parse_rpm_lead(b: bytes) -> dict[str, str] | None:

@@ -143,6 +143,68 @@ def ext_type_expr(name_col: str | Column) -> Column:
     return expr
 
 
+_INTEL_LINE = r":[0-9A-Fa-f]{10,}"
+_SREC_LINE = r"S[0-9][0-9A-Fa-f]{8,}"
+
+
+def hexline_vote(text: str, max_lines: int = 100) -> str | None:
+    """F3 line-vote classifier (surfactant/filetypeid/id_hex.py:72-97):
+    inspect at most ``max_lines`` lines, count well-formed Intel-HEX
+    (':' + hex) vs Motorola S-record ('S<digit>' + hex) lines, majority
+    wins (ties → intelhex, matching >= semantics); None when neither
+    format appears."""
+    import re
+
+    intel = srec = 0
+    for line in text.splitlines()[:max_lines]:
+        if re.fullmatch(_INTEL_LINE, line):
+            intel += 1
+        elif re.fullmatch(_SREC_LINE, line):
+            srec += 1
+    if intel == 0 and srec == 0:
+        return None
+    return "intelhex" if intel >= srec else "srec"
+
+
+def hexline_vote_expr(text_col: str | Column, max_lines: int = 100) -> Column:
+    """Column version: per-row line counts via split + filter + rlike —
+    a scalar vote with no shuffle, exactly the Spark mapping SURVEY §2.2
+    F3 calls for."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.slice(F.split(col, "\n"), 1, max_lines)
+    intel = F.size(F.filter(lines, lambda x: x.rlike(f"^{_INTEL_LINE}$")))
+    srec = F.size(
+        F.filter(
+            lines,
+            lambda x: x.rlike(f"^{_SREC_LINE}$") & ~x.rlike(f"^{_INTEL_LINE}$"),
+        )
+    )
+    return (
+        F.when((intel == 0) & (srec == 0), F.lit(None).cast("string"))
+        .when(intel >= srec, F.lit("intelhex"))
+        .otherwise(F.lit("srec"))
+    )
+
+
+_UUID4_RX = (
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-4[0-9a-fA-F]{3}"
+    "-[89abAB][0-9a-fA-F]{3}-[0-9a-fA-F]{12}$"
+)
+
+
+def is_valid_uuid4(s: str) -> bool:
+    """§2.7 uuid4 validity (surfactant/sbomtypes/_sbom.py:553-566):
+    version nibble 4, variant nibble in [89ab]."""
+    import re
+
+    return re.fullmatch(_UUID4_RX[1:-1], s or "") is not None
+
+
+def uuid4_valid_expr(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(_UUID4_RX)
+
+
 def shebang_interp(text: str) -> str | None:
     """Interpreter basename from a '#!' first line, else None — the
     id_extension.py interpreter sniff.  Handles '/usr/bin/env python3'."""

@@ -87,6 +87,87 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Large-star/small-star connected components (the MapReduce CC
+    algorithm of Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — same (node, component=min-id) contract as
+    ``connected_components``, different scaling shape: each round's
+    shuffle is keyed on the CURRENT star centers, so a giant skewed
+    component (one hub with 10⁹ spokes — the stop-word-alias case)
+    flattens in O(log n) rounds without ever materializing the
+    neighborhood of a single reducer key beyond its star.  Use this
+    variant when component size distribution is heavy-tailed; the
+    min-label/pointer-jumping variant is fine for dictionary-sized
+    graphs.
+
+    large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u});
+    small-star: every neighbor v < u (and u itself) links to m.
+    Alternate until the edge set is stable; the result is a star
+    forest rooted at component minima."""
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.least(F.col("a"), F.col("b")).alias("lo"),
+                F.greatest(F.col("a"), F.col("b")).alias("hi"),
+            )
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        s = sym(e)
+        mins = s.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        out = (
+            s.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        return canon(out)
+
+    def small_star(e: DataFrame) -> DataFrame:
+        s = sym(e).where(F.col("v") < F.col("u"))
+        mins = s.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            s.join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        return canon(out)
+
+    cur = canon(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        changed = (
+            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    # star forest: every non-root points straight at the component min
+    members = cur.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+    roots = (
+        cur.select(F.col("lo").alias("node"))
+        .distinct()
+        .join(members.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return members.unionByName(roots)
+
+
 def entity_canonical_map(
     spark,
     dict_keys: list[str],

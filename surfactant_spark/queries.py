@@ -360,6 +360,26 @@ def q_cc_components(spark, sf):
     return connected_components(e1.unionByName(e2))
 
 
+def q_cc_star(spark, sf):
+    """Same component map via the large-star/small-star algorithm
+    (canonicalize.connected_components_star) — the skew-robust CC
+    variant for heavy-tailed component sizes; two independent
+    distributed algorithms and the recursive-CTE oracle must agree."""
+    from .operators.canonicalize import connected_components_star
+
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    e1 = cust.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("a"),
+        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("b"),
+    )
+    e2 = nat.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("a"),
+        F.concat(F.lit("r:"), F.col("n_regionkey")).alias("b"),
+    )
+    return connected_components_star(e1.unionByName(e2))
+
+
 O_CC = """
 WITH RECURSIVE edges AS (
   SELECT 'c:' || c_custkey AS a, 'n:' || c_nationkey AS b FROM customer
@@ -1052,6 +1072,93 @@ FROM documents
 """
 
 
+def q_hexline_vote(spark, sf):
+    """F3 Intel-HEX / SREC line-vote classifier (surfactant/filetypeid/
+    id_hex.py:72-97): per doc, a synthesized ≤100-line text (Intel
+    lines, S-record lines, or prose by doc_id), classified by counting
+    well-formed lines of each format — majority wins, neither → NULL."""
+    from .functions.filetype import hexline_vote_expr
+
+    docs = _t(spark, sf, "documents")
+    intel_n = (F.col("doc_id") % 5 + 1).cast("int")
+    srec_n = (F.col("doc_id") % 4 + 1).cast("int")
+    txt = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("addr data\n"), F.repeat(F.lit(":10246200464C\n"), intel_n)))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("addr data\n"), F.repeat(F.lit("S113AF00464C5541D3\n"), srec_n)))
+        .otherwise(F.lit("plain text body"))
+    )
+    staged = docs.select("doc_id", txt.alias("txt"))
+    return staged.select("doc_id", hexline_vote_expr("txt").alias("vote"))
+
+
+O_HEXLINE_VOTE = """
+WITH t AS (
+  SELECT doc_id, CASE (doc_id % 3)
+    WHEN 0 THEN 'addr data' || chr(10) || repeat(':10246200464C' || chr(10), (doc_id % 5 + 1)::INT)
+    WHEN 1 THEN 'addr data' || chr(10) || repeat('S113AF00464C5541D3' || chr(10), (doc_id % 4 + 1)::INT)
+    ELSE 'plain text body' END AS txt
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    len(list_filter(string_split(txt, chr(10))[1:100],
+        x -> regexp_full_match(x, ':[0-9A-Fa-f]{10,}'))) AS i,
+    len(list_filter(string_split(txt, chr(10))[1:100],
+        x -> regexp_full_match(x, 'S[0-9][0-9A-Fa-f]{8,}'))) AS s
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN i = 0 AND s = 0 THEN NULL
+            WHEN i >= s THEN 'intelhex' ELSE 'srec' END AS vote
+FROM c
+"""
+
+
+def q_uuid_check(spark, sf):
+    """§2.7 uuid4 validity (surfactant/sbomtypes/_sbom.py:553-566):
+    candidates synthesized from md5(doc_id) — a valid v4 form, a
+    wrong-version-nibble form, and junk — classified by the version/
+    variant-nibble regex."""
+    from .functions.filetype import uuid4_valid_expr
+
+    docs = _t(spark, sf, "documents")
+    u = F.md5(F.col("doc_id").cast("string"))
+    def uuid_form(version_nibble: str):
+        return F.concat(
+            F.substring(u, 1, 8), F.lit("-"), F.substring(u, 9, 4),
+            F.lit("-" + version_nibble), F.substring(u, 14, 3),
+            F.lit("-a"), F.substring(u, 18, 3), F.lit("-"), F.substring(u, 21, 12),
+        )
+    cand = (
+        F.when(F.col("doc_id") % 3 == 0, uuid_form("4"))
+        .when(F.col("doc_id") % 3 == 1, uuid_form("7"))
+        .otherwise(F.lit("not-a-uuid"))
+    )
+    staged = docs.select("doc_id", cand.alias("cand"))
+    return staged.select("doc_id", "cand", uuid4_valid_expr("cand").alias("is_uuid4"))
+
+
+O_UUID_CHECK = """
+WITH t AS (
+  SELECT doc_id, md5(doc_id::VARCHAR) AS u FROM documents
+), c AS (
+  SELECT doc_id, CASE (doc_id % 3)
+    WHEN 0 THEN substr(u,1,8) || '-' || substr(u,9,4) || '-4' || substr(u,14,3)
+             || '-a' || substr(u,18,3) || '-' || substr(u,21,12)
+    WHEN 1 THEN substr(u,1,8) || '-' || substr(u,9,4) || '-7' || substr(u,14,3)
+             || '-a' || substr(u,18,3) || '-' || substr(u,21,12)
+    ELSE 'not-a-uuid' END AS cand
+  FROM t
+)
+SELECT doc_id, cand,
+       regexp_full_match(cand,
+         '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-4[0-9a-fA-F]{3}-[89abAB][0-9a-fA-F]{3}-[0-9a-fA-F]{12}'
+       ) AS is_uuid4
+FROM c
+"""
+
+
 def q_probe_dir_expansion(spark, sf):
     """J3 .NET probe-dir expansion (surfactant/relationships/
     dotnet_relationship.py:107-243): each dep generates base ×
@@ -1234,8 +1341,11 @@ REGISTRY: dict[str, tuple] = {
     "case_fold_join": (q_case_fold_join, O_CASE_FOLD_JOIN),
     "ext_type_id": (q_ext_type_id, O_EXT_TYPE),
     "probe_dir_expansion": (q_probe_dir_expansion, O_PROBE_DIR),
+    "hexline_vote": (q_hexline_vote, O_HEXLINE_VOTE),
+    "uuid_check": (q_uuid_check, O_UUID_CHECK),
     "find_filter": (q_find_filter, O_FIND_FILTER),
     "cc_components": (q_cc_components, O_CC),
+    "cc_star": (q_cc_star, O_CC),
     "cycle_nodes": (q_cycle_nodes, O_CYCLE_NODES),
     "expand_fixpoint": (q_expand_fixpoint, O_EXPAND_FIXPOINT),
     "hash_entities": (q_hash_entities, O_HASH_ENTITIES),

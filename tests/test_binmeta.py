@@ -36,6 +36,25 @@ def java_blob(major=55, minor=0):
     return b"\xca\xfe\xba\xbe" + struct.pack(">HH", minor, major) + b"\x00" * 8
 
 
+def java_class_blob():
+    """Minimal valid class file: cp = [Utf8 com/ex/Main, Class #1,
+    Utf8 java/lang/Object, Class #3, Utf8 java/util/List, Class #5,
+    Long (2 slots)], this_class = #2, super = #4."""
+    def utf8(s):
+        return b"\x01" + struct.pack(">H", len(s)) + s.encode()
+
+    def clazz(idx):
+        return b"\x07" + struct.pack(">H", idx)
+
+    cp = [utf8("com/ex/Main"), clazz(1), utf8("java/lang/Object"), clazz(3),
+          utf8("java/util/List"), clazz(5),
+          b"\x05" + struct.pack(">q", 42)]  # Long: takes 2 slots
+    cp_count = 1 + len(cp) + 1  # +1 slot for the Long's second slot
+    body = struct.pack(">H", cp_count) + b"".join(cp)
+    body += struct.pack(">HHH", 0x0021, 2, 4)  # access, this=#2, super=#4
+    return b"\xca\xfe\xba\xbe" + struct.pack(">HH", 0, 55) + body
+
+
 def rpm_blob(name="pkg-1.0"):
     lead = b"\xed\xab\xee\xdb" + bytes([3, 0]) + struct.pack(">hh", 0, 1)
     return lead + name.encode().ljust(66, b"\x00") + b"\x00" * 30
@@ -64,11 +83,23 @@ def test_pe_fields():
 def test_macho_java_rpm_uimage_fields():
     assert parse_macho(macho_blob()) == {
         "format": "macho", "bits": "64", "cputype": "x86_64", "filetype": "dylib"}
-    assert parse_java_class(java_blob()) == {
-        "format": "javaclass", "major": "55", "minor": "0", "min_se": "11"}
+    jm = parse_java_class(java_blob())
+    assert (jm["format"], jm["major"], jm["minor"], jm["min_se"]) == (
+        "javaclass", "55", "0", "11")
     assert parse_rpm_lead(rpm_blob())["name"] == "pkg-1.0"
     assert parse_uimage(uimage_blob()) == {
         "format": "uimage", "name": "kernel-img", "data_size": "12345"}
+
+
+def test_java_constant_pool_imports_exports():
+    m = parse_java_class(java_class_blob())
+    assert m["exports"] == "com/ex/Main"
+    assert m["imports"] == "java/lang/Object|java/util/List"
+    assert m["min_se"] == "11"
+    # truncated pool degrades to version-only, never raises
+    trunc = java_class_blob()[:16]
+    m2 = parse_java_class(trunc)
+    assert m2["major"] == "55" and "exports" not in m2
 
 
 def test_fat_macho_magic_not_misparsed_as_class():
@@ -81,6 +112,53 @@ def test_totality_on_junk():
     for junk in (b"", b"MZ", b"\x7fELF", b"\x00" * 200, b"plain text"):
         parse_binary_meta(junk)  # must not raise
     assert parse_binary_meta(b"random bytes" * 10) is None
+
+
+def test_java_export_index_join(spark):
+    """E5 + J4 end-to-end: parse class blobs → broadcast export index →
+    exploded-imports equi-join = Uses edges, self-edges excluded
+    (surfactant/relationships/java_relationship.py:11-51 shape)."""
+    from pyspark.sql import functions as F
+
+    from surfactant_spark.operators.multimodal import extract_binary_meta
+
+    def clazz(name, imports):
+        def utf8(s):
+            return b"\x01" + struct.pack(">H", len(s)) + s.encode()
+
+        def cref(idx):
+            return b"\x07" + struct.pack(">H", idx)
+
+        cp = [utf8(name), cref(1)]
+        for imp in imports:
+            cp.append(utf8(imp))
+            cp.append(cref(len(cp) - 1 + 1))  # utf8 idx just appended
+        body = struct.pack(">H", len(cp) + 1) + b"".join(cp)
+        body += struct.pack(">HHH", 0x0021, 2, 0)
+        return b"\xca\xfe\xba\xbe" + struct.pack(">HH", 0, 55) + body
+
+    blobs = [
+        ("jA", clazz("a/A", ["b/B", "c/C"])),
+        ("jB", clazz("b/B", ["c/C"])),
+        ("jC", clazz("c/C", [])),
+    ]
+    df = spark.createDataFrame(blobs, "media_id string, content binary")
+    meta = extract_binary_meta(df).where(F.col("format") == "javaclass")
+    exports = meta.select(
+        F.col("meta").getItem("exports").alias("cls"),
+        F.col("media_id").alias("supplier"),
+    )
+    imports = meta.select(
+        "media_id",
+        F.explode(F.split(F.col("meta").getItem("imports"), r"\|")).alias("cls"),
+    ).where(F.col("cls") != "")
+    uses = (
+        imports.join(F.broadcast(exports), "cls")
+        .where(F.col("media_id") != F.col("supplier"))
+        .select("media_id", "supplier")
+    )
+    got = {(r.media_id, r.supplier) for r in uses.collect()}
+    assert got == {("jA", "jB"), ("jA", "jC"), ("jB", "jC")}
 
 
 def test_arrow_extraction_stage(spark):

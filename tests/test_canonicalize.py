@@ -42,6 +42,31 @@ def test_cc_long_path_converges_by_pointer_jumping(spark):
     assert labels == {"n00"}
 
 
+def test_star_cc_matches_pointer_jumping(spark):
+    """large-star/small-star CC must produce the identical (node,
+    component) map as the min-label/pointer-jumping variant on mixed
+    shapes: chain + clique + giant skewed star + isolated pair."""
+    from surfactant_spark.operators.canonicalize import connected_components_star
+
+    rows = [(f"c{i}", f"c{i+1}") for i in range(12)]                 # chain
+    rows += [(f"k{i}", f"k{j}") for i in range(5) for j in range(i)]  # clique
+    rows += [("hub", f"s{i:03d}") for i in range(300)]                # skewed star
+    rows += [("p", "q"), ("q", "p")]                                  # dup/reverse
+    edges = spark.createDataFrame(rows, ["a", "b"])
+    a = {(r.node, r.component) for r in connected_components(edges).collect()}
+    b = {(r.node, r.component) for r in connected_components_star(edges).collect()}
+    assert a == b and len({c for _, c in a}) == 4
+
+
+def test_star_cc_long_path(spark):
+    from surfactant_spark.operators.canonicalize import connected_components_star
+
+    rows = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(32)]
+    comp = connected_components_star(spark.createDataFrame(rows, ["a", "b"]), max_iter=10)
+    labels = {r.component for r in comp.collect()}
+    assert labels == {"n00"} and comp.count() == 33
+
+
 def test_entity_canonical_map_min_sha_election(spark):
     emap = entity_canonical_map(
         spark,

@@ -78,6 +78,39 @@ def test_ext_type_python_and_column(spark):
         assert r.t == EXT_CASES[r.fname], r.fname
 
 
+def test_hexline_vote_semantics(spark):
+    from surfactant_spark.functions.filetype import hexline_vote, hexline_vote_expr
+
+    intel, srec = ":10246200464C", "S113AF00464C5541D3"
+    cases = {
+        "\n".join([intel] * 3): "intelhex",
+        "\n".join([srec] * 2): "srec",
+        "\n".join([intel, srec, srec]): "srec",        # majority
+        "\n".join([intel, srec]): "intelhex",          # tie → intelhex (>=)
+        "no records here\nat all": None,
+        ":zz too short": None,
+        # vote reads only the first 100 lines
+        "\n".join(["x"] * 100 + [intel] * 50): None,
+    }
+    for text, exp in cases.items():
+        assert hexline_vote(text) == exp, (text[:30], exp)
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    for r in df.select("text", hexline_vote_expr("text").alias("v")).collect():
+        assert r.v == cases[r.text], r.text[:30]
+
+
+def test_uuid4_validity():
+    from surfactant_spark.functions.filetype import is_valid_uuid4
+
+    assert is_valid_uuid4("123e4567-e89b-42d3-a456-426614174000")
+    assert is_valid_uuid4("123E4567-E89B-42D3-A456-426614174000")  # case
+    assert not is_valid_uuid4("123e4567-e89b-12d3-a456-426614174000")  # v1
+    assert not is_valid_uuid4("123e4567-e89b-42d3-c456-426614174000")  # variant
+    assert not is_valid_uuid4("not-a-uuid")
+    assert not is_valid_uuid4("")
+    assert not is_valid_uuid4(None)
+
+
 SHEBANG_CASES = {
     "#!/usr/bin/python3\nprint(1)": "python3",
     "#!/bin/sh -e\necho hi": "sh",

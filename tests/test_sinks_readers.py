@@ -40,6 +40,84 @@ def test_csv_flattening(spark, tmp_path):
     write_graph_csv(nodes, str(tmp_path / "csv"))  # smoke: writes without error
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key by the same bucket count
+    must join with NO shuffle Exchange in the physical plan — the
+    co-located layout the north rule requires for nodes/edges."""
+    from pyspark.sql import functions as F
+
+    from surfactant_spark.sources.sinks import write_bucketed_table
+
+    nodes = spark.range(0, 2000).select(
+        F.concat(F.lit("p:"), F.md5(F.col("id").cast("string"))).alias("canonical_id"),
+        (F.col("id") % 7).alias("grp"),
+    )
+    edges = spark.range(0, 6000).select(
+        F.concat(F.lit("p:"), F.md5((F.col("id") % 2000).cast("string"))).alias("subj"),
+        F.lit("Uses").alias("pred"),
+    )
+    write_bucketed_table(nodes, "t_nodes_b", "canonical_id", 8,
+                         path=str(tmp_path / "nodes_b"))
+    write_bucketed_table(edges, "t_edges_b", "subj", 8,
+                         path=str(tmp_path / "edges_b"))
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        n = spark.table("t_nodes_b")
+        e = spark.table("t_edges_b")
+        joined = n.join(e, n["canonical_id"] == e["subj"]).groupBy("grp").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the ONLY exchange allowed is the final groupBy('grp'); the
+        # join itself must read co-located buckets
+        join_part = plan.split("SortMergeJoin", 1)[-1]
+        assert "Exchange" not in join_part, join_part[:2000]
+        assert joined.count() == 7
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.sql("DROP TABLE IF EXISTS t_nodes_b")
+        spark.sql("DROP TABLE IF EXISTS t_edges_b")
+
+
+def test_cyclonedx_export_shape(spark, tmp_path):
+    import json
+
+    from surfactant_spark.sources.sinks import write_cyclonedx_json
+
+    nodes, edges = _graph(spark)
+    out = str(tmp_path / "bom.cdx.json")
+    write_cyclonedx_json(nodes, edges, out)
+    doc = json.load(open(out))
+    assert doc["bomFormat"] == "CycloneDX" and doc["specVersion"] == "1.5"
+    comps = {c["bom-ref"]: c for c in doc["components"]}
+    assert comps["p:a"]["hashes"] == [{"alg": "SHA-256", "content": "S1"}]
+    assert comps["p:a"]["version"] == "1.0" and comps["p:a"]["name"] == "Page A"
+    assert comps["e:x"]["type"] == "library" and "hashes" not in comps["e:x"]
+    assert doc["dependencies"] == [{"ref": "p:a", "dependsOn": ["e:x"]}]
+
+
+def test_spdx_export_shape(spark, tmp_path):
+    import json
+
+    from surfactant_spark.sources.sinks import write_spdx_json
+
+    nodes, edges = _graph(spark)
+    out = str(tmp_path / "doc.spdx.json")
+    write_spdx_json(nodes, edges, out)
+    doc = json.load(open(out))
+    assert doc["spdxVersion"] == "SPDX-2.3" and doc["SPDXID"] == "SPDXRef-DOCUMENT"
+    pkgs = {p["SPDXID"]: p for p in doc["packages"]}
+    assert pkgs["SPDXRef-p-a"]["checksums"][0]["checksumValue"] == "S1"
+    assert pkgs["SPDXRef-e-x"]["name"] == "alpha"
+    assert doc["relationships"] == [{
+        "spdxElementId": "SPDXRef-p-a",
+        "relationshipType": "DEPENDS_ON",
+        "relatedSpdxElement": "SPDXRef-e-x",
+    }]
+
+
 def test_csv_round_trip_fixed_point(spark, tmp_path):
     """write → read → write is a fixed point at the CSV-row level
     (the reference's read-back-what-you-wrote contract)."""
