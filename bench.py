@@ -199,6 +199,19 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         scaling = run_scaling(repo)
 
+    micro = {}
+    if os.environ.get("SPARK_GRAFT_MICRO", "1") != "0":
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.join(repo, "tools", "bench_mentions.py")],
+                capture_output=True, text=True, timeout=900,
+                env=dict(os.environ, PYTHONPATH=repo), cwd=repo,
+            )
+            line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+            micro["mention_confirm"] = json.loads(line)
+        except Exception:
+            pass
+
     total = round(sum(times.values()), 3)
     result = {
         "metric": "headline_queries_total",
@@ -209,6 +222,7 @@ def main() -> None:
         "cores": cores,
         "kg": kg,
         "scaling": scaling,
+        "micro": micro,
     }
     print(json.dumps(result))
 
@@ -247,6 +261,26 @@ def main() -> None:
                     f"| {rec['cores']} | {rec['docs_per_sec']} | {rec['sec']} "
                     f"| {rec.get('steal_jiffies', '—')} |\n"
                 )
+        if micro.get("mention_confirm"):
+            mc = micro["mention_confirm"]
+            sp, ld = mc.get("short_pages", {}), mc.get("long_docs", {})
+            f.write(
+                f"\n## Micro: windowed vs full-text mention confirm "
+                f"({mc.get('n_entities')}-entity dictionary)\n\n"
+                f"| regime | windowed s | full-text s | full/windowed |\n"
+                f"|---|---|---|---|\n"
+                f"| short pages (5-10 KB, frequent literals) | "
+                f"{sp.get('windowed_sec')} | {sp.get('fulltext_sec')} | "
+                f"{sp.get('ratio')} |\n"
+                f"| long docs (~60 KB, rare literals, failing confirms) | "
+                f"{ld.get('windowed_sec')} | {ld.get('fulltext_sec')} | "
+                f"{ld.get('speedup')} |\n\n"
+                f"Region-merged ±(50, 4096) windows: ≈parity on web pages "
+                f"(the merge guard — naive per-candidate windows measured "
+                f"10× slower there), and the advantage grows with document "
+                f"length; results are identical in both modes "
+                f"(tools/bench_mentions.py asserts parity).\n"
+            )
             if "hw_envelope" in scaling:
                 hwe = scaling["hw_envelope"]
                 f.write(

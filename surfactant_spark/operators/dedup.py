@@ -260,6 +260,61 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS scheme): hash every positional k-token gram, slide a
+    w-hash window, keep each window's minimum; the fingerprint is the
+    sorted distinct selected values ('|'-joined for engine-portable
+    comparison).  Guarantees: any shared run of ≥ w+k-1 tokens between
+    two documents shares ≥1 fingerprint — the containment/near-dup
+    detector that plain min-hashing can't give (it has no locality).
+
+    Pure column expressions end-to-end: grams via transform over an
+    index sequence, window minima via a second transform over slices —
+    no UDF, no shuffle, whole-stage codegen.  Hash = first 8 md5 hex
+    chars (engine-portable).  Docs with < k tokens → empty fingerprint;
+    < w grams → one window over all grams."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+    staged = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    idx = F.sequence(F.lit(0), F.size(F.col("_toks")) - k)
+    grams = F.when(F.size(F.col("_toks")) >= k, F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_toks"), (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    hashed = staged.select(
+        "id",
+        F.transform(
+            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        ).alias("_h"),
+    )
+    n = F.size(F.col("_h"))
+    wins = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - w, F.lit(0))),
+            lambda i: F.array_min(F.slice(F.col("_h"), i + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    fp = F.transform(
+        F.array_sort(F.array_distinct(wins)), lambda x: x.cast("string")
+    )
+    return hashed.select(
+        F.col("id").alias(id_col), F.concat_ws("|", fp).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 

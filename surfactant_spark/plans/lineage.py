@@ -50,12 +50,17 @@ class LineageCollector:
 
             t0 = time.monotonic()
             rows = 0
+            nbytes = 0
             for pdf in batches:
                 rows += len(pdf)
+                # deep usage walks string objects — the real payload
+                # size a shuffle/sink would carry, worth the metric
+                # cost on an already-instrumented stage
+                nbytes += int(pdf.memory_usage(index=False, deep=True).sum())
                 yield pdf
             wall_ms = int((time.monotonic() - t0) * 1000)
             pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-            acc.add([(run_id, stage, pid, rows, rows, wall_ms)])
+            acc.add([(run_id, stage, pid, rows, rows, nbytes, wall_ms)])
 
         return df.mapInPandas(passthrough, schema=df.schema)
 

@@ -876,6 +876,42 @@ SELECT query_id, rnk, target_id, cos_x10000 FROM ranked WHERE rnk <= 5
 """
 
 
+def q_winnow_fp(spark, sf):
+    """Winnowing document fingerprints (dedup.winnow_fingerprints,
+    Schleimer et al. SIGMOD'03): positional 4-gram hashes, 5-hash
+    window minima, sorted distinct selection — the rolling-hash
+    fingerprint family for containment detection."""
+    return dd.winnow_fingerprints(_t(spark, sf, "documents"), k=4, w=5)
+
+
+O_WINNOW_FP = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 4 THEN
+           list_transform(range(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         ELSE [] END AS g
+  FROM toks
+), hashed AS (
+  SELECT doc_id,
+         list_transform(g, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
+  FROM grams
+), wins AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= 1 THEN
+           list_transform(range(1, greatest(len(h) - 5, 0) + 2),
+             i -> list_min(h[i:i+4]))
+         ELSE [] END AS sel
+  FROM hashed
+)
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(sel)), '|') AS fingerprint
+FROM wins
+"""
+
+
 def q_token_count(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.select(
@@ -1351,6 +1387,7 @@ REGISTRY: dict[str, tuple] = {
     "hash_entities": (q_hash_entities, O_HASH_ENTITIES),
     "exact_dedup": (q_exact_dedup, O_EXACT_DEDUP),
     "fingerprint_dedup": (q_fingerprint_dedup, O_FINGERPRINT_DEDUP),
+    "winnow_fp": (q_winnow_fp, O_WINNOW_FP),
     "minhash_lsh": (q_minhash_lsh, O_MINHASH_LSH),
     "simhash": (q_simhash, O_SIMHASH),
     "simhash64": (q_simhash64, O_SIMHASH64),

@@ -79,6 +79,7 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("input_rows", T.LongType(), False),
         T.StructField("output_rows", T.LongType(), False),
+        T.StructField("output_bytes", T.LongType(), False),
         T.StructField("wall_ms", T.LongType(), False),
     ]
 )

@@ -45,6 +45,24 @@ def stream_mentions(
     return detect_mentions(src, compiled)
 
 
+def stream_dedup_content(
+    extracted_stream: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Cross-batch exact dedup on the content hash with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in state only until
+    the event-time watermark passes it, so a re-crawled page arriving
+    within the lateness window is dropped as a duplicate and state
+    never grows with the corpus — the streaming face of the pipeline's
+    dedup-before-expensive-work rule (mentions are paid once per
+    content hash).  Duplicates separated by more than the watermark
+    re-emit; the periodic batch merge (operators/merge.py) remains the
+    global reconciliation, matching the reference's batch-merge
+    semantics."""
+    return extracted_stream.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["content_sha256"])
+
+
 def windowed_host_counts(
     extracted_stream: DataFrame,
     window: str = "10 minutes",

@@ -135,6 +135,30 @@ def test_lsh_near_pairs_no_crossjoin_and_recall(spark):
     assert len(gmap) >= 0.4 * len(bmap), (len(gmap), len(bmap))
 
 
+def test_winnow_containment_guarantee(spark):
+    """Winnowing invariant (Schleimer et al.): any shared token run of
+    length ≥ w + k - 1 (= 8 at k=4, w=5) between two documents yields
+    at least one shared fingerprint; identical docs yield identical
+    fingerprints; unrelated docs share nothing."""
+    from surfactant_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, "prefix words " + shared + " suffix trail"),
+        (1, shared + " completely different continuation text here now"),
+        (2, "prefix words " + shared + " suffix trail"),  # dup of 0
+        (3, "unrelated corpus speaking about distributed query engines"),
+        (4, "tiny"),  # < k tokens → empty fingerprint
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r.doc_id: set(filter(None, r.fingerprint.split("|")))
+           for r in winnow_fingerprints(df, k=4, w=5).collect()}
+    assert fps[0] & fps[1], "shared run must share a fingerprint"
+    assert fps[0] == fps[2]
+    assert not (fps[0] & fps[3])
+    assert fps[4] == set()
+
+
 def test_ivf_ann_recall_and_exactness(spark):
     """IVF top-k: scores are exact where emitted, recall vs brute force
     has a sane floor at nprobe=2/8 clusters, and the quantizer is

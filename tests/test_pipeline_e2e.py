@@ -84,3 +84,6 @@ def test_lineage_rows_emitted(spark, pipeline_run):
 
     bad = lin.where((F.col("output_rows") < 0) | (F.col("partition_id") < 0)).count()
     assert bad == 0
+    # bytes metric: any stage that emitted rows must report payload bytes
+    under = lin.where((F.col("output_rows") > 0) & (F.col("output_bytes") <= 0)).count()
+    assert under == 0
