@@ -259,6 +259,58 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return cand.where(hamming <= max_hamming).select("id_a", "id_b")
 
 
+def lsh_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate GROUPS (id → group id) via MinHash-LSH banding +
+    connected components — the operator a 100 TB dedup pipeline
+    materializes instead of pairwise candidates.
+
+    ``lsh_candidate_pairs`` self-joins on the band key, which goes
+    quadratic inside a hot band (a 10⁶-copy boilerplate page = 10¹²
+    pairs in one bucket).  Here each band bucket instead contributes
+    only LINEAR edges — every member links to the bucket's minimum id
+    (the seed) — and connected components over those doc→seed edges
+    yields exactly the same grouping as CC over the full candidate-pair
+    graph (x–seed–y connects every pair that banding would have
+    emitted).  Edge count = docs × bands, independent of cluster sizes.
+    Group id = min member id; singleton docs map to themselves."""
+    rows = k // bands
+    sig = minhash_signature_agg(df, id_col, text_col, k, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*parts)).alias("band_val"))
+        )
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bd")).select(
+        "id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
+    ).where(F.col("band_val").isNotNull())
+    seeds = banded.groupBy("band_idx", "band_val").agg(F.min("id").alias("seed"))
+    edges = (
+        banded.join(seeds, ["band_idx", "band_val"])
+        .where(F.col("id") != F.col("seed"))
+        .select(F.col("id").alias("a"), F.col("seed").alias("b"))
+        .distinct()
+    )
+    from .canonicalize import connected_components
+
+    cc = connected_components(edges)
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(cc, all_ids["id"] == cc["node"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("component"), F.col("id")).alias("group_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (rolling-hash document fingerprinting)
 # ---------------------------------------------------------------------------

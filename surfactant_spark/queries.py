@@ -610,6 +610,58 @@ SELECT doc_id, ({bits})::BIGINT AS simhash32 FROM agg
 """
 
 
+def q_lsh_dup_groups(spark, sf):
+    """Scalable near-dup GROUPING (dedup.lsh_dup_groups): band buckets
+    contribute linear doc→seed edges (never the quadratic in-bucket
+    pair join), connected components over those edges = the same
+    grouping the pairwise candidate graph induces.  Oracle: identical
+    edge construction + recursive-CTE reachability."""
+    return dd.lsh_dup_groups(_t(spark, sf, "documents"), k=8, bands=4)
+
+
+def _lsh_groups_sql(k: int = 8) -> str:
+    mh = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, t -> md5('{i}|' || t)), 'min') AS mh{i}"
+        for i in range(k)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || mh{2*b+1}) AS band_val FROM sig"
+        for b in range(k // 2)
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+  WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id, {mh} FROM base
+), bands AS (
+  {bands}
+), seeds AS (
+  SELECT band_idx, band_val, min(doc_id) AS seed FROM bands GROUP BY 1, 2
+), e AS (
+  SELECT DISTINCT b.doc_id AS a, s.seed AS b
+  FROM bands b JOIN seeds s USING (band_idx, band_val)
+  WHERE b.doc_id != s.seed
+), sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS node, least(a, min(b)) AS group_id FROM reach GROUP BY a
+)
+SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+O_LSH_DUP_GROUPS = _lsh_groups_sql(8)
+
+
 def q_simhash(spark, sf):
     return dd.simhash32(_t(spark, sf, "documents"))
 
@@ -1389,6 +1441,7 @@ REGISTRY: dict[str, tuple] = {
     "fingerprint_dedup": (q_fingerprint_dedup, O_FINGERPRINT_DEDUP),
     "winnow_fp": (q_winnow_fp, O_WINNOW_FP),
     "minhash_lsh": (q_minhash_lsh, O_MINHASH_LSH),
+    "lsh_dup_groups": (q_lsh_dup_groups, O_LSH_DUP_GROUPS),
     "simhash": (q_simhash, O_SIMHASH),
     "simhash64": (q_simhash64, O_SIMHASH64),
     "simhash_pairs": (q_simhash_pairs, O_SIMHASH_PAIRS),

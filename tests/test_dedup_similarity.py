@@ -135,6 +135,29 @@ def test_lsh_near_pairs_no_crossjoin_and_recall(spark):
     assert len(gmap) >= 0.4 * len(bmap), (len(gmap), len(bmap))
 
 
+def test_lsh_dup_groups_equiv_and_hot_band(spark, near_dup_docs):
+    """Grouping via linear doc→seed edges must equal connected
+    components over the quadratic pairwise candidate graph; a hot band
+    (many identical docs) yields one group from O(n) edges."""
+    from surfactant_spark.operators.canonicalize import connected_components
+    from surfactant_spark.operators.dedup import lsh_dup_groups
+
+    groups = {r.doc_id: r.group_id for r in lsh_dup_groups(near_dup_docs).collect()}
+    pairs = lsh_candidate_pairs(near_dup_docs).withColumnRenamed(
+        "id_a", "a"
+    ).withColumnRenamed("id_b", "b")
+    cc = {r.node: r.component for r in connected_components(pairs).collect()}
+    for doc, grp in groups.items():
+        assert grp == cc.get(doc, doc), (doc, grp, cc.get(doc))
+
+    hot = spark.createDataFrame(
+        [(i, BASE) for i in range(100)] + [(1000, "entirely different words here")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.group_id for r in lsh_dup_groups(hot).collect()}
+    assert {got[i] for i in range(100)} == {0} and got[1000] == 1000
+
+
 def test_winnow_containment_guarantee(spark):
     """Winnowing invariant (Schleimer et al.): any shared token run of
     length ≥ w + k - 1 (= 8 at k=4, w=5) between two documents yields

@@ -35,6 +35,7 @@ AUDITS = {
     "embed_neardup": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
     "simhash_pairs": ["HashAggregate", "!CartesianProduct"],
     "ngram_jaccard": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    "lsh_dup_groups": ["!CartesianProduct"],
 }
 
 
@@ -55,7 +56,7 @@ def main() -> None:
         "find_filter", "broadcast_join_agg", "probe_path_join",
         "local_supplier_volume", "tpch_q1_pricing", "mention_detect",
         "minhash_lsh", "window_rank", "roots_antijoin", "embed_topk",
-        "embed_neardup", "simhash_pairs", "ngram_jaccard",
+        "embed_neardup", "simhash_pairs", "ngram_jaccard", "lsh_dup_groups",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
