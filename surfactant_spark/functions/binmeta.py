@@ -41,8 +41,77 @@ MACHO_CPUTYPES = {
 MACHO_FILETYPES = {1: "object", 2: "exec", 6: "dylib", 8: "bundle"}
 
 
+# dynamic-section tags (System V ABI)
+_DT_NULL, _DT_NEEDED, _DT_STRTAB = 0, 1, 5
+_DT_SONAME, _DT_RPATH, _DT_RUNPATH = 14, 15, 29
+_PT_LOAD, _PT_DYNAMIC = 1, 2
+
+
+def _elf_dynamic(b: bytes, endian: str) -> dict[str, str]:
+    """Walk ELF64 program headers → PT_DYNAMIC → DT_NEEDED /
+    DT_SONAME / DT_RPATH / DT_RUNPATH, resolving the string table
+    through the PT_LOAD vaddr→offset mapping — the elfDependencies
+    source the reference feeds into the Uses join
+    (elf_file.py:56-195; deps sorted for stable output per
+    elf_file.py:172-173)."""
+    e_phoff, = struct.unpack_from(endian + "Q", b, 32)
+    e_phentsize, e_phnum = struct.unpack_from(endian + "HH", b, 54)
+    loads: list[tuple[int, int, int]] = []  # (vaddr, offset, filesz)
+    dyn_off = dyn_sz = None
+    for i in range(min(e_phnum, 64)):
+        off = e_phoff + i * e_phentsize
+        p_type, = struct.unpack_from(endian + "I", b, off)
+        p_offset, p_vaddr = struct.unpack_from(endian + "QQ", b, off + 8)
+        p_filesz, = struct.unpack_from(endian + "Q", b, off + 32)
+        if p_type == _PT_LOAD:
+            loads.append((p_vaddr, p_offset, p_filesz))
+        elif p_type == _PT_DYNAMIC:
+            dyn_off, dyn_sz = p_offset, p_filesz
+    if dyn_off is None:
+        return {}
+
+    def v2o(vaddr: int) -> int | None:
+        for pv, po, sz in loads:
+            if pv <= vaddr < pv + sz:
+                return vaddr - pv + po
+        return None
+
+    entries: list[tuple[int, int]] = []
+    strtab_v = None
+    for off in range(dyn_off, min(dyn_off + dyn_sz, len(b) - 15), 16):
+        tag, val = struct.unpack_from(endian + "qQ", b, off)
+        if tag == _DT_NULL:
+            break
+        entries.append((tag, val))
+        if tag == _DT_STRTAB:
+            strtab_v = val
+    if strtab_v is None:
+        return {}
+    str_off = v2o(strtab_v)
+    if str_off is None:
+        return {}
+
+    def cstr(rel: int) -> str:
+        start = str_off + rel
+        end = b.find(b"\x00", start)
+        return b[start:end].decode("utf-8", errors="replace") if end > start else ""
+
+    needed = sorted(cstr(v) for t, v in entries if t == _DT_NEEDED)
+    out: dict[str, str] = {}
+    if needed:
+        out["needed"] = "|".join(n for n in needed if n)
+    for tag, key in ((_DT_SONAME, "soname"), (_DT_RPATH, "rpath"),
+                     (_DT_RUNPATH, "runpath")):
+        vals = [cstr(v) for t, v in entries if t == tag]
+        if vals and vals[0]:
+            out[key] = vals[0]
+    return out
+
+
 def parse_elf(b: bytes) -> dict[str, str] | None:
-    """ELF ident + e_type/e_machine (elf_file.py:56-195 core fields)."""
+    """ELF ident + e_type/e_machine + dynamic-linking metadata
+    (elf_file.py:56-195 core fields).  The dynamic walk is best-effort:
+    malformed tables degrade to the ident fields."""
     if len(b) < 20 or b[:4] != b"\x7fELF":
         return None
     ei_class = {1: "elf32", 2: "elf64"}.get(b[4])
@@ -51,31 +120,94 @@ def parse_elf(b: bytes) -> dict[str, str] | None:
         return None
     endian = "<" if ei_data == "lsb" else ">"
     e_type, e_machine = struct.unpack_from(endian + "HH", b, 16)
-    return {
+    out = {
         "format": "elf",
         "class": ei_class,
         "endian": ei_data,
         "type": ELF_TYPES.get(e_type, f"unknown({e_type})"),
         "machine": ELF_MACHINES.get(e_machine, f"unknown({e_machine})"),
     }
+    if ei_class == "elf64" and len(b) >= 64:
+        try:
+            out.update(_elf_dynamic(b, endian))
+        except Exception:
+            pass  # ident fields only (log-and-continue policy)
+    return out
+
+
+def _pe_imports(b: bytes, e_lfanew: int, n_sections: int, size_opt: int) -> str:
+    """Imported DLL names from the import directory — the peImport
+    source feeding the reference's PE Uses join
+    (pe_file.py:145-149, pe_relationship.py:19-78).  RVAs resolve
+    through the section table; sorted '|'-joined, '' when absent."""
+    opt = e_lfanew + 24
+    (magic,) = struct.unpack_from("<H", b, opt)
+    dd = opt + (112 if magic == 0x20B else 96)  # data directories (PE32+/PE32)
+    imp_rva, imp_sz = struct.unpack_from("<II", b, dd + 8)  # entry 1 = imports
+    if imp_rva == 0:
+        return ""
+    sec0 = opt + size_opt
+    sections = []
+    for i in range(min(n_sections, 96)):
+        off = sec0 + i * 40
+        vsize, vaddr, rawsz, rawptr = struct.unpack_from("<IIII", b, off + 8)
+        sections.append((vaddr, max(vsize, rawsz), rawptr))
+
+    def rva2off(rva: int) -> int | None:
+        for va, sz, raw in sections:
+            if va <= rva < va + sz:
+                return rva - va + raw
+        return None
+
+    def cstr(off: int) -> str:
+        end = b.find(b"\x00", off)
+        return b[off:end].decode("ascii", errors="replace") if end > off else ""
+
+    names = set()
+    desc = rva2off(imp_rva)
+    if desc is None:
+        return ""
+    for i in range(0, min(imp_sz, 64 * 20), 20):
+        if desc + i + 20 > len(b):
+            break
+        fields = struct.unpack_from("<IIIII", b, desc + i)
+        if not any(fields):
+            break
+        name_off = rva2off(fields[3])
+        if name_off is not None:
+            n = cstr(name_off)
+            if n:
+                names.add(n)
+    return "|".join(sorted(names))
 
 
 def parse_pe(b: bytes) -> dict[str, str] | None:
-    """MZ → e_lfanew → 'PE\\0\\0' → COFF machine/characteristics
-    (pe_file.py:116-232 core fields; is_dll from IMAGE_FILE_DLL)."""
+    """MZ → e_lfanew → 'PE\\0\\0' → COFF machine/characteristics +
+    imported DLL names (pe_file.py:116-232 core fields; is_dll from
+    IMAGE_FILE_DLL).  Import parsing is best-effort: malformed tables
+    degrade to the COFF fields."""
     if len(b) < 0x40 or b[:2] != b"MZ":
         return None
     (e_lfanew,) = struct.unpack_from("<I", b, 0x3C)
     if e_lfanew + 24 > len(b) or b[e_lfanew:e_lfanew + 4] != b"PE\x00\x00":
         return None
     machine, n_sections, _ts = struct.unpack_from("<HHI", b, e_lfanew + 4)
+    (size_opt,) = struct.unpack_from("<H", b, e_lfanew + 20)
     (characteristics,) = struct.unpack_from("<H", b, e_lfanew + 22)
-    return {
+    out = {
         "format": "pe",
         "machine": PE_MACHINES.get(machine, f"unknown({machine})"),
         "n_sections": str(n_sections),
         "is_dll": str(bool(characteristics & PE_DLL_FLAG)).lower(),
     }
+    if size_opt >= 96:
+        try:
+            imports = _pe_imports(b, e_lfanew, n_sections, size_opt)
+            if imports:
+                out["imports"] = imports
+        except Exception:
+            pass  # COFF fields only (log-and-continue policy)
+    return out
 
 
 def parse_macho(b: bytes) -> dict[str, str] | None:

@@ -80,6 +80,51 @@ def contains_edges(extracted: DataFrame) -> DataFrame:
     )
 
 
+ELF_DEFAULT_LIBDIRS = ("/lib", "/lib64", "/usr/lib", "/usr/lib64")
+
+
+def elf_search_paths(
+    runpath: str | None,
+    origin: str,
+    libdirs: tuple[str, ...] = ("lib", "lib64"),
+    use_default: bool = True,
+) -> list[str]:
+    """J1 search-path generation with DST token expansion
+    (surfactant/relationships/elf_relationship.py:152-198, 279-396):
+    each ':'-separated runpath entry expands ``$ORIGIN`` → the
+    binary's directory, ``$LIB`` → one variant per libdir (branching
+    1 → N), and entries containing ``$PLATFORM`` are DROPPED
+    (unresolvable without the running machine); the default system
+    dirs append unless the binary sets DF_1_NODEFLIB
+    (``use_default=False``).  Order-preserving, deduplicated,
+    normalized — candidate (dir, soname) pairs then feed the shared
+    equi-join (J10)."""
+    from ..functions.extract import posix_normpath
+
+    out: list[str] = []
+    for entry in (runpath.split(":") if runpath else []):
+        if not entry or "$PLATFORM" in entry or "${PLATFORM}" in entry:
+            continue
+        variants = [entry]
+        for tok in ("${LIB}", "$LIB"):
+            if tok in entry:
+                variants = [entry.replace(tok, ld) for ld in libdirs]
+                break
+        for v in variants:
+            for tok in ("${ORIGIN}", "$ORIGIN"):
+                v = v.replace(tok, origin)
+            out.append(posix_normpath(v))
+    if use_default:
+        out.extend(ELF_DEFAULT_LIBDIRS)
+    seen: set[str] = set()
+    uniq = []
+    for d in out:
+        if d not in seen:
+            seen.add(d)
+            uniq.append(d)
+    return uniq
+
+
 def probe_dir_candidates(base_col, name_col, cultures: list[str],
                          subdirs: list[str]):
     """J3 probe-dir generator (surfactant/relationships/

@@ -20,12 +20,90 @@ def elf64_blob(e_type=3, e_machine=0x3E, endian="<"):
     return ident + struct.pack(endian + "HH", e_type, e_machine) + b"\x00" * 44
 
 
+def elf64_dynamic_blob(needed=("libc.so.6", "libz.so.1"), soname="libme.so.2",
+                       runpath="$ORIGIN/../lib"):
+    """Minimal well-formed ELF64 with PT_LOAD (identity vaddr=offset)
+    and PT_DYNAMIC: ehdr + 2 phdrs + dynamic array + strtab."""
+    ehdr_sz, phent = 64, 56
+    # layout: [ehdr][phdr0][phdr1][dynamic...][strtab]
+    strtab = b"\x00"
+    str_off = {}
+    def s(name):
+        nonlocal strtab
+        if name not in str_off:
+            str_off[name] = len(strtab)
+            strtab += name.encode() + b"\x00"
+        return str_off[name]
+
+    dyn = []
+    for n in needed:
+        dyn.append((1, s(n)))          # DT_NEEDED
+    dyn.append((14, s(soname)))        # DT_SONAME
+    dyn.append((29, s(runpath)))       # DT_RUNPATH
+    dyn_pos = ehdr_sz + 2 * phent
+    n_dyn = len(dyn) + 2               # + DT_STRTAB + DT_NULL
+    strtab_pos = dyn_pos + n_dyn * 16
+    dyn.append((5, strtab_pos))        # DT_STRTAB (vaddr == offset)
+    dyn.append((0, 0))                 # DT_NULL
+    dyn_bytes = b"".join(struct.pack("<qQ", t, v) for t, v in dyn)
+    total = strtab_pos + len(strtab)
+
+    ident = b"\x7fELF" + bytes([2, 1, 1]) + b"\x00" * 9
+    ehdr = ident + struct.pack("<HHIQQQIHHHHHH",
+        3, 0x3E, 1,          # e_type=DYN, e_machine=x86_64, version
+        0,                   # e_entry
+        ehdr_sz,             # e_phoff
+        0, 0,                # e_shoff, e_flags
+        ehdr_sz, phent, 2,   # e_ehsize, e_phentsize, e_phnum
+        0, 0, 0)             # shentsize, shnum, shstrndx
+    def phdr(p_type, off, sz):
+        return struct.pack("<IIQQQQQQ", p_type, 5, off, off, off, sz, sz, 0x1000)
+    blob = (ehdr + phdr(1, 0, total) + phdr(2, dyn_pos, n_dyn * 16)
+            + dyn_bytes + strtab)
+    assert len(blob) == total
+    return blob
+
+
 def pe_blob(machine=0x8664, dll=False):
     characteristics = 0x0002 | (0x2000 if dll else 0)
     head = b"MZ" + b"\x00" * 0x3A + struct.pack("<I", 0x40)
     coff = b"PE\x00\x00" + struct.pack("<HHIIIHH", machine, 3, 1700000000, 0, 0, 224,
                                        characteristics)
     return head + coff + b"\x00" * 16
+
+
+def pe_import_blob(dlls=("KERNEL32.dll", "ws2_32.dll")):
+    """Minimal PE32+ with one section holding the import directory
+    (identity-ish rva→raw mapping via the section header)."""
+    e_lfanew = 0x40
+    size_opt = 112 + 16 * 8  # PE32+ fixed part + 16 data directories
+    sec0 = e_lfanew + 24 + size_opt
+    raw_ptr = sec0 + 40            # section data right after the table
+    va = 0x1000
+    # section payload: descriptors (dlls + terminator) then names
+    names_rel = (len(dlls) + 1) * 20
+    rels, names = [], b""
+    for d in dlls:
+        rels.append(names_rel + len(names))
+        names += d.encode() + b"\x00"
+    descs = b""
+    for r in rels:
+        descs += struct.pack("<IIIII", 0, 0, 0, va + r, 0)
+    descs += struct.pack("<IIIII", 0, 0, 0, 0, 0)
+    payload = descs + names
+
+    head = b"MZ" + b"\x00" * 0x3A + struct.pack("<I", e_lfanew)
+    coff = b"PE\x00\x00" + struct.pack("<HHIIIHH", 0x8664, 1, 1700000000, 0, 0,
+                                       size_opt, 0x0002)
+    opt = struct.pack("<H", 0x20B) + b"\x00" * 106 + struct.pack("<I", 16)
+    ddirs = struct.pack("<II", 0, 0) + struct.pack("<II", va, len(descs))
+    ddirs += b"\x00" * 8 * 14
+    section = (b".idata\x00\x00"
+               + struct.pack("<IIII", len(payload), va, len(payload), raw_ptr)
+               + b"\x00" * 16)
+    blob = head + coff + opt + ddirs + section
+    assert len(blob) == raw_ptr, (len(blob), raw_ptr)
+    return blob + payload
 
 
 def macho_blob(cputype=0x01000007, filetype=6):
@@ -73,11 +151,32 @@ def test_elf_fields():
     assert m["type"] == "exec" and m["machine"] == "aarch64" and m["endian"] == "msb"
 
 
+def test_elf_dynamic_needed_soname_runpath():
+    m = parse_elf(elf64_dynamic_blob())
+    assert m["needed"] == "libc.so.6|libz.so.1"  # sorted, '|'-joined
+    assert m["soname"] == "libme.so.2"
+    assert m["runpath"] == "$ORIGIN/../lib"
+    assert m["type"] == "dyn" and m["machine"] == "x86_64"
+    # truncated dynamic segment degrades to ident fields, never raises
+    trunc = elf64_dynamic_blob()[:80]
+    m2 = parse_elf(trunc)
+    assert m2["machine"] == "x86_64" and "needed" not in m2
+
+
 def test_pe_fields():
     m = parse_pe(pe_blob(dll=True))
     assert m == {"format": "pe", "machine": "x86_64", "n_sections": "3",
                  "is_dll": "true"}
     assert parse_pe(pe_blob(machine=0x014C, dll=False))["is_dll"] == "false"
+
+
+def test_pe_import_table():
+    m = parse_pe(pe_import_blob())
+    assert m["imports"] == "KERNEL32.dll|ws2_32.dll"  # sorted
+    assert m["machine"] == "x86_64" and m["n_sections"] == "1"
+    # truncated import section degrades to COFF fields, never raises
+    m2 = parse_pe(pe_import_blob()[:200])
+    assert m2["machine"] == "x86_64" and "imports" not in m2
 
 
 def test_macho_java_rpm_uimage_fields():

@@ -71,3 +71,61 @@ def test_uses_and_full_build(spark):
     assert by_pred == {"Uses": 3, "LinksTo": 3, "Contains": 3}
     # dedup: (subj,pred,obj) unique
     assert edges.count() == edges.select("subj", "pred", "obj").distinct().count()
+
+
+def test_elf_search_paths_dst_expansion():
+    """DST semantics parity (elf_relationship.py:279-396): $ORIGIN
+    substitution, $LIB 1→N branching, $PLATFORM drop, DF_1_NODEFLIB
+    suppressing defaults, normalization, order-preserving dedup."""
+    from surfactant_spark.operators.linking import elf_search_paths
+
+    got = elf_search_paths(
+        "$ORIGIN/../$LIB:/opt/$PLATFORM/lib:${ORIGIN}/plugins:/lib",
+        origin="/app/bin",
+    )
+    assert got == [
+        "/app/lib", "/app/lib64",         # $ORIGIN/../$LIB branched + normalized
+        "/app/bin/plugins",               # ${ORIGIN} form
+        "/lib",                           # runpath /lib wins position; deduped vs default
+        "/lib64", "/usr/lib", "/usr/lib64",
+    ]
+    # DF_1_NODEFLIB analog: no default dirs
+    assert elf_search_paths("$ORIGIN/sub", "/a", use_default=False) == ["/a/sub"]
+    # no runpath at all → defaults only
+    assert elf_search_paths(None, "/a") == list(
+        __import__("surfactant_spark.operators.linking",
+                   fromlist=["ELF_DEFAULT_LIBDIRS"]).ELF_DEFAULT_LIBDIRS
+    )
+
+
+def test_elf_parsed_deps_to_uses_join(spark):
+    """E1 → J1 end-to-end on REAL parsed metadata: DT_NEEDED +
+    $ORIGIN/$LIB runpath from the binary's dynamic segment generate
+    candidate (dir, soname) paths; equi-join against installed-file
+    paths yields the Uses edges."""
+    from pyspark.sql import functions as F
+
+    from surfactant_spark.operators.linking import elf_search_paths
+    from surfactant_spark.operators.multimodal import extract_binary_meta
+    from tests.test_binmeta import elf64_dynamic_blob
+
+    blob = elf64_dynamic_blob(needed=("libz.so.1", "libq.so.9"),
+                              runpath="$ORIGIN/../lib")
+    df = spark.createDataFrame([("binA", blob)], "media_id string, content binary")
+    meta = {r.media_id: r.meta for r in extract_binary_meta(df).collect()}
+    needed = meta["binA"]["needed"].split("|")
+    dirs = elf_search_paths(meta["binA"]["runpath"], origin="/app/bin")
+    cands = spark.createDataFrame(
+        [("binA", f"{d}/{n}") for n in needed for d in dirs], ["bin", "cand"]
+    )
+    installed = spark.createDataFrame(
+        [("/app/lib/libz.so.1", "tgtZ"), ("/usr/lib/libq.so.9", "tgtQ"),
+         ("/app/lib/unrelated.so", "tgtX")],
+        ["path", "target"],
+    )
+    uses = cands.join(installed, cands["cand"] == installed["path"]).select(
+        "bin", "target"
+    )
+    assert {(r.bin, r.target) for r in uses.collect()} == {
+        ("binA", "tgtZ"), ("binA", "tgtQ")
+    }
