@@ -210,8 +210,15 @@ def parse_pe(b: bytes) -> dict[str, str] | None:
     return out
 
 
+_LC_LOAD_DYLIB, _LC_ID_DYLIB, _LC_RPATH = 0x0C, 0x0D, 0x8000001C
+
+
 def parse_macho(b: bytes) -> dict[str, str] | None:
-    """Mach-O header: cputype + filetype (mach_o_file.py:60-185 core)."""
+    """Mach-O header + load-command walk: cputype/filetype plus
+    LC_LOAD_DYLIB dependencies, LC_ID_DYLIB install name, and LC_RPATH
+    entries (mach_o_file.py:60-185 — the deps/rpaths the reference's
+    Mach-O Uses resolution consumes).  Strings are NUL-terminated at a
+    per-command offset; malformed commands degrade to header fields."""
     if len(b) < 16:
         return None
     magics = {
@@ -223,12 +230,45 @@ def parse_macho(b: bytes) -> dict[str, str] | None:
         return None
     endian, is64 = m
     cputype, _cpusub, filetype = struct.unpack_from(endian + "iII", b, 4)
-    return {
+    out = {
         "format": "macho",
         "bits": "64" if is64 else "32",
         "cputype": MACHO_CPUTYPES.get(cputype, f"unknown({cputype})"),
         "filetype": MACHO_FILETYPES.get(filetype, f"unknown({filetype})"),
     }
+    try:
+        (ncmds,) = struct.unpack_from(endian + "I", b, 16)
+        pos = 32 if is64 else 28
+        deps, rpaths, install = [], [], None
+
+        def lc_str(cmd_start: int, cmd_size: int) -> str:
+            (off,) = struct.unpack_from(endian + "I", b, cmd_start + 8)
+            end = b.find(b"\x00", cmd_start + off, cmd_start + cmd_size)
+            return b[cmd_start + off:end].decode("utf-8", errors="replace") \
+                if end > cmd_start + off else ""
+
+        for _ in range(min(ncmds, 256)):
+            if pos + 8 > len(b):
+                break
+            cmd, cmdsize = struct.unpack_from(endian + "II", b, pos)
+            if cmdsize < 8 or pos + cmdsize > len(b):
+                break
+            if cmd == _LC_LOAD_DYLIB:
+                deps.append(lc_str(pos, cmdsize))
+            elif cmd == _LC_ID_DYLIB:
+                install = lc_str(pos, cmdsize)
+            elif cmd == _LC_RPATH:
+                rpaths.append(lc_str(pos, cmdsize))
+            pos += cmdsize
+        if deps:
+            out["deps"] = "|".join(sorted(d for d in deps if d))
+        if install:
+            out["install_name"] = install
+        if rpaths:
+            out["rpaths"] = "|".join(r for r in rpaths if r)
+    except Exception:
+        pass  # header fields only (log-and-continue policy)
+    return out
 
 
 # constant-pool entry payload sizes by tag (JVM spec §4.4); Utf8 (1) is

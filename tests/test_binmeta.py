@@ -110,6 +110,32 @@ def macho_blob(cputype=0x01000007, filetype=6):
     return b"\xcf\xfa\xed\xfe" + struct.pack("<iII", cputype, 3, filetype) + b"\x00" * 16
 
 
+def macho_dylib_blob(deps=("/usr/lib/libSystem.B.dylib", "@rpath/libfoo.dylib"),
+                     install="@rpath/libme.dylib", rpath="@loader_path/../lib"):
+    """Mach-O 64 LE with LC_LOAD_DYLIB × deps, LC_ID_DYLIB, LC_RPATH."""
+    def dylib_cmd(cmd, name):
+        payload = name.encode() + b"\x00"
+        size = 24 + len(payload)
+        size += (-size) % 8  # 8-byte aligned
+        return struct.pack("<IIIIII", cmd, size, 24, 0, 0x10000, 0x10000) \
+            + payload.ljust(size - 24, b"\x00")
+
+    def rpath_cmd(path):
+        payload = path.encode() + b"\x00"
+        size = 12 + len(payload)
+        size += (-size) % 8
+        return struct.pack("<III", 0x8000001C, size, 12) \
+            + payload.ljust(size - 12, b"\x00")
+
+    cmds = b"".join(dylib_cmd(0x0C, d) for d in deps)
+    cmds += dylib_cmd(0x0D, install) + rpath_cmd(rpath)
+    n = len(deps) + 2
+    hdr = b"\xcf\xfa\xed\xfe" + struct.pack(
+        "<iIIIII", 0x01000007, 3, 6, n, len(cmds), 0
+    ) + b"\x00" * 4
+    return hdr + cmds
+
+
 def java_blob(major=55, minor=0):
     return b"\xca\xfe\xba\xbe" + struct.pack(">HH", minor, major) + b"\x00" * 8
 
@@ -199,6 +225,18 @@ def test_java_constant_pool_imports_exports():
     trunc = java_class_blob()[:16]
     m2 = parse_java_class(trunc)
     assert m2["major"] == "55" and "exports" not in m2
+
+
+def test_macho_load_commands():
+    m = parse_macho(macho_dylib_blob())
+    # deps sorted, '|'-joined (same convention as ELF needed)
+    assert m["deps"] == "/usr/lib/libSystem.B.dylib|@rpath/libfoo.dylib"
+    assert m["install_name"] == "@rpath/libme.dylib"
+    assert m["rpaths"] == "@loader_path/../lib"
+    assert m["cputype"] == "x86_64" and m["filetype"] == "dylib"
+    # truncated command list degrades to header fields
+    m2 = parse_macho(macho_dylib_blob()[:40])
+    assert m2["cputype"] == "x86_64" and "deps" not in m2
 
 
 def test_fat_macho_magic_not_misparsed_as_class():
