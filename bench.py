@@ -58,7 +58,10 @@ def _time_df(df) -> float:
 
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
-SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+# 2 interleaved rounds × (per-probe JIT-steady-state best-of-≤4) bounds
+# worst-case scaling time at ~25 min while still giving every level two
+# independent measurement windows; raise via env for manual deep runs.
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
 
 
 def _steal_jiffies() -> int:
