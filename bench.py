@@ -176,31 +176,53 @@ def main() -> None:
     for name in HEADLINE:
         times[name] = round(_time_df(registry[name](spark, sf_dir)), 3)
 
-    # KG pipeline end-to-end (compute + edge/node materialization to noop)
+    # KG pipeline end-to-end (compute + edge/node materialization to noop).
+    # Best-of-2 with per-stage wall times: the r2 driver run measured this
+    # once and caught a steal storm (50.2 s reported vs ~15 s steady-state,
+    # see tools/bisect_kg.py) — single-shot numbers on this host lie, the
+    # same lesson the scaling probe already encodes.
     compiled = compile_dictionary()
     emap = entity_canonical_map(
         spark, sorted({p.entity_key for p in compiled.patterns}), alias_edges()
     ).cache()
     emap.count()
-    pages = synth_pages(spark, KG_PAGES, partitions=4 * cores)
-    t0 = time.monotonic()
-    # stage boundaries as compressed columnar cache (see SCALING.md:
-    # row-level localCheckpoint of big text frames measures GC)
-    ext = extract_pages(pages).cache()
-    ext.count()
-    mentions = detect_mentions(content_for_detection(ext), compiled).cache()
-    edges = build_edges(ext, mentions, emap)
-    nodes = build_nodes(ext, mentions, emap)
-    edges.write.format("noop").mode("overwrite").save()
-    nodes.write.format("noop").mode("overwrite").save()
-    kg_sec = time.monotonic() - t0
-    ext.unpersist()
-    mentions.unpersist()
+    # python-worker warmup: first mapInPandas task per worker pays ~1-2 s
+    # of pandas/pyarrow import; don't bill that to the pipeline
+    spark.range(4 * cores).repartition(4 * cores).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    kg_runs = []
+    for _ in range(2):
+        pages = synth_pages(spark, KG_PAGES, partitions=4 * cores)
+        stages = {}
+        t0 = t = time.monotonic()
+        # stage boundaries as compressed columnar cache (see SCALING.md:
+        # row-level localCheckpoint of big text frames measures GC)
+        ext = extract_pages(pages).cache()
+        ext.count()
+        stages["extract"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        mentions = detect_mentions(content_for_detection(ext), compiled).cache()
+        mentions.count()
+        stages["mentions"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        edges = build_edges(ext, mentions, emap)
+        edges.write.format("noop").mode("overwrite").save()
+        stages["edges"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        nodes = build_nodes(ext, mentions, emap)
+        nodes.write.format("noop").mode("overwrite").save()
+        stages["nodes"] = round(time.monotonic() - t, 3)
+        kg_runs.append({"sec": round(time.monotonic() - t0, 3), "stages": stages})
+        ext.unpersist()
+        mentions.unpersist()
+    kg_sec = min(r["sec"] for r in kg_runs)
     times["kg_pipeline"] = round(kg_sec, 3)
     kg = {
         "n_pages": KG_PAGES,
         "sec": round(kg_sec, 3),
         "docs_per_sec": round(KG_PAGES / kg_sec, 1),
+        "runs": kg_runs,
     }
     spark.stop()
 

@@ -78,8 +78,13 @@ class AhoCorasick:
     def find_all(self, text: str) -> list[tuple[int, int]]:
         """(pattern_id, end_index) for every occurrence (end-inclusive
         position of the match's last char) — the start-position-report
-        shape the reference exposes for windowed regex confirm."""
-        text = text.lower()
+        shape the reference exposes for windowed regex confirm.
+
+        The caller must pass already-lowercased text: offsets are
+        reported against the string *as given*, and ``str.lower()`` can
+        change string length for some Unicode code points ('İ' → 'i̇'),
+        so lowering here would silently misalign offsets against the
+        caller's raw string."""
         node = 0
         out: list[tuple[int, int]] = []
         for i, ch in enumerate(text):

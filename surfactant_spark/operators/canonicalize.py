@@ -12,9 +12,10 @@ has two parts:
    implements min-label propagation with pointer jumping (hash-to-min):
    each iteration (a) takes the min label over the 1-hop neighborhood,
    (b) compresses paths by joining labels onto themselves.  Converges in
-   O(log n) iterations; every iteration is localCheckpoint-ed so lineage
-   stays flat (replace with reliable ``checkpoint`` + a cluster
-   checkpoint dir at production scale).
+   O(log n) iterations; every iteration is checkpointed so lineage stays
+   flat — executor-local by default, or a reliable ``checkpoint`` when
+   ``checkpoint_dir`` points at cluster storage.  The convergence probe
+   (an extra Spark job per round) can be batched via ``check_every``.
 
 Canonical ID election is deterministic: the minimum sha256 over the
 component's member keys (FIXTURES.md §4), the analog of Surfactant's
@@ -23,8 +24,24 @@ keep-the-first-UUID merge (surfactant/sbomtypes/_sbom.py:219-263).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _round_checkpoint(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Per-iteration lineage truncation.  localCheckpoint (executor
+    block store) by default; a reliable ``checkpoint`` when a directory
+    is provided — at production scale a lost executor invalidates
+    localCheckpoint blocks mid-convergence, so long CC runs on real
+    clusters should pass an HDFS/S3 ``checkpoint_dir``."""
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -32,6 +49,8 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 25,
+    check_every: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """→ (node, component) where component = min node id (total order on
     the node string) reachable from ``node``.
@@ -45,13 +64,14 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    labels = (
+    labels = _round_checkpoint(
         sym.select(F.col("u").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        checkpoint_dir,
     )
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         # (a) min label over neighborhood
         prop = (
             sym.join(labels, sym["v"] == labels["node"], "inner")
@@ -66,24 +86,38 @@ def connected_components(
         lab2 = new_labels.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
-        jumped = (
+        jumped = _round_checkpoint(
             new_labels.join(lab2, new_labels["label"] == lab2["pnode"], "left")
             .select(
                 "node",
                 F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
+            ),
+            checkpoint_dir,
+        )
+        # batching the convergence probe every ``check_every`` rounds
+        # halves (or better) the driver-side actions per iteration —
+        # each probe is its own Spark job, and on a busy cluster job
+        # launch latency dominates small-graph rounds
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+            if changed == 0:
+                labels = jumped
+                converged = True
+                break
         labels = jumped
-        if changed == 0:
-            break
+    if not converged:
+        warnings.warn(
+            f"connected_components: no convergence within max_iter={max_iter}; "
+            "labels may be non-minimal for some components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -92,6 +126,8 @@ def connected_components_star(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 25,
+    check_every: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Large-star/small-star connected components (the MapReduce CC
     algorithm of Kiveris et al., "Connected Components in MapReduce and
@@ -146,17 +182,30 @@ def connected_components_star(
         )
         return canon(out)
 
-    cur = canon(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
-        changed = (
-            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
-        )
+    cur = _round_checkpoint(
+        canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))),
+        checkpoint_dir,
+    )
+    converged = False
+    for it in range(max_iter):
+        nxt = _round_checkpoint(small_star(large_star(cur)), checkpoint_dir)
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = (
+                nxt.exceptAll(cur).limit(1).count()
+                + cur.exceptAll(nxt).limit(1).count()
+            )
+            if changed == 0:
+                cur = nxt
+                converged = True
+                break
         cur = nxt
-        if changed == 0:
-            break
+    if not converged:
+        warnings.warn(
+            f"connected_components_star: no convergence within max_iter={max_iter}; "
+            "emitting the current (possibly non-stable) star forest",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # star forest: every non-root points straight at the component min
     members = cur.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
     roots = (

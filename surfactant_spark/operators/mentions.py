@@ -69,9 +69,13 @@ AC_THRESHOLD = 32  # above this many patterns, one AC scan beats per-literal pas
 # reference's ±(50, 4096)-byte windows
 # (surfactant/infoextractors/native_lib_file.py:246-270): a true regex
 # match must contain a prefilter literal, so scanning only
-# [literal_start-50, literal_start+4096) is result-identical to the
-# full-text search while costing O(window) instead of O(len(text)) per
-# candidate — the difference grows with dictionary size × text length.
+# [literal_start-50, literal_start+4096) costs O(window) instead of
+# O(len(text)) per candidate.  This equals the full-text search only
+# under the reference's bounded-match-span assumption: a match whose
+# variable material extends >50 chars before its prefilter literal, or
+# >4096 chars past it, is outside every window and missed — identical
+# behavior to the reference's window policy, but not a mathematical
+# identity for arbitrary patterns.
 WINDOW_BEFORE = 50
 WINDOW_AFTER = 4096
 
@@ -117,7 +121,9 @@ def _detect_batches(
         overlapping window scans (measured 10× regression without the
         merge on 5-10 KB pages whose prefilter literals are frequent
         words).  First confirming region wins = leftmost confirmed
-        occurrence, matching full-text ``rx.search``."""
+        occurrence, matching full-text ``rx.search`` for matches that
+        fit the window span (see the WINDOW_* note above for the
+        bounded-match-span caveat)."""
         if p.entity_key in matched[i]:
             return
         n = len(text_i)
@@ -156,17 +162,22 @@ def _detect_batches(
                 # around those positions only
                 for i in range(n):
                     t = text.iat[i]
+                    tl = t.lower()  # lowered ONCE; AC offsets are against tl
                     cand: dict[int, list[int]] = {}
-                    for lit_id, end in ac.find_all(t):
+                    for lit_id, end in ac.find_all(tl):
                         lit_len, pidxs = lit_info[lit_id]
                         for pi in pidxs:
                             cand.setdefault(pi, []).append(end - lit_len + 1)
+                    # str.lower() can change length for rare Unicode code
+                    # points ('İ' → 'i̇'); offsets into tl are then invalid
+                    # windows into t, so such rows take the full-text path
+                    windows_ok = windowed_confirm and len(tl) == len(t)
                     for pi in sorted(cand):
-                        if windowed_confirm:
+                        if windows_ok:
                             _confirm_windowed(
                                 i, patterns[pi], t, sorted(cand[pi]), matched, out_rows
                             )
-                        else:  # full-text confirm (measurement baseline)
+                        else:  # full-text confirm (also the measurement baseline)
                             _confirm(i, patterns[pi], t, matched, out_rows)
             else:
                 lower = text.str.lower()

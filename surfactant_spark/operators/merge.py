@@ -42,6 +42,12 @@ def _match_edges(nodes: DataFrame, hash_cols: list[str] | None = None) -> DataFr
     dedup-merge."""
     if hash_cols is None:
         hash_cols = _present_hash_cols(nodes)
+    if not hash_cols:
+        # no hash columns at all → nothing can match; empty edge set,
+        # not an AttributeError on None.distinct()
+        return nodes.sparkSession.createDataFrame(
+            [], "a string, b string"
+        )
     out = None
     for hc in hash_cols:
         keyed = nodes.where(F.col(hc).isNotNull()).select("canonical_id", hc)

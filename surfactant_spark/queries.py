@@ -845,27 +845,41 @@ _IVF_CENTROIDS: list[list[float]] | None = None
 
 def _ivf_centroids() -> list[list[float]]:
     """The IVF coarse quantizer, trained ONCE driver-side (deterministic
-    k-means on the first 256 vectors of the sf0.01 embeddings table —
-    the pre-trained-quantizer production pattern) and injected as
-    literals into BOTH the Spark plan and the DuckDB oracle."""
+    k-means on the first 256 vectors of the oracle-scale embeddings
+    table — the pre-trained-quantizer production pattern) and injected
+    as literals into BOTH the Spark plan and the DuckDB oracle.
+
+    The training corpus is pinned to ONE sf (the driver's correctness
+    gate runs the oracle SQL at sf0.01) because ``oracle_sql()`` strings
+    are built without an sf argument; override with
+    ``SPARK_GRAFT_ORACLE_SF_DIR``.  Parity only needs both engines to
+    share the literals, which they do by construction."""
     global _IVF_CENTROIDS
     if _IVF_CENTROIDS is None:
+        import os
+        import sys
+
         from .operators.similarity import _kmeans
 
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        path = os.path.join(sf_dir, "embeddings.parquet")
         vecs: list[list[float]] = []
-        try:
+        if os.path.exists(path):
             import duckdb
 
             rows = duckdb.sql(
-                "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet'"
-                " ORDER BY vec_id LIMIT 256"
+                f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 256"
             ).fetchall()
             vecs = [[float(x) for x in r[0]] for r in rows]
-        except Exception:
-            pass
         if not vecs:  # no testdata: deterministic pseudo-random fallback
             from .operators.similarity import _hyperplanes
 
+            print(
+                f"ivf_topk: no embeddings at {path}; falling back to the "
+                "hyperplane-derived quantizer (results differ from "
+                "testdata-trained centroids)",
+                file=sys.stderr,
+            )
             vecs = _hyperplanes(64, 16, salt=7)
         _IVF_CENTROIDS = _kmeans(vecs, 8, 5)
     return _IVF_CENTROIDS

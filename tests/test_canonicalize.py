@@ -78,3 +78,42 @@ def test_entity_canonical_map_min_sha_election(spark):
     assert rows["k1"] == (expected_canon, ("k1", "k2"))
     assert rows["k2"] == (expected_canon, ("k1", "k2"))
     assert rows["solo"] == ("e:" + _sha("solo"), ("solo",))
+
+
+def test_cc_batched_convergence_check_same_result(spark):
+    # check_every=3 probes convergence only every third round; result
+    # must be identical to per-round probing on a chain (worst case for
+    # early exit) — the production CC hardening contract
+    rows = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(24)]
+    edges = spark.createDataFrame(rows, ["a", "b"])
+    a = {(r.node, r.component) for r in connected_components(edges).collect()}
+    b = {
+        (r.node, r.component)
+        for r in connected_components(edges, check_every=3).collect()
+    }
+    assert a == b
+    from surfactant_spark.operators.canonicalize import connected_components_star
+
+    c = {
+        (r.node, r.component)
+        for r in connected_components_star(edges, check_every=3).collect()
+    }
+    assert a == c
+
+
+def test_cc_warns_on_max_iter_exhaustion(spark):
+    import warnings as w
+
+    from surfactant_spark.operators.canonicalize import connected_components_star
+
+    # a 65-node path cannot flatten in 1 round for either variant
+    rows = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(64)]
+    edges = spark.createDataFrame(rows, ["a", "b"])
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        connected_components(edges, max_iter=1).collect()
+        assert any("no convergence" in str(x.message) for x in rec)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        connected_components_star(edges, max_iter=1).collect()
+        assert any("no convergence" in str(x.message) for x in rec)
