@@ -350,6 +350,125 @@ def parse_rpm_lead(b: bytes) -> dict[str, str] | None:
     }
 
 
+# RPM header tag numbers (public rpm.org file-format spec / rpmtag.h)
+_RPMTAG_STR = {
+    1000: "name", 1001: "version", 1002: "release", 1004: "summary",
+    1020: "url", 1021: "os", 1022: "arch", 1044: "sourcerpm",
+}
+_RPMTAG_DIRINDEXES = 1116
+_RPMTAG_BASENAMES = 1117
+_RPMTAG_DIRNAMES = 1118
+_RPMTAG_FILEDIGESTS = 1035  # historically FILEMD5S — same tag number
+_RPMTAG_PROVIDENAME, _RPMTAG_PROVIDEVERSION = 1047, 1113
+_RPMTAG_REQUIRENAME, _RPMTAG_REQUIREVERSION = 1049, 1050
+
+
+def _rpm_header(b: bytes, off: int) -> tuple[dict[int, object], int] | None:
+    """One RPM header section (magic 8e ad e8 01, 4 reserved, nindex,
+    hsize, nindex 16-byte index entries, hsize data bytes).  Returns
+    (tag → decoded value, offset past the data store)."""
+    if len(b) < off + 16 or b[off:off + 3] != b"\x8e\xad\xe8":
+        return None
+    nindex, hsize = struct.unpack_from(">II", b, off + 8)
+    store = off + 16 + 16 * nindex
+    end = store + hsize
+    if nindex > 65536 or end > len(b):
+        return None
+    tags: dict[int, object] = {}
+    for i in range(nindex):
+        tag, typ, doff, count = struct.unpack_from(">iIII", b, off + 16 + 16 * i)
+        p = store + doff
+        if p >= end:
+            continue
+        if typ in (6, 9):  # STRING / I18NSTRING (first locale)
+            tags[tag] = b[p:end].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        elif typ == 8:  # STRING_ARRAY
+            vals, q = [], p
+            for _ in range(count):
+                nul = b.find(b"\x00", q, end)
+                if nul < 0:
+                    break
+                vals.append(b[q:nul].decode("utf-8", "replace"))
+                q = nul + 1
+            tags[tag] = vals
+        elif typ == 4 and p + 4 * count <= end:  # INT32 array
+            tags[tag] = list(struct.unpack_from(f">{count}I", b, p))
+        elif typ == 3 and p + 2 * count <= end:  # INT16 array
+            tags[tag] = list(struct.unpack_from(f">{count}H", b, p))
+    return tags, end
+
+
+def rpm_digest_algo(digest: str) -> str | None:
+    """Hash algorithm from hex-digest length — the reference's
+    length-based detection (rpm_file.py:38-55; standard hex sizes)."""
+    return {32: "md5", 40: "sha1", 64: "sha256", 128: "sha512"}.get(len(digest))
+
+
+def parse_rpm(b: bytes) -> dict[str, str] | None:
+    """RPM lead + signature header + main header: simple string tags,
+    provides/requires pairs, and the per-file digest map that feeds the
+    ``Installs`` edge join (rpm_file.py:133-213 field set;
+    relationships/rpmfile_relationship.py:20-65 consumer).
+
+    ``associated_files`` is encoded as newline-separated
+    ``path<TAB>digest`` entries (decode with
+    :func:`rpm_associated_files`); ``file_algo`` is detected from
+    digest length like the reference's ``algo_from_len``."""
+    out = parse_rpm_lead(b)
+    if out is None:
+        return None
+    sig = _rpm_header(b, 96)
+    if sig is None:
+        return out  # lead-only fallback (log-and-continue policy)
+    _, sig_end = sig
+    hdr = _rpm_header(b, (sig_end + 7) & ~7)  # signature pads to 8 bytes
+    if hdr is None:
+        return out
+    tags, _ = hdr
+    for tag, key in _RPMTAG_STR.items():
+        if tag in tags and isinstance(tags[tag], str):
+            out[key] = tags[tag]
+    for name_tag, ver_tag, key in (
+        (_RPMTAG_PROVIDENAME, _RPMTAG_PROVIDEVERSION, "provides"),
+        (_RPMTAG_REQUIRENAME, _RPMTAG_REQUIREVERSION, "requires"),
+    ):
+        names, vers = tags.get(name_tag), tags.get(ver_tag)
+        if isinstance(names, list) and isinstance(vers, list) and len(names) == len(vers):
+            out[key] = "|".join(f"{n} {v}".rstrip() for n, v in zip(names, vers))
+    basenames = tags.get(_RPMTAG_BASENAMES)
+    dirnames = tags.get(_RPMTAG_DIRNAMES)
+    dirindexes = tags.get(_RPMTAG_DIRINDEXES)
+    digests = tags.get(_RPMTAG_FILEDIGESTS)
+    if (
+        isinstance(basenames, list) and isinstance(dirnames, list)
+        and isinstance(dirindexes, list) and isinstance(digests, list)
+        and len(basenames) == len(dirindexes) == len(digests)
+    ):
+        entries, algo = [], None
+        for base, di, dg in zip(basenames, dirindexes, digests):
+            if not 0 <= di < len(dirnames):
+                continue
+            entries.append(f"{dirnames[di]}{base}\t{dg}")
+            if algo is None and dg:
+                algo = rpm_digest_algo(dg)
+        if entries:
+            out["associated_files"] = "\n".join(entries)
+            if algo:
+                out["file_algo"] = algo
+    return out
+
+
+def rpm_associated_files(meta: dict[str, str]) -> list[tuple[str, str]]:
+    """Decode :func:`parse_rpm`'s ``associated_files`` encoding back to
+    (path, digest) pairs; empty-digest entries (ghost/dir files) kept —
+    the Installs join filters them like the reference's falsy check
+    (rpmfile_relationship.py:31-32)."""
+    enc = meta.get("associated_files", "")
+    if not enc:
+        return []
+    return [tuple(line.split("\t", 1)) for line in enc.split("\n") if "\t" in line]
+
+
 def parse_uimage(b: bytes) -> dict[str, str] | None:
     """U-Boot legacy image: 32-byte name at offset 32
     (uimage_file.py:236-239 name-hint source, confidence 40)."""
@@ -361,7 +480,7 @@ def parse_uimage(b: bytes) -> dict[str, str] | None:
 
 
 _PARSERS = [parse_elf, parse_pe, parse_macho, parse_java_class,
-            parse_rpm_lead, parse_uimage]
+            parse_rpm, parse_uimage]
 
 
 def parse_binary_meta(b: bytes) -> dict[str, str] | None:

@@ -151,3 +151,73 @@ def graph_roots(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """A6 root detection: nodes with no inbound edge
     (surfactant/cmd/merge.py:101) — left anti join."""
     return nodes.join(edges, nodes["canonical_id"] == edges["obj"], "left_anti")
+
+
+def installs_edges(packages: DataFrame, files: DataFrame) -> DataFrame:
+    """``Installs`` edges (J5): package → file whenever a package's
+    per-file digest equals a file node's content hash — the reference's
+    RPM relationship rule (surfactant/relationships/
+    rpmfile_relationship.py:20-65): sha256 packages match on sha256,
+    md5 packages through the md5 fallback scan, other algorithms are
+    skipped with a warning.
+
+    ``packages``: (pkg_id, file_algo, associated_files map<path,digest>)
+    — the :func:`~surfactant_spark.functions.binmeta.parse_rpm` shape.
+    ``files``: (file_id, sha256, md5).  Files are hash-unique after
+    dedup-merge; if not, the deterministic min(file_id) per digest
+    stands in for the reference's first-match scan
+    (rpmfile_relationship.py:53-66).
+
+    Scale shape: explode is linear in total package-manifest size; each
+    branch is a plain equi-join on the digest (broadcast when the
+    package side is small, shuffle-hash otherwise — Catalyst's call);
+    no cross join, no driver scan.
+    """
+    exploded = (
+        packages.select(
+            "pkg_id",
+            F.col("file_algo"),
+            F.explode("associated_files").alias("path", "digest"),
+        )
+        .where(F.col("digest").isNotNull() & (F.col("digest") != ""))
+    )
+    unknown = exploded.where(~F.col("file_algo").isin("sha256", "md5"))
+    out = None
+    for algo in ("sha256", "md5"):
+        if algo not in files.columns:
+            continue
+        matched = (
+            exploded.where(F.col("file_algo") == algo)
+            .join(
+                files.where(F.col(algo).isNotNull()).select(
+                    F.col(algo).alias("digest"), "file_id"
+                ),
+                "digest",
+            )
+            .groupBy("pkg_id", "digest")
+            .agg(F.min("file_id").alias("file_id"))
+            .select("pkg_id", "file_id")
+        )
+        out = matched if out is None else out.unionByName(matched)
+    if out is None:
+        out = exploded.sparkSession.createDataFrame([], "pkg_id string, file_id string")
+    # the reference warns per unmatched-algo package; surface the same
+    # signal without a driver collect of the big frame
+    n_unknown = unknown.select("pkg_id").distinct().limit(1).count()
+    if n_unknown:
+        import warnings
+
+        warnings.warn(
+            "installs_edges: packages with unimplemented file_algo were "
+            "skipped (reference parity: rpmfile_relationship.py:46-49)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return (
+        out.distinct()
+        .select(
+            F.col("pkg_id").alias("subj"),
+            F.lit("Installs").alias("pred"),
+            F.col("file_id").alias("obj"),
+        )
+    )

@@ -1423,8 +1423,89 @@ FROM documents CROSS JOIN (SELECT unnest(range(8)) AS form) f
 # Registry
 # ===========================================================================
 
+def q_installs_hash_join(spark, sf):
+    """J5 `Installs` edge family (surfactant/relationships/
+    rpmfile_relationship.py:20-65): package manifests carry per-file
+    digests; sha256 packages equi-join files on sha256, md5 packages on
+    the md5 fallback, unimplemented algorithms are skipped.  Packages
+    are synthesized from supplier (3-file manifests over part-derived
+    blobs), files from part with every third sha256 missing — so both
+    join branches, the miss path, and the skip path are all exercised."""
+    from .operators.merge import installs_edges
+
+    part = _t(spark, sf, "part")
+    sup = _t(spark, sf, "supplier")
+    blob = F.concat(F.lit("blob"), F.col("p_partkey").cast("string"))
+    files = part.select(
+        F.concat(F.lit("f"), F.col("p_partkey").cast("string")).alias("file_id"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit(None))
+        .otherwise(F.sha2(blob, 256))
+        .alias("sha256"),
+        F.md5(blob).alias("md5"),
+    )
+    mx = part.agg(F.max("p_partkey").alias("mx"))
+
+    def digest(j: int):
+        k = ((F.col("s_suppkey") + F.lit(j * 17)) % F.col("mx") + 1).cast("string")
+        b = F.concat(F.lit("blob"), k)
+        return (
+            F.when(F.col("file_algo") == "sha256", F.sha2(b, 256))
+            .when(F.col("file_algo") == "md5", F.md5(b))
+            .otherwise(F.repeat(F.lit("0"), 128))
+        )
+
+    pkgs = (
+        sup.crossJoin(F.broadcast(mx))  # 1-row scalar frame, not a real cross
+        .select(
+            F.concat(F.lit("pkg"), F.col("s_suppkey").cast("string")).alias("pkg_id"),
+            F.when(F.col("s_suppkey") % 7 == 0, F.lit("sha512"))
+            .when(F.col("s_suppkey") % 2 == 0, F.lit("sha256"))
+            .otherwise(F.lit("md5"))
+            .alias("file_algo"),
+            "s_suppkey",
+            "mx",
+        )
+        .select(
+            "pkg_id",
+            "file_algo",
+            F.map_from_arrays(
+                F.array(*[F.lit(f"/opt/pkg/{j}") for j in range(3)]),
+                F.array(*[digest(j) for j in range(3)]),
+            ).alias("associated_files"),
+        )
+    )
+    return installs_edges(pkgs, files)
+
+
+O_INSTALLS = """
+WITH mx AS (SELECT max(p_partkey) AS mx FROM part),
+files AS (
+  SELECT 'f' || p_partkey AS file_id,
+         CASE WHEN p_partkey % 3 = 0 THEN NULL
+              ELSE sha256('blob' || p_partkey) END AS sha256,
+         md5('blob' || p_partkey) AS md5
+  FROM part),
+manifest AS (
+  SELECT 'pkg' || s_suppkey AS pkg_id,
+         CASE WHEN s_suppkey % 7 = 0 THEN 'sha512'
+              WHEN s_suppkey % 2 = 0 THEN 'sha256' ELSE 'md5' END AS file_algo,
+         CASE WHEN s_suppkey % 7 = 0 THEN repeat('0', 128)
+              WHEN s_suppkey % 2 = 0 THEN sha256('blob' || ((s_suppkey + j*17) % mx + 1))
+              ELSE md5('blob' || ((s_suppkey + j*17) % mx + 1)) END AS digest
+  FROM supplier, mx, UNNEST([0,1,2]) AS t(j)),
+matched AS (
+  SELECT m.pkg_id, m.digest, min(f.file_id) AS file_id
+  FROM manifest m JOIN files f
+    ON (m.file_algo = 'sha256' AND f.sha256 = m.digest)
+    OR (m.file_algo = 'md5' AND f.md5 = m.digest)
+  GROUP BY m.pkg_id, m.digest)
+SELECT DISTINCT pkg_id AS subj, 'Installs' AS pred, file_id AS obj FROM matched
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
+    "installs_hash_join": (q_installs_hash_join, O_INSTALLS),
     "tpch_q1_pricing": (q_tpch_q1_pricing, O_TPCH_Q1),
     "stat_counts": (q_stat_counts, O_STAT_COUNTS),
     "capture_window": (q_capture_window, O_CAPTURE_WINDOW),

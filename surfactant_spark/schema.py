@@ -87,3 +87,4 @@ LINEAGE_SCHEMA = T.StructType(
 PRED_USES = "Uses"
 PRED_LINKS_TO = "LinksTo"
 PRED_CONTAINS = "Contains"
+PRED_INSTALLS = "Installs"  # package → payload file (J5, rpmfile_relationship.py)
