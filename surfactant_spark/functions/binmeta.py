@@ -135,18 +135,20 @@ def parse_elf(b: bytes) -> dict[str, str] | None:
     return out
 
 
-def _pe_imports(b: bytes, e_lfanew: int, n_sections: int, size_opt: int) -> str:
-    """Imported DLL names from the import directory — the peImport
-    source feeding the reference's PE Uses join
-    (pe_file.py:145-149, pe_relationship.py:19-78).  RVAs resolve
-    through the section table; sorted '|'-joined, '' when absent."""
+def _pe_data_dir(b: bytes, e_lfanew: int, idx: int) -> tuple[int, int]:
+    """(rva, size) of optional-header data directory ``idx``
+    (PE32/PE32+ layouts differ by 16 bytes before the directories)."""
     opt = e_lfanew + 24
     (magic,) = struct.unpack_from("<H", b, opt)
-    dd = opt + (112 if magic == 0x20B else 96)  # data directories (PE32+/PE32)
-    imp_rva, imp_sz = struct.unpack_from("<II", b, dd + 8)  # entry 1 = imports
-    if imp_rva == 0:
-        return ""
-    sec0 = opt + size_opt
+    dd = opt + (112 if magic == 0x20B else 96)
+    if dd + 8 * idx + 8 > len(b):
+        return 0, 0
+    return struct.unpack_from("<II", b, dd + 8 * idx)
+
+
+def _pe_rva2off(b: bytes, e_lfanew: int, n_sections: int, size_opt: int):
+    """RVA → file-offset resolver through the section table."""
+    sec0 = e_lfanew + 24 + size_opt
     sections = []
     for i in range(min(n_sections, 96)):
         off = sec0 + i * 40
@@ -158,6 +160,19 @@ def _pe_imports(b: bytes, e_lfanew: int, n_sections: int, size_opt: int) -> str:
             if va <= rva < va + sz:
                 return rva - va + raw
         return None
+
+    return rva2off
+
+
+def _pe_imports(b: bytes, e_lfanew: int, n_sections: int, size_opt: int) -> str:
+    """Imported DLL names from the import directory — the peImport
+    source feeding the reference's PE Uses join
+    (pe_file.py:145-149, pe_relationship.py:19-78).  RVAs resolve
+    through the section table; sorted '|'-joined, '' when absent."""
+    imp_rva, imp_sz = _pe_data_dir(b, e_lfanew, 1)  # entry 1 = imports
+    if imp_rva == 0:
+        return ""
+    rva2off = _pe_rva2off(b, e_lfanew, n_sections, size_opt)
 
     def cstr(off: int) -> str:
         end = b.find(b"\x00", off)
@@ -207,7 +222,35 @@ def parse_pe(b: bytes) -> dict[str, str] | None:
                 out["imports"] = imports
         except Exception:
             pass  # COFF fields only (log-and-continue policy)
+        try:
+            dotnet = _pe_dotnet(b, e_lfanew, n_sections, size_opt)
+            if dotnet is not None:
+                out["is_clr"] = "true"
+                out.update(dotnet)
+        except Exception:
+            pass
     return out
+
+
+def _pe_dotnet(b: bytes, e_lfanew: int, n_sections: int,
+               size_opt: int) -> dict[str, str] | None:
+    """CLI header (data directory 14) → metadata root → ECMA-335 table
+    decode (dotnetmeta.py) — the dotnetAssembly / dotnetAssemblyRef /
+    dotnetImplMap sources of pe_file.py:193-218."""
+    from .dotnetmeta import parse_dotnet_metadata
+
+    cor_rva, cor_sz = _pe_data_dir(b, e_lfanew, 14)  # COM descriptor
+    if cor_rva == 0 or cor_sz == 0:
+        return None
+    rva2off = _pe_rva2off(b, e_lfanew, n_sections, size_opt)
+    cor = rva2off(cor_rva)
+    if cor is None or cor + 16 > len(b):
+        return None
+    md_rva, _md_size = struct.unpack_from("<II", b, cor + 8)
+    md = rva2off(md_rva)
+    if md is None:
+        return None
+    return parse_dotnet_metadata(b, md)
 
 
 _LC_LOAD_DYLIB, _LC_ID_DYLIB, _LC_RPATH = 0x0C, 0x0D, 0x8000001C

@@ -276,3 +276,145 @@ def build_nodes(extracted: DataFrame, mentions: DataFrame, entity_map: DataFrame
         .unionByName(entity_nodes(mentions, entity_map))
         .unionByName(host_nodes(extracted))
     )
+
+
+# ---------------------------------------------------------------------------
+# J3: .NET Uses sub-joins (surfactant/relationships/dotnet_relationship.py)
+# ---------------------------------------------------------------------------
+
+_WIN_ABS_RX = r"^([A-Za-z]:[/\\]|\\\\|//)"
+
+
+def _win_fold(col):
+    """PureWindowsPath-equality as a column expression: backslashes →
+    '/', trailing-slash strip, case-fold — the comparison semantics of
+    the reference's find_installed_software
+    (surfactant/relationships/_internal/windows_utils.py:18-39)."""
+    c = F.regexp_replace(col, r"\\", "/")
+    c = F.regexp_replace(c, "/+$", "")
+    return F.lower(c)
+
+
+def _win_parent(col):
+    """Parent directory of a windows path (either separator) —
+    PureWindowsPath(p).parent.as_posix() for the non-root paths the
+    probe logic feeds it."""
+    c = F.regexp_replace(col, r"\\", "/")
+    return F.regexp_replace(c, "/[^/]*$", "")
+
+
+def _fold_targets(targets: DataFrame) -> DataFrame:
+    return targets.select(
+        "target_id", _win_fold(F.col("install_path")).alias("_tpath")
+    )
+
+
+def _probe_join(cands: DataFrame, targets: DataFrame) -> DataFrame:
+    """(app_id, cand) ⋈ folded target install paths → Uses edges.
+    The target side is the corpus-scale one; candidates shuffle on the
+    folded path — a plain hash equi-join (the J10 shared matcher)."""
+    return (
+        cands.select("app_id", _win_fold(F.col("cand")).alias("_tpath"))
+        .join(_fold_targets(targets), "_tpath")
+        .select(
+            F.col("app_id").alias("subj"),
+            F.lit(PRED_USES).alias("pred"),
+            F.col("target_id").alias("obj"),
+        )
+        .distinct()
+    )
+
+
+def dotnet_implmap_uses(refs: DataFrame, targets: DataFrame) -> DataFrame:
+    """ImplMap (P/Invoke) sub-join (dotnet_relationship.py:85-124):
+    absolute dll refs match install paths directly; relative refs probe
+    the app's install dirs with the unmanaged name×extension
+    combinations ([name], +.dll unless already .dll/.exe, .so/.dylib/
+    lib-prefixed variants — dotnet_relationship.py:107-118).
+
+    ``refs``: (app_id, install_path, ref_name) — one row per implMap
+    dll name per app install path.  ``targets``: (target_id,
+    install_path)."""
+    is_abs = F.col("ref_name").rlike(_WIN_ABS_RX)
+    abs_cands = refs.where(is_abs).select(
+        "app_id", F.col("ref_name").alias("cand")
+    )
+    nm = F.col("ref_name")
+    has_ext = F.lower(nm).rlike(r"\.(dll|exe)$")
+    tail = [
+        F.concat(nm, F.lit(".so")),
+        F.concat(nm, F.lit(".dylib")),
+        F.concat(F.lit("lib"), nm, F.lit(".so")),
+        F.concat(F.lit("lib"), nm, F.lit(".dylib")),
+        F.concat(F.lit("lib"), nm),
+    ]
+    combos = F.when(has_ext, F.array(nm, *tail)).otherwise(
+        F.array(nm, F.concat(nm, F.lit(".dll")), *tail)
+    )
+    rel_cands = (
+        refs.where(~is_abs)
+        .select(
+            "app_id",
+            _win_parent(F.col("install_path")).alias("base"),
+            F.explode(combos).alias("fname"),
+        )
+        .select("app_id", F.concat_ws("/", F.col("base"), F.col("fname")).alias("cand"))
+    )
+    return _probe_join(abs_cands.unionByName(rel_cands), targets)
+
+
+def dotnet_assemblyref_uses(refs: DataFrame, targets: DataFrame) -> DataFrame:
+    """AssemblyRef probing sub-join (dotnet_relationship.py:196-243):
+    probe dirs are app-base × {'', assembly-name dir} for neutral
+    culture, or the culture-suffixed pair otherwise, each repeated
+    under every appconfig privatePath — then ``<dir>/<name>.dll``
+    equality against installed software.
+
+    ``refs``: (app_id, install_path, ref_name, ref_culture,
+    probing_paths array<string> nullable)."""
+    base = _win_parent(F.col("install_path"))
+    nm, cu = F.col("ref_name"), F.col("ref_culture")
+    no_cult = cu.isNull() | (cu == "")
+    fixed = F.when(
+        no_cult, F.array(base, F.concat_ws("/", base, nm))
+    ).otherwise(
+        F.array(F.concat_ws("/", base, cu), F.concat_ws("/", base, nm, cu))
+    )
+    paths = F.coalesce(F.col("probing_paths"), F.array().cast("array<string>"))
+    priv = F.flatten(
+        F.transform(
+            paths,
+            lambda p: F.when(
+                no_cult,
+                F.array(F.concat_ws("/", base, p), F.concat_ws("/", base, p, nm)),
+            ).otherwise(
+                F.array(
+                    F.concat_ws("/", base, p, cu),
+                    F.concat_ws("/", base, p, nm, cu),
+                )
+            ),
+        )
+    )
+    cands = refs.select(
+        "app_id",
+        F.explode(F.concat(fixed, priv)).alias("dir"),
+        F.concat(nm, F.lit(".dll")).alias("fname"),
+    ).select("app_id", F.concat_ws("/", F.col("dir"), F.col("fname")).alias("cand"))
+    return _probe_join(cands, targets)
+
+
+def dotnet_codebase_uses(refs: DataFrame, targets: DataFrame) -> DataFrame:
+    """appconfig ``<codeBase href>`` sub-join
+    (dotnet_relationship.py:150-185): url hrefs (http/https/file) are
+    skipped; other hrefs resolve against the app's base dir (absolute
+    windows hrefs stand alone) and match install paths literally —
+    like PureWindowsPath joining, no ``..`` resolution.
+
+    ``refs``: (app_id, install_path, codebase_href)."""
+    href = F.col("codebase_href")
+    is_url = F.lower(href).rlike("^(https?|file)://")
+    cand = F.when(href.rlike(_WIN_ABS_RX), href).otherwise(
+        F.concat_ws("/", _win_parent(F.col("install_path")), href)
+    )
+    cands = refs.where(~is_url).select("app_id", cand.alias("cand"))
+    return _probe_join(cands, targets)

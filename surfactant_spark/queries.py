@@ -1503,9 +1503,127 @@ SELECT DISTINCT pkg_id AS subj, 'Installs' AS pred, file_id AS obj FROM matched
 """
 
 
+def q_dotnet_probe_uses(spark, sf):
+    """J3 .NET Uses — all three sub-join forms
+    (surfactant/relationships/dotnet_relationship.py): implMap
+    name×extension probing incl. the absolute-path branch (:85-124),
+    assemblyRef culture/privatePath probe dirs (:196-243), and codeBase
+    href rebase (:150-185).  Apps synthesized from supplier, installed
+    software from part, with case-folded matches exercised."""
+    from .operators.linking import (
+        dotnet_assemblyref_uses,
+        dotnet_codebase_uses,
+        dotnet_implmap_uses,
+    )
+
+    sup = _t(spark, sf, "supplier").select(F.col("s_suppkey").alias("k"))
+    part = _t(spark, sf, "part")
+    k = F.col("k")
+
+    def s(col):
+        return col.cast("string")
+
+    app_id = F.concat(F.lit("app"), s(k))
+    base = F.concat(F.lit("C:/apps/a"), s(k % 50))
+    install = F.concat(base, F.lit("/app.exe"))
+    p = F.col("p_partkey")
+    targets = part.select(
+        F.concat(F.lit("t"), s(p)).alias("target_id"),
+        F.when(p % 6 == 0, F.concat(F.lit("C:/APPS/A"), s(p % 50),
+                                    F.lit("/NAT"), s(p % 30), F.lit(".DLL")))
+        .when(p % 6 == 1, F.concat(F.lit("C:/apps/a"), s(p % 50),
+                                   F.lit("/Asm"), s(p % 40), F.lit(".dll")))
+        .when(p % 6 == 2, F.concat(F.lit("C:/apps/a"), s(p % 50),
+                                   F.lit("/bin/Asm"), s(p % 40),
+                                   F.lit("/de/Asm"), s(p % 40), F.lit(".dll")))
+        .when(p % 6 == 3, F.concat(F.lit("C:/apps/a"), s(p % 50),
+                                   F.lit("/shared/Asm"), s(p % 40), F.lit(".dll")))
+        .when(p % 6 == 4, F.concat(F.lit("C:/sys/abs"), s(p % 20), F.lit(".dll")))
+        .otherwise(F.concat(F.lit("C:/apps/a"), s(p % 50),
+                            F.lit("/libnat"), s(p % 30), F.lit(".so")))
+        .alias("install_path"),
+    )
+    imp_refs = sup.select(
+        app_id.alias("app_id"),
+        install.alias("install_path"),
+        F.when(k % 5 == 0, F.concat(F.lit("C:/sys/abs"), s(k % 20), F.lit(".dll")))
+        .otherwise(F.concat(F.lit("nat"), s(k % 30)))
+        .alias("ref_name"),
+    )
+    arefs = sup.select(
+        app_id.alias("app_id"),
+        install.alias("install_path"),
+        F.concat(F.lit("Asm"), s(k % 40)).alias("ref_name"),
+        F.when(k % 3 == 0, F.lit("de")).alias("ref_culture"),
+        F.array(F.lit("bin")).alias("probing_paths"),
+    )
+    cb = sup.where(k % 4 == 1).select(
+        app_id.alias("app_id"),
+        install.alias("install_path"),
+        F.concat(F.lit("shared/Asm"), s(k % 40), F.lit(".dll")).alias("codebase_href"),
+    )
+    return (
+        dotnet_implmap_uses(imp_refs, targets)
+        .unionByName(dotnet_assemblyref_uses(arefs, targets))
+        .unionByName(dotnet_codebase_uses(cb, targets))
+        .distinct()
+    )
+
+
+O_DOTNET_PROBE = """
+WITH apps AS (
+  SELECT 'app' || s_suppkey AS app_id,
+         'C:/apps/a' || (s_suppkey % 50) AS base,
+         s_suppkey AS k
+  FROM supplier),
+targets AS (
+  SELECT 't' || p_partkey AS target_id,
+         CASE p_partkey % 6
+           WHEN 0 THEN 'C:/APPS/A' || (p_partkey % 50) || '/NAT' || (p_partkey % 30) || '.DLL'
+           WHEN 1 THEN 'C:/apps/a' || (p_partkey % 50) || '/Asm' || (p_partkey % 40) || '.dll'
+           WHEN 2 THEN 'C:/apps/a' || (p_partkey % 50) || '/bin/Asm' || (p_partkey % 40) || '/de/Asm' || (p_partkey % 40) || '.dll'
+           WHEN 3 THEN 'C:/apps/a' || (p_partkey % 50) || '/shared/Asm' || (p_partkey % 40) || '.dll'
+           WHEN 4 THEN 'C:/sys/abs' || (p_partkey % 20) || '.dll'
+           ELSE 'C:/apps/a' || (p_partkey % 50) || '/libnat' || (p_partkey % 30) || '.so'
+         END AS install_path
+  FROM part),
+imp_cands AS (
+  SELECT app_id, base || '/' || f AS cand
+  FROM apps, UNNEST([
+    'nat' || (k % 30),
+    'nat' || (k % 30) || '.dll',
+    'nat' || (k % 30) || '.so',
+    'nat' || (k % 30) || '.dylib',
+    'libnat' || (k % 30) || '.so',
+    'libnat' || (k % 30) || '.dylib',
+    'libnat' || (k % 30)
+  ]) AS t(f)
+  WHERE k % 5 <> 0
+  UNION ALL
+  SELECT app_id, 'C:/sys/abs' || (k % 20) || '.dll' FROM apps WHERE k % 5 = 0),
+aref_cands AS (
+  SELECT app_id, d || '/Asm' || (k % 40) || '.dll' AS cand
+  FROM apps, UNNEST(CASE WHEN k % 3 = 0
+    THEN [base || '/de', base || '/Asm' || (k % 40) || '/de',
+          base || '/bin/de', base || '/bin/Asm' || (k % 40) || '/de']
+    ELSE [base, base || '/Asm' || (k % 40),
+          base || '/bin', base || '/bin/Asm' || (k % 40)]
+  END) AS t(d)),
+cb_cands AS (
+  SELECT app_id, base || '/shared/Asm' || (k % 40) || '.dll' AS cand
+  FROM apps WHERE k % 4 = 1),
+allc AS (
+  SELECT * FROM imp_cands UNION ALL SELECT * FROM aref_cands
+  UNION ALL SELECT * FROM cb_cands)
+SELECT DISTINCT a.app_id AS subj, 'Uses' AS pred, tg.target_id AS obj
+FROM allc a JOIN targets tg ON lower(a.cand) = lower(tg.install_path)
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),
+    "dotnet_probe_uses": (q_dotnet_probe_uses, O_DOTNET_PROBE),
     "tpch_q1_pricing": (q_tpch_q1_pricing, O_TPCH_Q1),
     "stat_counts": (q_stat_counts, O_STAT_COUNTS),
     "capture_window": (q_capture_window, O_CAPTURE_WINDOW),
