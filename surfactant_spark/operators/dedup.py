@@ -210,53 +210,138 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by 64-bit SimHash: band the 64 bits into 4
-    16-bit bands (any equal band → candidate, pigeonhole-guaranteed to
-    catch hamming ≤ 3), then confirm with exact popcount.
-
-    Scale: band-join key cardinality is 4 × 65,536 values *per distinct
-    fingerprint region* — the key space grows with the corpus (65,536
-    values per band vs 256 for a 32-bit/8-bit scheme, whose ≤1,024
-    total buckets go quadratic at ≥10⁶ docs)."""
-    sh = simhash64(df, id_col, text_col)
+def _simhash_bands(fp_df: DataFrame) -> DataFrame:
+    """Explode (sh_hi, sh_lo) rows into 4 × 16-bit band keys."""
     band_val = {
         0: F.col("sh_lo").bitwiseAND(F.lit(0xFFFF)),
         1: F.shiftright(F.col("sh_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
         2: F.col("sh_hi").bitwiseAND(F.lit(0xFFFF)),
         3: F.shiftright(F.col("sh_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
     }
-    bands = sh.select(
-        F.col(id_col).alias("id"),
-        "sh_hi",
-        "sh_lo",
+    return fp_df.select(
+        "*",
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("band_idx"), band_val[i].alias("band_val"))
                 for i in range(4)
             ])
         ).alias("bd"),
-    ).select("id", "sh_hi", "sh_lo",
+    ).select(*fp_df.columns,
              F.col("bd.band_idx").alias("bi"), F.col("bd.band_val").alias("bv"))
+
+
+def _warn_bucket_overflow(over: DataFrame, what: str) -> None:
+    """No silent truncation: one cheap existence probe; if any bucket
+    exceeded the cap, say so loudly (callers pick a bigger cap or the
+    group-output operator)."""
+    if over.limit(1).count():
+        import warnings
+
+        warnings.warn(
+            f"{what}: band bucket(s) over the pair-join cap were skipped; "
+            "raise the cap or use the *_dup_groups operator (linear seed "
+            "edges) when group output suffices",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       max_hamming: int = 3,
+                       max_bucket_fps: int = 10_000) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash: band the 64 bits into 4
+    16-bit bands (any equal band → candidate, pigeonhole-guaranteed to
+    catch hamming ≤ 3), then confirm with exact popcount.
+
+    Scale shape (flood-proof): the in-bucket join runs over DISTINCT
+    fingerprints, not documents — a 10⁶-copy page is ONE fingerprint,
+    so mass duplication cannot flood a band bucket (the r2 weakness:
+    a hot band made the doc-level self-join O(n_b²)).  Doc pairs are
+    recovered afterwards by expansion joins that are linear in their
+    own output: same-fingerprint groups emit their internal pairs
+    (hamming 0), and confirmed fingerprint pairs fan out to member
+    docs.  Residual adversarial diversity (many *distinct* fingerprints
+    in one bucket) is bounded by ``max_bucket_fps``; over-cap buckets
+    are skipped WITH a warning, never silently."""
+    sh = simhash64(df, id_col, text_col)
+    docs = sh.select(F.col(id_col).alias("id"), "sh_hi", "sh_lo")
+    fps = docs.groupBy("sh_hi", "sh_lo").agg(F.min("id").alias("rep"))
+    # same-fingerprint doc pairs: hamming 0, always emitted; the join is
+    # keyed on the fingerprint so its cost is its own output size
+    da, db = docs.alias("a"), docs.alias("b")
+    same = (
+        da.join(db, ["sh_hi", "sh_lo"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    bands = _simhash_bands(fps)
+    sizes = bands.groupBy("bi", "bv").agg(F.count(F.lit(1)).alias("_n"))
+    _warn_bucket_overflow(sizes.where(F.col("_n") > max_bucket_fps),
+                          "simhash_near_pairs")
+    bands = bands.join(sizes.where(F.col("_n") <= max_bucket_fps), ["bi", "bv"])
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["bi", "bv"])
-        .where(F.col("a.id") < F.col("b.id"))
+        .where(
+            (F.col("a.sh_hi") != F.col("b.sh_hi"))
+            | (F.col("a.sh_lo") != F.col("b.sh_lo"))
+        )
+        .where(F.col("a.rep") < F.col("b.rep"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh_hi").alias("ha_hi"),
-            F.col("a.sh_lo").alias("ha_lo"),
-            F.col("b.sh_hi").alias("hb_hi"),
-            F.col("b.sh_lo").alias("hb_lo"),
+            F.col("a.sh_hi").alias("ha_hi"), F.col("a.sh_lo").alias("ha_lo"),
+            F.col("b.sh_hi").alias("hb_hi"), F.col("b.sh_lo").alias("hb_lo"),
         )
         .distinct()
     )
     hamming = F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi"))) + F.bit_count(
         F.col("ha_lo").bitwiseXOR(F.col("hb_lo"))
     )
-    return cand.where(hamming <= max_hamming).select("id_a", "id_b")
+    confirmed = cand.where(hamming <= max_hamming)
+    # fan confirmed fingerprint pairs back out to member documents
+    cross = (
+        confirmed
+        .join(docs.select(F.col("sh_hi").alias("ha_hi"), F.col("sh_lo").alias("ha_lo"),
+                          F.col("id").alias("ida")), ["ha_hi", "ha_lo"])
+        .join(docs.select(F.col("sh_hi").alias("hb_hi"), F.col("sh_lo").alias("hb_lo"),
+                          F.col("id").alias("idb")), ["hb_hi", "hb_lo"])
+        .select(
+            F.least(F.col("ida"), F.col("idb")).alias("id_a"),
+            F.greatest(F.col("ida"), F.col("idb")).alias("id_b"),
+        )
+    )
+    return same.unionByName(cross).distinct()
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id → group id) by SimHash banding + connected components — the
+    simhash sibling of ``lsh_dup_groups`` and the 100-TB-safe output
+    for duplication floods: each band bucket contributes LINEAR
+    fingerprint→seed edges (never pairwise), docs attach to their
+    fingerprint's component, group id = min member id.  Like
+    ``lsh_dup_groups``, grouping is over band-share candidates (the
+    popcount confirm is a pair predicate and is not transitive, so it
+    has no well-defined group analog)."""
+    from .canonicalize import connected_components
+
+    sh = simhash64(df, id_col, text_col)
+    docs = sh.select(F.col(id_col).alias("id"), "sh_hi", "sh_lo")
+    fps = docs.groupBy("sh_hi", "sh_lo").agg(F.min("id").alias("rep"))
+    bands = _simhash_bands(fps)
+    seeds = bands.groupBy("bi", "bv").agg(F.min("rep").alias("seed"))
+    edges = (
+        bands.join(seeds, ["bi", "bv"])
+        .where(F.col("rep") != F.col("seed"))
+        .select(F.col("rep").alias("a"), F.col("seed").alias("b"))
+        .distinct()
+    )
+    cc = connected_components(edges)
+    rep_group = fps.join(cc, fps["rep"] == cc["node"], "left").select(
+        "sh_hi", "sh_lo", F.coalesce(F.col("component"), F.col("rep")).alias("group_id")
+    )
+    return docs.join(rep_group, ["sh_hi", "sh_lo"]).select(
+        F.col("id").alias(id_col), "group_id"
+    )
 
 
 def lsh_dup_groups(

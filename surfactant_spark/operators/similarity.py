@@ -284,14 +284,29 @@ def ivf_topk(
     )
 
 
+def adaptive_lsh_bits(n: int, target_bucket: int = 1024,
+                      lo: int = 4, hi: int = 24) -> int:
+    """Hyperplane count sized to the corpus: 2^bits buckets per table,
+    aiming for ~``target_bucket`` vectors per bucket so candidate
+    volume stays ≈ n·target_bucket instead of n²/2^bits (the r2
+    scale-killer: fixed bits=4 ⇒ 16 buckets ⇒ quadratic at 10⁹ rows).
+    bits ≈ log₂(n / target_bucket), clamped."""
+    import math
+
+    if n <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_bucket))))
+
+
 def lsh_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cos_x10000: int = 9000,
     dim: int = 64,
-    bits: int = 4,
+    bits: int | None = 4,
     tables: int = 4,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs, deterministically approximate:
     (id_a, id_b, cos_x10000) for pairs that share a hyperplane bucket in
@@ -305,21 +320,66 @@ def lsh_near_pairs(
     Σ_buckets n_b², not n².  The operator is *defined* as
     LSH-candidates ∩ threshold (deterministic md5 hyperplanes), so two
     independent engines produce identical rows; recall vs the exact
-    cross join is measured in tests (recall floor asserted)."""
+    cross join is measured in tests (recall floor asserted).
+
+    Scale guards (r2 verdict items 4+5):
+    * ``bits=None`` derives the table width from the corpus count via
+      :func:`adaptive_lsh_bits` (one count() job); gates pin bits for
+      oracle determinism.
+    * the bucket self-join runs over DISTINCT vectors (mass-duplicated
+      embeddings collapse to one representative; identical vectors are
+      recovered as cos=1·x10000 pairs by an output-sized expansion),
+      and buckets still holding > ``max_bucket`` distinct vectors are
+      skipped with a warning — never silently."""
+    if bits is None:
+        bits = adaptive_lsh_bits(df.count(), lo=2)
     planes = table_planes(dim, bits, tables)
-    b = _bucketed(df, id_col, vec_col, "id", "v", planes)
-    a, c = b.alias("a"), b.alias("b")
-    cand = (
-        a.join(c, ["tbl", "bucket"])
+    docs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    reps = docs.groupBy("v").agg(F.min("id").alias("rep"))
+    # identical-vector doc pairs: always bucket-mates in every table and
+    # cosine(v,v) trivially passes any threshold ≤ 10000
+    da, db = docs.alias("a"), docs.alias("b")
+    same = (
+        da.join(db, "v")
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
+            cosine_x10000(F.col("v"), F.col("v")).alias("cos_x10000"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("cos_x10000") >= min_cos_x10000)
     )
-    return cand.select(
-        "id_a", "id_b", cosine_x10000(F.col("va"), F.col("vb")).alias("cos_x10000")
+    b = _bucketed(reps, "rep", "v", "rid", "rv", planes)
+    sizes = b.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    from .dedup import _warn_bucket_overflow
+
+    _warn_bucket_overflow(sizes.where(F.col("_n") > max_bucket), "lsh_near_pairs")
+    b = b.join(sizes.where(F.col("_n") <= max_bucket), ["tbl", "bucket"])
+    a, c = b.alias("a"), b.alias("b")
+    cand = (
+        a.join(c, ["tbl", "bucket"])
+        .where(F.col("a.rid") < F.col("b.rid"))
+        .select(
+            F.col("a.rid").alias("ra"),
+            F.col("b.rid").alias("rb"),
+            F.col("a.rv").alias("va"),
+            F.col("b.rv").alias("vb"),
+        )
+        .dropDuplicates(["ra", "rb"])
+    )
+    confirmed = cand.select(
+        "ra", "rb", "va", "vb",
+        cosine_x10000(F.col("va"), F.col("vb")).alias("cos_x10000"),
     ).where(F.col("cos_x10000") >= min_cos_x10000)
+    # fan confirmed representative pairs back out to member documents
+    cross = (
+        confirmed
+        .join(docs.select(F.col("v").alias("va"), F.col("id").alias("ida")), "va")
+        .join(docs.select(F.col("v").alias("vb"), F.col("id").alias("idb")), "vb")
+        .select(
+            F.least(F.col("ida"), F.col("idb")).alias("id_a"),
+            F.greatest(F.col("ida"), F.col("idb")).alias("id_b"),
+            "cos_x10000",
+        )
+    )
+    return same.unionByName(cross).dropDuplicates(["id_a", "id_b"])
