@@ -1620,10 +1620,84 @@ FROM allc a JOIN targets tg ON lower(a.cand) = lower(tg.install_path)
 """
 
 
+def q_archive_members(spark, sf):
+    """S3 archive decompression beyond gzip: per-order line items are
+    packed into a deterministic ZIP (even orderkeys, stored members) or
+    ustar TAR (odd), then unpacked by the dependency-free parsers
+    (functions/archive.py — central-directory walk / 512-byte header
+    walk, the file_decompression.py:46-264 analog).  The oracle
+    recomputes every member's name/sha256/size straight from lineitem,
+    so the build→parse round-trip is checked member-by-member."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_orderkey") % 97 == 0)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+    def build_and_parse(key, pdf):
+        import hashlib
+        import io
+        import tarfile
+        import zipfile
+
+        import pandas as pd
+
+        from surfactant_spark.functions.archive import archive_members
+
+        ok = int(key[0])
+        pdf = pdf.sort_values("l_linenumber")
+        members = [
+            (
+                f"li_{int(r.l_linenumber)}.txt",
+                f"item|{ok}|{int(r.l_linenumber)}|{int(r.l_partkey)}".encode(),
+            )
+            for r in pdf.itertuples()
+        ]
+        buf = io.BytesIO()
+        if ok % 2 == 0:
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                for n, d in members:
+                    zf.writestr(zipfile.ZipInfo(n, (1980, 1, 1, 0, 0, 0)), d)
+        else:
+            with tarfile.open(fileobj=buf, mode="w",
+                              format=tarfile.USTAR_FORMAT) as tf:
+                for n, d in members:
+                    ti = tarfile.TarInfo(n)
+                    ti.size, ti.mtime = len(d), 0
+                    tf.addfile(ti, io.BytesIO(d))
+        parsed = archive_members(buf.getvalue())
+        return pd.DataFrame(
+            {
+                "archive_id": [f"a{ok}"] * len(parsed),
+                "member_name": [n for n, _ in parsed],
+                "member_sha256": [hashlib.sha256(d).hexdigest() for _, d in parsed],
+                "member_size": [len(d) for _, d in parsed],
+            }
+        )
+
+    return li.groupBy("l_orderkey").applyInPandas(
+        build_and_parse,
+        "archive_id string, member_name string, member_sha256 string, "
+        "member_size long",
+    )
+
+
+O_ARCHIVE_MEMBERS = """
+SELECT 'a' || l_orderkey AS archive_id,
+       'li_' || l_linenumber || '.txt' AS member_name,
+       sha256('item|' || l_orderkey || '|' || l_linenumber || '|' || l_partkey)
+         AS member_sha256,
+       length('item|' || l_orderkey || '|' || l_linenumber || '|' || l_partkey)::BIGINT
+         AS member_size
+FROM lineitem WHERE l_orderkey % 97 = 0
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),
     "dotnet_probe_uses": (q_dotnet_probe_uses, O_DOTNET_PROBE),
+    "archive_members": (q_archive_members, O_ARCHIVE_MEMBERS),
     "tpch_q1_pricing": (q_tpch_q1_pricing, O_TPCH_Q1),
     "stat_counts": (q_stat_counts, O_STAT_COUNTS),
     "capture_window": (q_capture_window, O_CAPTURE_WINDOW),
