@@ -291,6 +291,15 @@ def _name_regex(alias: str) -> "re.Pattern":
     )
 
 
+# RetireJS-style version placeholder: the pattern DB writes a literal
+# '§§version§§' marker where a version number goes; it compiles to the
+# version-number regex before use (reference js_file.py:79-95 —
+# non-capturing, exactly as there; a DB row that wants the version to
+# surface via group(1) wraps the placeholder in its own parens).
+VERSION_PLACEHOLDER = "§§version§§"
+VERSION_NUMBER_PATTERN = r"\d+(?:\.\d+)*"
+
+
 def compile_dictionary(
     rows: list[tuple[str, str, str, str | None]] | None = None,
 ) -> CompiledDictionary:
@@ -303,7 +312,12 @@ def compile_dictionary(
                 CompiledPattern(key, kind, pat, order, _name_regex(pat), (pat.lower(),), CONF_NAME)
             )
             continue
-        # content regex: validate, derive prefilter literals, apply skip policy
+        # content regex: §§version§§ rewrite, validate, derive prefilter
+        # literals, apply skip policy (rewrite-then-validate ordering as
+        # in the reference: a pattern that only compiles after the
+        # rewrite is kept, one that breaks after it is skipped)
+        if VERSION_PLACEHOLDER in pat:
+            pat = pat.replace(VERSION_PLACEHOLDER, VERSION_NUMBER_PATTERN)
         try:
             rx = re.compile(pat, re.IGNORECASE)
         except re.error as e:

@@ -41,9 +41,12 @@ MACHO_CPUTYPES = {
 MACHO_FILETYPES = {1: "object", 2: "exec", 6: "dylib", 8: "bundle"}
 
 
-# dynamic-section tags (System V ABI)
+# dynamic-section tags (System V ABI; DT_FLAGS_1 from the Solaris/glibc
+# extension range)
 _DT_NULL, _DT_NEEDED, _DT_STRTAB = 0, 1, 5
 _DT_SONAME, _DT_RPATH, _DT_RUNPATH = 14, 15, 29
+_DT_FLAGS, _DT_FLAGS_1 = 30, 0x6FFFFFFB
+_DF_1_NODEFLIB = 0x0800  # object must not search default library paths
 _PT_LOAD, _PT_DYNAMIC = 1, 2
 
 
@@ -105,6 +108,15 @@ def _elf_dynamic(b: bytes, endian: str) -> dict[str, str]:
         vals = [cstr(v) for t, v in entries if t == tag]
         if vals and vals[0]:
             out[key] = vals[0]
+    # DT_FLAGS_1 drives search-path semantics: DF_1_NODEFLIB suppresses
+    # the default library dirs in the Uses probe join — the switch the
+    # reference reads from elfDynamicFlags1
+    # (elf_relationship.py:186-206, elf_file.py:64-79)
+    flags1 = [v for t, v in entries if t == _DT_FLAGS_1]
+    if flags1:
+        out["flags_1"] = hex(flags1[0])
+        if flags1[0] & _DF_1_NODEFLIB:
+            out["nodeflib"] = "true"
     return out
 
 
@@ -512,6 +524,136 @@ def rpm_associated_files(meta: dict[str, str]) -> list[tuple[str, str]]:
     return [tuple(line.split("\t", 1)) for line in enc.split("\n") if "\t" in line]
 
 
+# --- OLE / CFB (E7) -------------------------------------------------------
+
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_ENDOFCHAIN, _FREESECT = 0xFFFFFFFE, 0xFFFFFFFF
+_CLSID_TYPES = {
+    "000c1082-0000-0000-c000-000000000046": "MST",
+    "000c1084-0000-0000-c000-000000000046": "MSI",
+    "000c1086-0000-0000-c000-000000000046": "MSP",
+}
+# PIDSI property ids → olefile SUMMARY_ATTRIBS naming, the field set the
+# reference turns into name/version/vendor hints (ole_file.py:83-127)
+_PIDSI = {2: "title", 3: "subject", 4: "author", 5: "keywords",
+          6: "comments", 7: "template", 8: "last_saved_by",
+          9: "revision_number"}
+
+
+def _cfb_clsid(raw: bytes) -> str:
+    d1, d2, d3 = struct.unpack_from("<IHH", raw, 0)
+    return (f"{d1:08x}-{d2:04x}-{d3:04x}-{raw[8:10].hex()}-{raw[10:16].hex()}")
+
+
+def _propset_strings(b: bytes) -> dict[str, str]:
+    """\\x05SummaryInformation property-set stream → PIDSI string/int
+    values (MS-OLEPS layout: header, FMTID+offset, one section of
+    (propid, offset) pairs with typed values)."""
+    out: dict[str, str] = {}
+    (n_sets,) = struct.unpack_from("<I", b, 24)
+    if n_sets < 1:
+        return out
+    (sec_off,) = struct.unpack_from("<I", b, 44)
+    _cb, n_props = struct.unpack_from("<II", b, sec_off)
+    for i in range(min(n_props, 64)):
+        pid, poff = struct.unpack_from("<II", b, sec_off + 8 + 8 * i)
+        key = _PIDSI.get(pid)
+        if key is None:
+            continue
+        vt = struct.unpack_from("<I", b, sec_off + poff)[0] & 0xFFFF
+        vp = sec_off + poff + 4
+        if vt == 0x1E:  # VT_LPSTR: int32 byte count incl. NUL
+            (ln,) = struct.unpack_from("<I", b, vp)
+            out[key] = b[vp + 4:vp + 4 + ln].split(b"\x00", 1)[0].decode(
+                "latin-1")
+        elif vt == 0x1F:  # VT_LPWSTR: int32 char count incl. NUL
+            (ln,) = struct.unpack_from("<I", b, vp)
+            out[key] = b[vp + 4:vp + 4 + 2 * ln].decode(
+                "utf-16-le", "replace").split("\x00", 1)[0]
+        elif vt in (2, 3, 0x13):  # VT_I2/I4/UI4
+            out[key] = str(struct.unpack_from("<i", b, vp)[0])
+    return out
+
+
+def parse_ole(b: bytes) -> dict[str, str] | None:
+    """OLE/CFB (MS-CFB layout): header → FAT (DIFAT) → directory-entry
+    walk.  Root-storage CLSID types MSI/MSP/MST installers and the
+    SummaryInformation stream (regular or mini-stream) yields the
+    doc-property hints — the reference's olefile-based extraction
+    (surfactant/infoextractors/ole_file.py:83-127) without the
+    dependency.  Total: malformed structures degrade to the fields
+    already decoded."""
+    if len(b) < 512 or b[:8] != _CFB_MAGIC:
+        return None
+    out = {"format": "ole"}
+    try:
+        (ssz_shift,) = struct.unpack_from("<H", b, 30)
+        (mini_shift,) = struct.unpack_from("<H", b, 32)
+        ssz, msz = 1 << ssz_shift, 1 << mini_shift
+        (first_dir,) = struct.unpack_from("<I", b, 48)
+        (mini_cutoff,) = struct.unpack_from("<I", b, 56)
+        (first_minifat,) = struct.unpack_from("<I", b, 60)
+        difat = list(struct.unpack_from("<109I", b, 76))
+        fat = b""
+        for s in difat:
+            if s in (_FREESECT, _ENDOFCHAIN):
+                continue
+            fat += b[(s + 1) * ssz:(s + 2) * ssz]
+
+        def fat_next(sec: int) -> int:
+            off = sec * 4
+            if off + 4 > len(fat):
+                return _ENDOFCHAIN
+            return struct.unpack_from("<I", fat, off)[0]
+
+        def chain(start: int, limit: int = 4096) -> bytes:
+            data, sec, n = [], start, 0
+            while sec not in (_ENDOFCHAIN, _FREESECT) and n < limit:
+                data.append(b[(sec + 1) * ssz:(sec + 2) * ssz])
+                sec = fat_next(sec)
+                n += 1
+            return b"".join(data)
+
+        dirdata = chain(first_dir)
+        entries = []
+        for off in range(0, len(dirdata) - 127, 128):
+            nlen, = struct.unpack_from("<H", dirdata, off + 64)
+            etype = dirdata[off + 66]
+            if etype == 0 or nlen < 2:
+                continue
+            name = dirdata[off:off + nlen - 2].decode("utf-16-le", "replace")
+            clsid = dirdata[off + 80:off + 96]
+            start, = struct.unpack_from("<I", dirdata, off + 116)
+            size, = struct.unpack_from("<Q", dirdata, off + 120)
+            entries.append((name, etype, clsid, start, size))
+        root = next((e for e in entries if e[1] == 5), None)
+        if root is not None:
+            clsid = _cfb_clsid(root[2])
+            out["clsid"] = clsid
+            if clsid in _CLSID_TYPES:
+                out["clsid_type"] = _CLSID_TYPES[clsid]
+        summary = next((e for e in entries if e[0] == "\x05SummaryInformation"), None)
+        if summary is not None:
+            _, _, _, start, size = summary
+            if size < mini_cutoff and root is not None:
+                ministream = chain(root[3])[:root[4]]
+                minifat = chain(first_minifat)
+                data, sec, n = [], start, 0
+                while sec not in (_ENDOFCHAIN, _FREESECT) and n < 4096:
+                    data.append(ministream[sec * msz:(sec + 1) * msz])
+                    off = sec * 4
+                    sec = (struct.unpack_from("<I", minifat, off)[0]
+                           if off + 4 <= len(minifat) else _ENDOFCHAIN)
+                    n += 1
+                stream = b"".join(data)[:size]
+            else:
+                stream = chain(start)[:size]
+            out.update(_propset_strings(stream))
+    except Exception:
+        pass  # partial fields only (log-and-continue policy)
+    return out
+
+
 def parse_uimage(b: bytes) -> dict[str, str] | None:
     """U-Boot legacy image: 32-byte name at offset 32
     (uimage_file.py:236-239 name-hint source, confidence 40)."""
@@ -523,7 +665,7 @@ def parse_uimage(b: bytes) -> dict[str, str] | None:
 
 
 _PARSERS = [parse_elf, parse_pe, parse_macho, parse_java_class,
-            parse_rpm, parse_uimage]
+            parse_rpm, parse_ole, parse_uimage]
 
 
 def parse_binary_meta(b: bytes) -> dict[str, str] | None:

@@ -21,7 +21,7 @@ def elf64_blob(e_type=3, e_machine=0x3E, endian="<"):
 
 
 def elf64_dynamic_blob(needed=("libc.so.6", "libz.so.1"), soname="libme.so.2",
-                       runpath="$ORIGIN/../lib"):
+                       runpath="$ORIGIN/../lib", flags_1=None):
     """Minimal well-formed ELF64 with PT_LOAD (identity vaddr=offset)
     and PT_DYNAMIC: ehdr + 2 phdrs + dynamic array + strtab."""
     ehdr_sz, phent = 64, 56
@@ -40,6 +40,8 @@ def elf64_dynamic_blob(needed=("libc.so.6", "libz.so.1"), soname="libme.so.2",
         dyn.append((1, s(n)))          # DT_NEEDED
     dyn.append((14, s(soname)))        # DT_SONAME
     dyn.append((29, s(runpath)))       # DT_RUNPATH
+    if flags_1 is not None:
+        dyn.append((0x6FFFFFFB, flags_1))  # DT_FLAGS_1
     dyn_pos = ehdr_sz + 2 * phent
     n_dyn = len(dyn) + 2               # + DT_STRTAB + DT_NULL
     strtab_pos = dyn_pos + n_dyn * 16

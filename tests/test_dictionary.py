@@ -78,3 +78,26 @@ def test_alias_edges_from_hints_and_explicit():
     assert ("alphalib", "alphacore") in edges
     # pairs deduped and no self-edges
     assert all(a != b for a, b in edges)
+
+
+def test_version_placeholder_rewrite_retirejs_shape():
+    """A RetireJS-shaped row with the §§version§§ placeholder compiles
+    to the version-number regex (reference js_file.py:79-95) and — with
+    DB-side capture parens — surfaces the matched version via group(1),
+    with a usable literal prefilter derived from the rewritten form."""
+    from surfactant_spark.dictionary import compile_dictionary
+
+    rows = [
+        ("jquery", "content", r"/\*!? jQuery v(§§version§§)", None),
+        ("bad", "content", r"broken[(§§version§§", None),  # invalid after rewrite
+    ]
+    d = compile_dictionary(rows)
+    assert [p.entity_key for p in d.patterns] == ["jquery"]
+    assert ("bad", r"broken[(\d+(?:\.\d+)*", "invalid-regex") in [
+        (k, p, w) for k, p, w in d.skipped
+    ]
+    p = d.patterns[0]
+    assert "§§" not in p.pattern
+    m = p.rx.search("/*! jQuery v3.6.0 | (c) JS Foundation")
+    assert m and m.group(1) == "3.6.0"
+    assert any("jquery" in lit for lit in p.prefilter)

@@ -129,3 +129,38 @@ def test_elf_parsed_deps_to_uses_join(spark):
     assert {(r.bin, r.target) for r in uses.collect()} == {
         ("binA", "tgtZ"), ("binA", "tgtQ")
     }
+
+
+def test_nodeflib_binary_resolves_only_via_runpath(spark):
+    """DT_FLAGS_1 & DF_1_NODEFLIB suppresses the default library dirs:
+    the same dependency installed under /usr/lib must NOT resolve, while
+    the runpath copy does (reference elf_relationship.py:186-206)."""
+    from surfactant_spark.operators.linking import elf_search_paths
+    from surfactant_spark.operators.multimodal import extract_binary_meta
+    from tests.test_binmeta import elf64_dynamic_blob
+
+    blob = elf64_dynamic_blob(needed=("libz.so.1", "libq.so.9"),
+                              runpath="$ORIGIN/../lib", flags_1=0x0800)
+    plain = elf64_dynamic_blob(needed=("libz.so.1", "libq.so.9"),
+                               runpath="$ORIGIN/../lib")
+    df = spark.createDataFrame(
+        [("nodef", blob), ("plain", plain)], "media_id string, content binary"
+    )
+    meta = {r.media_id: r.meta for r in extract_binary_meta(df).collect()}
+    assert meta["nodef"].get("nodeflib") == "true"
+    assert meta["nodef"]["flags_1"] == "0x800"
+    assert "nodeflib" not in meta["plain"]
+
+    installed = [("/app/lib/libz.so.1", "tgtZ"), ("/usr/lib/libq.so.9", "tgtQ")]
+    edges = {}
+    for name in ("nodef", "plain"):
+        m = meta[name]
+        dirs = elf_search_paths(
+            m["runpath"], origin="/app/bin",
+            use_default=m.get("nodeflib") != "true",
+        )
+        cands = {f"{d}/{n}" for n in m["needed"].split("|") for d in dirs}
+        edges[name] = {t for p, t in installed if p in cands}
+    # NODEFLIB: only the runpath-resolved dep; default-dir dep missed
+    assert edges["nodef"] == {"tgtZ"}
+    assert edges["plain"] == {"tgtZ", "tgtQ"}
