@@ -241,6 +241,108 @@ def parse_pe(b: bytes) -> dict[str, str] | None:
                 out.update(dotnet)
         except Exception:
             pass
+        try:
+            fi = _pe_fileinfo(b, e_lfanew, n_sections, size_opt)
+            if fi:
+                out["fileinfo"] = "\n".join(f"{k}\t{v}" for k, v in fi)
+        except Exception:
+            pass
+    return out
+
+
+_RT_VERSION = 16
+
+
+def _pe_fileinfo(b: bytes, e_lfanew: int, n_sections: int,
+                 size_opt: int) -> list[tuple[str, str]]:
+    """StringFileInfo entries from the RT_VERSION resource — the
+    FileInfo table the reference reads via pefile's FileInfo attribute
+    (pe_file.py:182-189): resource directory (data directory 2) →
+    type 16 → first name → first language → VS_VERSIONINFO block tree →
+    StringFileInfo → StringTable → (key, value) pairs."""
+    rsrc_rva, rsrc_sz = _pe_data_dir(b, e_lfanew, 2)
+    if rsrc_rva == 0:
+        return []
+    rva2off = _pe_rva2off(b, e_lfanew, n_sections, size_opt)
+    base = rva2off(rsrc_rva)
+    if base is None:
+        return []
+
+    def first_child(dir_off: int, want_id: int | None) -> int | None:
+        """Offset (relative to base) of a child entry's target; high bit
+        of the offset marks a subdirectory."""
+        if base + dir_off + 16 > len(b):
+            return None
+        n_named, n_ids = struct.unpack_from("<HH", b, base + dir_off + 12)
+        for i in range(n_named + n_ids):
+            ent = base + dir_off + 16 + 8 * i
+            name, off = struct.unpack_from("<II", b, ent)
+            if want_id is None or name == want_id:
+                return off
+        return None
+
+    off = first_child(0, _RT_VERSION)
+    for _ in range(2):  # name level, then language level: first entry
+        if off is None or not off & 0x80000000:
+            return []
+        off = first_child(off & 0x7FFFFFFF, None)
+    if off is None or off & 0x80000000:
+        return []
+    data_rva, data_sz = struct.unpack_from("<II", b, base + off)
+    blk = rva2off(data_rva)
+    if blk is None:
+        return []
+    ver = b[blk:blk + min(data_sz, 1 << 16)]
+
+    def block(off: int) -> tuple[int, str, int, int] | None:
+        """(total_len, key, value_off, value_len_bytes) of the version
+        block at off; None when malformed."""
+        if off + 6 > len(ver):
+            return None
+        ln, vlen, wtype = struct.unpack_from("<HHH", ver, off)
+        if ln == 0:
+            return None
+        # the key's UTF-16 NUL ends on an even boundary from the key start
+        k = off + 6
+        while k + 2 <= len(ver) and ver[k:k + 2] != b"\x00\x00":
+            k += 2
+        key = ver[off + 6:k].decode("utf-16-le", "replace")
+        voff = (k + 2 + 3) & ~3
+        return ln, key, voff, vlen * (2 if wtype == 1 else 1)
+
+    out: list[tuple[str, str]] = []
+    root = block(0)
+    if root is None or root[1] != "VS_VERSION_INFO":
+        return []
+    child = (root[2] + root[3] + 3) & ~3
+    while child + 6 <= min(root[0], len(ver)):
+        c = block(child)
+        if c is None:
+            break
+        if c[1] == "StringFileInfo":
+            tbl = block((c[2] + 3) & ~3)
+            if tbl is not None:
+                s_off = (tbl[2] + 3) & ~3
+                while s_off + 6 <= min(child + c[0], len(ver)):
+                    s = block(s_off)
+                    if s is None:
+                        break
+                    val = ver[s[2]:s[2] + s[3]].decode(
+                        "utf-16-le", "replace").rstrip("\x00")
+                    out.append((s[1], val))
+                    s_off = (s_off + s[0] + 3) & ~3
+        child = (child + c[0] + 3) & ~3
+    return out
+
+
+def pe_fileinfo(meta: dict[str, str]) -> dict[str, str]:
+    """Decode the ``fileinfo`` encoding back to the reference's
+    FileInfo dict shape (pe_file.py:182-189)."""
+    out: dict[str, str] = {}
+    for line in meta.get("fileinfo", "").split("\n"):
+        if "\t" in line:
+            k, v = line.split("\t", 1)
+            out[k] = v
     return out
 
 
@@ -524,6 +626,42 @@ def rpm_associated_files(meta: dict[str, str]) -> list[tuple[str, str]]:
     return [tuple(line.split("\t", 1)) for line in enc.split("\n") if "\t" in line]
 
 
+# --- a.out (E9) -----------------------------------------------------------
+
+# exec-header magics and machine ids from the public BSD exec.h /
+# aout_mids.h tables (the same sources the reference cites,
+# a_out_file.py:26-30); subset covering the ids that remain decodable
+_AOUT_MAGICS = {0x111, 0x108, 0x107, 0x0CC, 0x10B}
+_AOUT_MIDS = {
+    0x00: "unknown", 0x01: "m68010", 0x02: "m68020", 0x03: "sparc",
+    0x04: "r3000", 0x64: "386", 0x67: "arm", 0x86: "netbsd/i386",
+    0x8A: "netbsd/sparc", 0x8D: "netbsd/alpha", 0x8F: "netbsd/arm32",
+    0x97: "mips1", 0x98: "mips2", 0x9C: "netbsd/sparc64",
+    0x9D: "netbsd/amd64", 0xB7: "aarch64", 0xB9: "riscv",
+}
+
+
+def parse_aout(b: bytes) -> dict[str, str] | None:
+    """Classic a.out exec header: 16-bit magic + machine id byte, both
+    endiannesses probed like the reference's dual check
+    (filetypeid/id_magic.py:163-175, a_out_file.py:88-101).  The magic
+    is only 16 bits, so this parser runs LAST in the chain — ambiguity
+    is inherent to the format and mirrored from the reference."""
+    if len(b) < 32:
+        return None
+    for bo in ("big", "little"):
+        word = int.from_bytes(b[:4], byteorder=bo)
+        if word & 0xFFFF in _AOUT_MAGICS:
+            mid = (word >> 16) & 0xFF
+            if mid in _AOUT_MIDS:
+                return {
+                    "format": "aout",
+                    "endian": bo,
+                    "machine": _AOUT_MIDS[mid],
+                }
+    return None
+
+
 # --- OLE / CFB (E7) -------------------------------------------------------
 
 _CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
@@ -665,7 +803,7 @@ def parse_uimage(b: bytes) -> dict[str, str] | None:
 
 
 _PARSERS = [parse_elf, parse_pe, parse_macho, parse_java_class,
-            parse_rpm, parse_ole, parse_uimage]
+            parse_rpm, parse_ole, parse_uimage, parse_aout]
 
 
 def parse_binary_meta(b: bytes) -> dict[str, str] | None:

@@ -418,3 +418,70 @@ def dotnet_codebase_uses(refs: DataFrame, targets: DataFrame) -> DataFrame:
     )
     cands = refs.where(~is_url).select("app_id", cand.alias("cand"))
     return _probe_join(cands, targets)
+
+
+def attach_side_files(binaries: DataFrame, files: DataFrame) -> DataFrame:
+    """PE side-file lookup as a sibling-path self-join: for each binary
+    install path, `<path>.manifest` and `<path>.config` files (case-
+    insensitive, windows-separator-folded) attach as XML text columns —
+    the on-disk `.with_suffix` existence checks of the reference
+    (pe_file.py:337-343, :493-496) re-expressed as two left equi-joins
+    (no per-row filesystem probing; the file table IS the filesystem).
+
+    ``binaries``: any frame with ``install_path``.  ``files``:
+    (path, text).  Output adds ``manifest_xml`` / ``appconfig_xml``.
+    """
+    out = binaries
+    for suffix, col in ((".manifest", "manifest_xml"), (".config", "appconfig_xml")):
+        side = files.select(
+            _win_fold(F.col("path")).alias("_skey"), F.col("text").alias(col)
+        )
+        out = (
+            out.withColumn(
+                "_skey", _win_fold(F.concat(F.col("install_path"), F.lit(suffix)))
+            )
+            .join(side, "_skey", "left")
+            .drop("_skey")
+        )
+    return out
+
+
+SIDE_INPUT_SCHEMA = (
+    "app_id string, install_path string, probing_paths array<string>, "
+    "codebase_hrefs array<string>"
+)
+
+
+def side_file_probe_inputs(with_sides: DataFrame) -> DataFrame:
+    """Parse attached appconfig XML into the probe-join inputs:
+    (app_id, install_path, probing_paths, codebase_hrefs) — privatePath
+    split/normalized and codeBase hrefs collected per the reference's
+    dnProbingPaths / dnDependentAssemblies derivation
+    (dotnet_relationship.py:44-66, :152-167).  Arrow-batched; the XML
+    never leaves the executors."""
+    import pandas as pd
+
+    from ..functions.sidefiles import (
+        appconfig_codebase_hrefs,
+        appconfig_probing_paths,
+        parse_appconfig_xml,
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            cfgs = [
+                parse_appconfig_xml(x) if isinstance(x, str) else None
+                for x in pdf["appconfig_xml"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "app_id": pdf["app_id"],
+                    "install_path": pdf["install_path"],
+                    "probing_paths": [appconfig_probing_paths(c) for c in cfgs],
+                    "codebase_hrefs": [appconfig_codebase_hrefs(c) for c in cfgs],
+                }
+            )
+
+    return with_sides.select(
+        "app_id", "install_path", "appconfig_xml"
+    ).mapInPandas(fn, SIDE_INPUT_SCHEMA)

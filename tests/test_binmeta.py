@@ -318,3 +318,98 @@ def test_arrow_extraction_stage(spark):
     assert rows["b5"].format == "uimage" and rows["b5"].meta["name"] == "kernel-img"
     assert rows["b6"].format is None and rows["b6"].meta == {}
     assert rows["b7"].format is None
+
+
+def _vblock(key, value=b"", wtype=0, children=()):
+    """One VS_VERSIONINFO block: wLength/wValueLength/wType/szKey(pad)
+    value(pad) children — the public VERSIONINFO layout."""
+    key_b = key.encode("utf-16-le") + b"\x00\x00"
+    head_len = 6 + len(key_b)
+    voff = (head_len + 3) & ~3
+    body = b"\x00" * (voff - head_len) + value
+    coff = (voff + len(value) + 3) & ~3
+    body += b"\x00" * (coff - voff - len(value))
+    for c in children:
+        body += c + b"\x00" * ((4 - len(c) % 4) % 4)
+    vlen = len(value) // 2 if wtype == 1 else len(value)
+    return struct.pack("<HHH", head_len + len(body), vlen, wtype) + key_b + body
+
+
+def _vstring(key, text):
+    val = text.encode("utf-16-le") + b"\x00\x00"
+    return _vblock(key, val, wtype=1)
+
+
+def pe_version_resource_blob(strings):
+    """PE32+ with a .rsrc section: RT_VERSION → name → lang → data →
+    VS_VERSION_INFO(StringFileInfo(StringTable(String…)))."""
+    table = _vblock("040904b0", children=[_vstring(k, v) for k, v in strings])
+    sfi = _vblock("StringFileInfo", children=[table])
+    ver = _vblock("VS_VERSION_INFO", value=b"\x00" * 52, children=[sfi])
+
+    rsrc_rva, raw = 0x2000, 0x400
+    def rdir(entries):  # [(id, off, is_dir)]
+        out = struct.pack("<IIHHHH", 0, 0, 0, 0, 0, len(entries))
+        for i, off, is_dir in entries:
+            out += struct.pack("<II", i, off | (0x80000000 if is_dir else 0))
+        return out
+
+    # layout inside .rsrc: root(24) l2(24) l3(24) dataentry(16) verdata
+    root = rdir([(16, 24, True)])
+    l2 = rdir([(0, 48, True)])
+    l3 = rdir([(0x409, 72, False)])
+    data_entry = struct.pack("<IIII", rsrc_rva + 88, len(ver), 0, 0)
+    rsrc = root + l2 + l3 + data_entry + ver
+
+    e_lfanew = 0x80
+    mz = b"MZ" + b"\x00" * 0x3A + struct.pack("<I", e_lfanew)
+    mz += b"\x00" * (e_lfanew - len(mz))
+    size_opt = 0xF0  # PE32+
+    coff = struct.pack("<HHIIIHH", 0x8664, 1, 0, 0, 0, size_opt, 0x2102)
+    opt = bytearray(struct.pack("<H", 0x20B)) + b"\x00" * (size_opt - 2)
+    struct.pack_into("<II", opt, 112 + 2 * 8, rsrc_rva, len(rsrc))  # data dir 2
+    sect = (b".rsrc\x00\x00\x00"
+            + struct.pack("<IIII", len(rsrc), rsrc_rva, len(rsrc), raw)
+            + b"\x00" * 16)
+    head = (mz + b"PE\x00\x00" + coff + bytes(opt) + sect).ljust(raw, b"\x00")
+    return head + rsrc
+
+
+def test_pe_fileinfo_string_table():
+    from surfactant_spark.functions.binmeta import parse_pe, pe_fileinfo
+
+    blob = pe_version_resource_blob([
+        ("CompanyName", "ACME Corp"),
+        ("ProductName", "Widget"),
+        ("ProductVersion", "4.2.0"),
+        ("FileVersion", "4.2.0.1"),
+    ])
+    meta = parse_pe(blob)
+    fi = pe_fileinfo(meta)
+    assert fi == {
+        "CompanyName": "ACME Corp",
+        "ProductName": "Widget",
+        "ProductVersion": "4.2.0",
+        "FileVersion": "4.2.0.1",
+    }
+
+
+def test_pe_without_resources_has_no_fileinfo():
+    from surfactant_spark.functions.binmeta import parse_pe
+    meta = parse_pe(pe_blob())
+    assert "fileinfo" not in meta
+
+
+def test_aout_both_endians_and_chain_order():
+    from surfactant_spark.functions.binmeta import parse_aout, parse_binary_meta
+
+    little = struct.pack("<I", 0x0107 | (0x64 << 16)) + b"\x00" * 28  # 386 OMAGIC
+    big = struct.pack(">I", 0x010B | (0xB7 << 16)) + b"\x00" * 28     # aarch64 ZMAGIC
+    assert parse_aout(little) == {"format": "aout", "endian": "little",
+                                  "machine": "386"}
+    assert parse_aout(big) == {"format": "aout", "endian": "big",
+                               "machine": "aarch64"}
+    assert parse_aout(b"\x00" * 32) is None
+    assert parse_binary_meta(little)["format"] == "aout"
+    # ELF wins over the ambiguous a.out magic (parser-chain order)
+    assert parse_binary_meta(elf64_blob())["format"] == "elf"
