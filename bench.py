@@ -41,6 +41,10 @@ HEADLINE = [
     "quality",
     "embed_topk",
     "embed_neardup",
+    "installs_hash_join",
+    "dotnet_probe_uses",
+    "archive_members",
+    "simhash_groups",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

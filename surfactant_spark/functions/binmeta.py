@@ -47,7 +47,7 @@ _DT_NULL, _DT_NEEDED, _DT_STRTAB = 0, 1, 5
 _DT_SONAME, _DT_RPATH, _DT_RUNPATH = 14, 15, 29
 _DT_FLAGS, _DT_FLAGS_1 = 30, 0x6FFFFFFB
 _DF_1_NODEFLIB = 0x0800  # object must not search default library paths
-_PT_LOAD, _PT_DYNAMIC = 1, 2
+_PT_LOAD, _PT_DYNAMIC, _PT_INTERP = 1, 2, 3
 
 
 def _elf_dynamic(b: bytes, endian: str) -> dict[str, str]:
@@ -61,6 +61,7 @@ def _elf_dynamic(b: bytes, endian: str) -> dict[str, str]:
     e_phentsize, e_phnum = struct.unpack_from(endian + "HH", b, 54)
     loads: list[tuple[int, int, int]] = []  # (vaddr, offset, filesz)
     dyn_off = dyn_sz = None
+    interp = None
     for i in range(min(e_phnum, 64)):
         off = e_phoff + i * e_phentsize
         p_type, = struct.unpack_from(endian + "I", b, off)
@@ -70,8 +71,11 @@ def _elf_dynamic(b: bytes, endian: str) -> dict[str, str]:
             loads.append((p_vaddr, p_offset, p_filesz))
         elif p_type == _PT_DYNAMIC:
             dyn_off, dyn_sz = p_offset, p_filesz
+        elif p_type == _PT_INTERP and p_filesz:
+            raw = b[p_offset:p_offset + min(p_filesz, 256)]
+            interp = raw.split(b"\x00", 1)[0].decode("utf-8", "replace")
     if dyn_off is None:
-        return {}
+        return {"interpreter": interp} if interp else {}
 
     def v2o(vaddr: int) -> int | None:
         for pv, po, sz in loads:
@@ -117,6 +121,11 @@ def _elf_dynamic(b: bytes, endian: str) -> dict[str, str]:
         out["flags_1"] = hex(flags1[0])
         if flags1[0] & _DF_1_NODEFLIB:
             out["nodeflib"] = "true"
+    flags = [v for t, v in entries if t == _DT_FLAGS]
+    if flags:
+        out["flags"] = hex(flags[0])
+    if interp:
+        out["interpreter"] = interp  # the elfInterpreter field (PT_INTERP)
     return out
 
 
@@ -208,6 +217,58 @@ def _pe_imports(b: bytes, e_lfanew: int, n_sections: int, size_opt: int) -> str:
     return "|".join(sorted(names))
 
 
+def _pe_delay_imports(b: bytes, e_lfanew: int, n_sections: int,
+                      size_opt: int) -> str:
+    """Delay-loaded DLL names (data directory 13; 32-byte descriptors
+    with DllNameRVA at offset 4) — the peDelayImport list
+    (pe_file.py:158-162)."""
+    rva, sz = _pe_data_dir(b, e_lfanew, 13)
+    if rva == 0:
+        return ""
+    rva2off = _pe_rva2off(b, e_lfanew, n_sections, size_opt)
+    desc = rva2off(rva)
+    if desc is None:
+        return ""
+    names = set()
+    for i in range(0, min(sz, 64 * 32), 32):
+        if desc + i + 32 > len(b):
+            break
+        fields = struct.unpack_from("<8I", b, desc + i)
+        if not any(fields):
+            break
+        name_off = rva2off(fields[1])
+        if name_off is not None:
+            end = b.find(b"\x00", name_off)
+            if end > name_off:
+                names.add(b[name_off:end].decode("ascii", "replace"))
+    return "|".join(sorted(names))
+
+
+def _pe_bound_imports(b: bytes, e_lfanew: int) -> str:
+    """Bound-import DLL names (data directory 11; descriptors with a
+    name offset relative to the table start, which lives in the
+    headers, not a section) — the peBoundImport list
+    (pe_file.py:152-156)."""
+    rva, sz = _pe_data_dir(b, e_lfanew, 11)
+    if rva == 0:
+        return ""
+    # the bound import table sits before the sections: RVA == offset
+    names = set()
+    p = rva
+    for _ in range(64):
+        if p + 8 > len(b):
+            break
+        ts, name_off, n_fwd = struct.unpack_from("<IHH", b, p)
+        if ts == 0 and name_off == 0:
+            break
+        start = rva + name_off
+        end = b.find(b"\x00", start)
+        if end > start:
+            names.add(b[start:end].decode("ascii", "replace"))
+        p += 8 * (1 + n_fwd)
+    return "|".join(sorted(names))
+
+
 def parse_pe(b: bytes) -> dict[str, str] | None:
     """MZ → e_lfanew → 'PE\\0\\0' → COFF machine/characteristics +
     imported DLL names (pe_file.py:116-232 core fields; is_dll from
@@ -247,6 +308,17 @@ def parse_pe(b: bytes) -> dict[str, str] | None:
                 out["fileinfo"] = "\n".join(f"{k}\t{v}" for k, v in fi)
         except Exception:
             pass
+        for key, fn in (
+            ("delay_imports",
+             lambda: _pe_delay_imports(b, e_lfanew, n_sections, size_opt)),
+            ("bound_imports", lambda: _pe_bound_imports(b, e_lfanew)),
+        ):
+            try:
+                v = fn()
+                if v:
+                    out[key] = v
+            except Exception:
+                pass
     return out
 
 

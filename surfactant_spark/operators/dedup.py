@@ -264,17 +264,24 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     in one bucket) is bounded by ``max_bucket_fps``; over-cap buckets
     are skipped WITH a warning, never silently."""
     sh = simhash64(df, id_col, text_col)
-    docs = sh.select(F.col(id_col).alias("id"), "sh_hi", "sh_lo")
-    fps = docs.groupBy("sh_hi", "sh_lo").agg(F.min("id").alias("rep"))
-    # same-fingerprint doc pairs: hamming 0, always emitted; the join is
-    # keyed on the fingerprint so its cost is its own output size
-    da, db = docs.alias("a"), docs.alias("b")
-    same = (
-        da.join(db, ["sh_hi", "sh_lo"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    # ONE pass over the corpus: the per-fingerprint groupBy carries the
+    # member-id list, so the same-fp pairs and the cross-fp expansion
+    # are pure array expressions / joins against this compact frame.
+    # It is consumed four times (banding, sizes, same, cross) —
+    # localCheckpoint materializes it once and truncates the expensive
+    # tokenize+groupBy lineage (the cache()-based variant measured
+    # slower: InMemoryRelation blocked join-strategy choices).
+    fps = (
+        sh.select(F.col(id_col).alias("id"), "sh_hi", "sh_lo")
+        .groupBy("sh_hi", "sh_lo")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .withColumn("rep", F.element_at("ids", 1))
+        .localCheckpoint(eager=False)
     )
-    bands = _simhash_bands(fps)
+    # same-fingerprint doc pairs: hamming 0, always emitted; generated
+    # from the id list, cost = its own output size
+    same = _pairs_within_ids(fps)
+    bands = _simhash_bands(fps.drop("ids"))
     sizes = bands.groupBy("bi", "bv").agg(F.count(F.lit(1)).alias("_n"))
     _warn_bucket_overflow(sizes.where(F.col("_n") > max_bucket_fps),
                           "simhash_near_pairs")
@@ -300,16 +307,39 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     # fan confirmed fingerprint pairs back out to member documents
     cross = (
         confirmed
-        .join(docs.select(F.col("sh_hi").alias("ha_hi"), F.col("sh_lo").alias("ha_lo"),
-                          F.col("id").alias("ida")), ["ha_hi", "ha_lo"])
-        .join(docs.select(F.col("sh_hi").alias("hb_hi"), F.col("sh_lo").alias("hb_lo"),
-                          F.col("id").alias("idb")), ["hb_hi", "hb_lo"])
+        .join(fps.select(F.col("sh_hi").alias("ha_hi"), F.col("sh_lo").alias("ha_lo"),
+                         F.col("ids").alias("ids_a")), ["ha_hi", "ha_lo"])
+        .join(fps.select(F.col("sh_hi").alias("hb_hi"), F.col("sh_lo").alias("hb_lo"),
+                         F.col("ids").alias("ids_b")), ["hb_hi", "hb_lo"])
+        .select(F.explode("ids_a").alias("ida"), "ids_b")
+        .select("ida", F.explode("ids_b").alias("idb"))
         .select(
             F.least(F.col("ida"), F.col("idb")).alias("id_a"),
             F.greatest(F.col("ida"), F.col("idb")).alias("id_b"),
         )
     )
     return same.unionByName(cross).distinct()
+
+
+def _pairs_within_ids(fps: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(id_a, id_b, *extra) for every in-group pair of the sorted
+    ``ids`` array — a pure array expression whose cost is its own
+    output size; ``extra`` columns pass through per group."""
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        fps.where(F.size(ids) > 1)
+        .select(F.explode(pairs).alias("p"), *extra)
+        .select(F.col("p.id_a"), F.col("p.id_b"), *extra)
+    )
 
 
 def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
@@ -325,9 +355,16 @@ def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
     from .canonicalize import connected_components
 
     sh = simhash64(df, id_col, text_col)
-    docs = sh.select(F.col(id_col).alias("id"), "sh_hi", "sh_lo")
-    fps = docs.groupBy("sh_hi", "sh_lo").agg(F.min("id").alias("rep"))
-    bands = _simhash_bands(fps)
+    # one corpus pass: the fingerprint frame carries member ids, so the
+    # final doc→group attach is an explode, not a second corpus join
+    fps = (
+        sh.select(F.col(id_col).alias("id"), "sh_hi", "sh_lo")
+        .groupBy("sh_hi", "sh_lo")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .withColumn("rep", F.element_at("ids", 1))
+        .localCheckpoint(eager=False)
+    )
+    bands = _simhash_bands(fps.drop("ids"))
     seeds = bands.groupBy("bi", "bv").agg(F.min("rep").alias("seed"))
     edges = (
         bands.join(seeds, ["bi", "bv"])
@@ -337,11 +374,9 @@ def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
     )
     cc = connected_components(edges)
     rep_group = fps.join(cc, fps["rep"] == cc["node"], "left").select(
-        "sh_hi", "sh_lo", F.coalesce(F.col("component"), F.col("rep")).alias("group_id")
+        "ids", F.coalesce(F.col("component"), F.col("rep")).alias("group_id")
     )
-    return docs.join(rep_group, ["sh_hi", "sh_lo"]).select(
-        F.col("id").alias(id_col), "group_id"
-    )
+    return rep_group.select(F.explode("ids").alias(id_col), "group_id")
 
 
 def lsh_dup_groups(

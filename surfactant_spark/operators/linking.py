@@ -443,6 +443,22 @@ def attach_side_files(binaries: DataFrame, files: DataFrame) -> DataFrame:
             .join(side, "_skey", "left")
             .drop("_skey")
         )
+    # `<binary>.local` DLL-redirection flag: existence only, no content
+    # (the dllRedirectionLocal bool of pe_file.py:483-486)
+    local = files.select(
+        _win_fold(F.col("path")).alias("_skey"), F.lit(True).alias("dll_redirection_local")
+    ).dropDuplicates(["_skey"])
+    out = (
+        out.withColumn(
+            "_skey", _win_fold(F.concat(F.col("install_path"), F.lit(".local")))
+        )
+        .join(local, "_skey", "left")
+        .drop("_skey")
+        .withColumn(
+            "dll_redirection_local",
+            F.coalesce(F.col("dll_redirection_local"), F.lit(False)),
+        )
+    )
     return out
 
 

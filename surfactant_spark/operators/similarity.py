@@ -334,25 +334,29 @@ def lsh_near_pairs(
     if bits is None:
         bits = adaptive_lsh_bits(df.count(), lo=2)
     planes = table_planes(dim, bits, tables)
-    docs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    reps = docs.groupBy("v").agg(F.min("id").alias("rep"))
+    # ONE pass over the corpus: group by the vector value, carrying the
+    # member-id list; banding, the same-vector pairs, and the cross
+    # expansion all read this compacted frame (localCheckpoint'd once —
+    # re-deriving it per consumer re-scans the corpus)
+    from .dedup import _pairs_within_ids, _warn_bucket_overflow
+
+    reps = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .groupBy("v")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .withColumn("rep", F.element_at("ids", 1))
+        .localCheckpoint(eager=False)
+    )
     # identical-vector doc pairs: always bucket-mates in every table and
     # cosine(v,v) trivially passes any threshold ≤ 10000
-    da, db = docs.alias("a"), docs.alias("b")
-    same = (
-        da.join(db, "v")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine_x10000(F.col("v"), F.col("v")).alias("cos_x10000"),
-        )
-        .where(F.col("cos_x10000") >= min_cos_x10000)
+    same = _pairs_within_ids(
+        reps.select(
+            "ids", cosine_x10000(F.col("v"), F.col("v")).alias("cos_x10000")
+        ).where(F.col("cos_x10000") >= min_cos_x10000),
+        extra=("cos_x10000",),
     )
-    b = _bucketed(reps, "rep", "v", "rid", "rv", planes)
+    b = _bucketed(reps.select("rep", "v"), "rep", "v", "rid", "rv", planes)
     sizes = b.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    from .dedup import _warn_bucket_overflow
-
     _warn_bucket_overflow(sizes.where(F.col("_n") > max_bucket), "lsh_near_pairs")
     b = b.join(sizes.where(F.col("_n") <= max_bucket), ["tbl", "bucket"])
     a, c = b.alias("a"), b.alias("b")
@@ -368,14 +372,16 @@ def lsh_near_pairs(
         .dropDuplicates(["ra", "rb"])
     )
     confirmed = cand.select(
-        "ra", "rb", "va", "vb",
+        "ra", "rb",
         cosine_x10000(F.col("va"), F.col("vb")).alias("cos_x10000"),
     ).where(F.col("cos_x10000") >= min_cos_x10000)
     # fan confirmed representative pairs back out to member documents
     cross = (
         confirmed
-        .join(docs.select(F.col("v").alias("va"), F.col("id").alias("ida")), "va")
-        .join(docs.select(F.col("v").alias("vb"), F.col("id").alias("idb")), "vb")
+        .join(reps.select(F.col("rep").alias("ra"), F.col("ids").alias("ids_a")), "ra")
+        .join(reps.select(F.col("rep").alias("rb"), F.col("ids").alias("ids_b")), "rb")
+        .select(F.explode("ids_a").alias("ida"), "ids_b", "cos_x10000")
+        .select("ida", F.explode("ids_b").alias("idb"), "cos_x10000")
         .select(
             F.least(F.col("ida"), F.col("idb")).alias("id_a"),
             F.greatest(F.col("ida"), F.col("idb")).alias("id_b"),

@@ -701,6 +701,53 @@ SELECT doc_id, ({bits_hi})::BIGINT AS sh_hi, ({bits_lo})::BIGINT AS sh_lo FROM a
 O_SIMHASH64 = _simhash64_sql()
 
 
+def q_simhash_groups(spark, sf):
+    """Flood-safe simhash dup GROUPS (dedup.simhash_dup_groups): band
+    over DISTINCT fingerprints, linear fp→seed edges, connected
+    components; docs attach through their fingerprint.  The oracle
+    replicates banding plus a recursive-CTE reachability closure —
+    proving seed-edge CC ≡ pairwise band-share CC."""
+    return dd.simhash_dup_groups(_t(spark, sf, "documents"))
+
+
+def _simhash_groups_sql() -> str:
+    inner = _simhash64_sql()
+    bands = "\n  UNION ALL ".join(
+        f"SELECT rep, sh_hi, sh_lo, {bi} AS bi, ({expr}) & 65535 AS bv FROM fps"
+        for bi, expr in enumerate(
+            ["sh_lo", "sh_lo >> 16", "sh_hi", "sh_hi >> 16"]
+        )
+    )
+    return f"""
+WITH RECURSIVE sh AS ({inner}
+), fps AS (
+  SELECT sh_hi, sh_lo, min(doc_id) AS rep FROM sh GROUP BY 1, 2
+), bands AS (
+  {bands}
+), seeds AS (
+  SELECT bi, bv, min(rep) AS seed FROM bands GROUP BY 1, 2
+), e AS (
+  SELECT DISTINCT b.rep AS a, s.seed AS b
+  FROM bands b JOIN seeds s USING (bi, bv) WHERE b.rep != s.seed
+), sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS node, least(a, min(b)) AS group_id FROM reach GROUP BY a
+), fpg AS (
+  SELECT f.sh_hi, f.sh_lo, coalesce(c.group_id, f.rep) AS group_id
+  FROM fps f LEFT JOIN comp c ON c.node = f.rep
+)
+SELECT s.doc_id, g.group_id FROM sh s JOIN fpg g USING (sh_hi, sh_lo)
+"""
+
+
+O_SIMHASH_GROUPS = _simhash_groups_sql()
+
+
 def q_simhash64(spark, sf):
     return dd.simhash64(_t(spark, sf, "documents"))
 
@@ -1693,8 +1740,67 @@ FROM lineitem WHERE l_orderkey % 97 = 0
 """
 
 
+def q_sidefile_attach(spark, sf):
+    """PE side-file lookup (pe_file.py:337-343, :493-496): the on-disk
+    `<binary>.manifest` / `<binary>.config` existence checks as
+    case-folded sibling-path left joins (linking.attach_side_files).
+    Binaries synthesized from supplier, a sparse file table from part —
+    upper/lower-case collisions exercise the fold."""
+    from .operators.linking import attach_side_files
+
+    sup = _t(spark, sf, "supplier").select(F.col("s_suppkey").alias("k"))
+    part = _t(spark, sf, "part")
+    k, p = F.col("k"), F.col("p_partkey")
+
+    def s(col):
+        return col.cast("string")
+
+    bins = sup.select(
+        F.concat(F.lit("app"), s(k)).alias("app_id"),
+        F.concat(F.lit("C:/ap"), s(k % 40), F.lit("/Tool"), s(k % 7),
+                 F.lit(".exe")).alias("install_path"),
+    )
+    files = part.where(p % 3 == 0).select(
+        F.when(p % 2 == 0,
+               F.concat(F.lit("C:/AP"), s(p % 40), F.lit("/TOOL"), s(p % 7),
+                        F.lit(".EXE.CONFIG")))
+        .otherwise(F.concat(F.lit("c:/ap"), s(p % 40), F.lit("/tool"),
+                            s(p % 7), F.lit(".exe.manifest")))
+        .alias("path"),
+        F.lit("<configuration/>").alias("text"),
+    )
+    return attach_side_files(bins, files).select(
+        "app_id",
+        F.col("manifest_xml").isNotNull().alias("has_manifest"),
+        F.col("appconfig_xml").isNotNull().alias("has_config"),
+    ).distinct()
+
+
+O_SIDEFILE_ATTACH = """
+WITH bins AS (
+  SELECT 'app' || s_suppkey AS app_id,
+         'C:/ap' || (s_suppkey % 40) || '/Tool' || (s_suppkey % 7) || '.exe'
+           AS install_path
+  FROM supplier),
+files AS (
+  SELECT CASE WHEN p_partkey % 2 = 0
+    THEN 'C:/AP' || (p_partkey % 40) || '/TOOL' || (p_partkey % 7) || '.EXE.CONFIG'
+    ELSE 'c:/ap' || (p_partkey % 40) || '/tool' || (p_partkey % 7) || '.exe.manifest'
+  END AS path FROM part WHERE p_partkey % 3 = 0)
+SELECT DISTINCT app_id,
+  EXISTS (SELECT 1 FROM files f
+          WHERE lower(f.path) = lower(b.install_path || '.manifest'))
+    AS has_manifest,
+  EXISTS (SELECT 1 FROM files f
+          WHERE lower(f.path) = lower(b.install_path || '.config'))
+    AS has_config
+FROM bins b
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
+    "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),
     "dotnet_probe_uses": (q_dotnet_probe_uses, O_DOTNET_PROBE),
     "archive_members": (q_archive_members, O_ARCHIVE_MEMBERS),
@@ -1732,6 +1838,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash": (q_simhash, O_SIMHASH),
     "simhash64": (q_simhash64, O_SIMHASH64),
     "simhash_pairs": (q_simhash_pairs, O_SIMHASH_PAIRS),
+    "simhash_groups": (q_simhash_groups, O_SIMHASH_GROUPS),
     "order_revenue_topk": (q_order_revenue_topk, O_ORDER_REVENUE_TOPK),
     "local_supplier_volume": (q_local_supplier_volume, O_LOCAL_SUPPLIER),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),

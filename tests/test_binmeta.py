@@ -413,3 +413,89 @@ def test_aout_both_endians_and_chain_order():
     assert parse_binary_meta(little)["format"] == "aout"
     # ELF wins over the ambiguous a.out magic (parser-chain order)
     assert parse_binary_meta(elf64_blob())["format"] == "elf"
+
+
+def pe_delay_import_blob(dlls=("delayed1.dll", "delayed2.dll")):
+    """PE32+ with data directory 13 → delay descriptors in a section."""
+    e_lfanew = 0x40
+    size_opt = 112 + 16 * 8
+    sec0 = e_lfanew + 24 + size_opt
+    raw_ptr = sec0 + 40
+    va = 0x1000
+    names_rel = (len(dlls) + 1) * 32
+    rels, names = [], b""
+    for d in dlls:
+        rels.append(names_rel + len(names))
+        names += d.encode() + b"\x00"
+    descs = b""
+    for r in rels:
+        descs += struct.pack("<8I", 1, va + r, 0, 0, 0, 0, 0, 0)
+    descs += struct.pack("<8I", *([0] * 8))
+    payload = descs + names
+
+    head = b"MZ" + b"\x00" * 0x3A + struct.pack("<I", e_lfanew)
+    coff = b"PE\x00\x00" + struct.pack("<HHIIIHH", 0x8664, 1, 0, 0, 0,
+                                       size_opt, 0x0002)
+    opt = bytearray(struct.pack("<H", 0x20B)) + b"\x00" * (size_opt - 2)
+    struct.pack_into("<I", opt, 108, 16)  # NumberOfRvaAndSizes
+    struct.pack_into("<II", opt, 112 + 13 * 8, va, len(descs))
+    section = (b".didat\x00\x00"
+               + struct.pack("<IIII", len(payload), va, len(payload), raw_ptr)
+               + b"\x00" * 16)
+    blob = head + coff + bytes(opt) + section
+    assert len(blob) == raw_ptr, (len(blob), raw_ptr)
+    return blob + payload
+
+
+def pe_bound_import_blob(dlls=("bound1.dll", "bound2.dll")):
+    """PE with data directory 11 → bound-import table in the headers
+    (RVA == file offset, as loaders require)."""
+    e_lfanew = 0x40
+    size_opt = 112 + 16 * 8
+    tbl_off = e_lfanew + 24 + size_opt  # right after optional header
+    entries = b""
+    names = b""
+    names_rel = (len(dlls) + 1) * 8
+    for d in dlls:
+        entries += struct.pack("<IHH", 1, names_rel + len(names), 0)
+        names += d.encode() + b"\x00"
+    entries += struct.pack("<IHH", 0, 0, 0)
+    payload = entries + names
+
+    head = b"MZ" + b"\x00" * 0x3A + struct.pack("<I", e_lfanew)
+    coff = struct.pack("<HHIIIHH", 0x8664, 0, 0, 0, 0, size_opt, 0x0002)
+    opt = bytearray(struct.pack("<H", 0x20B)) + b"\x00" * (size_opt - 2)
+    struct.pack_into("<II", opt, 112 + 11 * 8, tbl_off, len(payload))
+    blob = head + b"PE\x00\x00" + coff + bytes(opt)
+    assert len(blob) == tbl_off
+    return blob + payload
+
+
+def test_pe_delay_and_bound_imports():
+    from surfactant_spark.functions.binmeta import parse_pe
+
+    m = parse_pe(pe_delay_import_blob())
+    assert m["delay_imports"] == "delayed1.dll|delayed2.dll"
+    m2 = parse_pe(pe_bound_import_blob())
+    assert m2["bound_imports"] == "bound1.dll|bound2.dll"
+    # plain PE: neither field
+    m3 = parse_pe(pe_blob())
+    assert "delay_imports" not in m3 and "bound_imports" not in m3
+
+
+def test_elf_interpreter_and_flags():
+    """PT_INTERP + DT_FLAGS surface as interpreter / flags fields
+    (reference elfInterpreter, elfDynamicFlags: elf_file.py:56-195)."""
+    from surfactant_spark.functions.binmeta import parse_elf
+
+    interp = b"/lib64/ld-linux-x86-64.so.2\x00"
+    ehdr_sz, phent = 64, 56
+    ident = b"\x7fELF" + bytes([2, 1, 1]) + b"\x00" * 9
+    ehdr = ident + struct.pack("<HHIQQQIHHHHHH",
+        2, 0x3E, 1, 0, ehdr_sz, 0, 0, ehdr_sz, phent, 1, 0, 0, 0)
+    ioff = ehdr_sz + phent
+    phdr = struct.pack("<IIQQQQQQ", 3, 4, ioff, ioff, ioff,
+                       len(interp), len(interp), 1)
+    m = parse_elf(ehdr + phdr + interp)
+    assert m["interpreter"] == "/lib64/ld-linux-x86-64.so.2"
+    assert m["type"] == "exec"

@@ -123,3 +123,18 @@ def test_sibling_join_and_probe_inputs_flow(spark):
     )
     cb_uses = {(r.subj, r.obj) for r in dotnet_codebase_uses(cb, targets).collect()}
     assert cb_uses == {("app", "t-shared")}
+
+
+def test_dotlocal_redirection_flag(spark):
+    from surfactant_spark.operators.linking import attach_side_files
+
+    bins = spark.createDataFrame(
+        [("a", "C:/x/App.exe"), ("b", "C:/y/Other.exe")],
+        "app_id string, install_path string",
+    )
+    files = spark.createDataFrame(
+        [("C:/x/app.exe.LOCAL", "")], "path string, text string"
+    )
+    got = {r.app_id: r.dll_redirection_local
+           for r in attach_side_files(bins, files).collect()}
+    assert got == {"a": True, "b": False}

@@ -36,6 +36,10 @@ AUDITS = {
     "simhash_pairs": ["HashAggregate", "!CartesianProduct"],
     "ngram_jaccard": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
     "lsh_dup_groups": ["!CartesianProduct"],
+    "installs_hash_join": ["!CartesianProduct", "HashAggregate"],
+    "dotnet_probe_uses": ["!CartesianProduct", "HashAggregate"],
+    "simhash_groups": ["!CartesianProduct"],
+    "archive_members": ["FlatMapGroupsInPandas"],
 }
 
 
@@ -57,6 +61,8 @@ def main() -> None:
         "local_supplier_volume", "tpch_q1_pricing", "mention_detect",
         "minhash_lsh", "window_rank", "roots_antijoin", "embed_topk",
         "embed_neardup", "simhash_pairs", "ngram_jaccard", "lsh_dup_groups",
+        "installs_hash_join", "dotnet_probe_uses", "simhash_groups",
+        "archive_members",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
