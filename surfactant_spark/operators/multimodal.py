@@ -1,11 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, batch iteration,
-partition sizing, magic-byte sniffing — while the codec step is a
-deterministic stub (`decode_stub=True`, the default here) because no
-image/audio libraries ship in this container.  Swapping in a real
-decoder means replacing `_fake_decode` with e.g. PIL inside the same
-mapInPandas signature; nothing upstream or downstream changes.
+partition sizing, magic-byte sniffing.  The decode step is REAL for
+codec-free formats (BMP / P6 PPM / 16-bit PCM WAV: struct-level pixel
+and sample decoding + luminance-grid / RMS-envelope features,
+functions/mediadec.py) and a deterministic stub ONLY for compressed
+media (JPEG/PNG/MP3/video), because no codec libraries ship in this
+container.  Swapping in a real codec means replacing `_fake_decode`
+inside the same mapInPandas signature; nothing upstream or downstream
+changes.  The `real_decode` output column says which path each row
+took — the stub is never silent.
 
 Mirrors how the reference treats opaque formats: identify by magic
 bytes first (surfactant/filetypeid/id_magic.py:53-256), then dispatch
@@ -40,6 +44,7 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("real_decode", T.BooleanType(), True),
     ]
 )
 
@@ -82,40 +87,59 @@ def classify_media(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 def extract_media_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """MEDIA_SCHEMA → FEATURES_SCHEMA via mapInPandas over Arrow
-    batches.  Blobs dominate batch memory, so callers should keep
+    batches.  Codec-free formats (BMP/PPM/WAV) decode for REAL —
+    pixel-grid luminance / PCM RMS features, real_decode=true; other
+    media falls back to the deterministic stub when ``decode_stub``
+    (else raises NotImplementedError, the honest no-codec boundary).
+    Blobs dominate batch memory, so callers should keep
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` small (the session
     default 2048 assumes ~100KB blobs; resize for video)."""
-    if not decode_stub:
-        raise NotImplementedError(
-            "real codecs are not available in this container; "
-            "run with decode_stub=True or inject a decoder"
-        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mediadec import audio_features, decode_media, luminance_grid
+
         for pdf in batches:
             rows = []
             for mid, mtype, content in zip(
                 pdf["media_id"], pdf["media_type"], pdf["content"]
             ):
                 b = bytes(content) if content is not None else b""
-                kind = mtype or sniff_media_type(b)
-                w, h, feat = _fake_decode(b)
+                dec = decode_media(b)
+                if dec is not None and dec["format"] == "wav":
+                    kind, w, h = "audio", None, None
+                    feat, real = audio_features(dec), True
+                elif dec is not None:
+                    kind, w, h = "image", dec["width"], dec["height"]
+                    feat, real = luminance_grid(dec), True
+                else:
+                    if not decode_stub:
+                        raise NotImplementedError(
+                            "no codec-free decoder matches and real codecs "
+                            "are not available in this container; run with "
+                            "decode_stub=True or inject a decoder"
+                        )
+                    kind = mtype or sniff_media_type(b)
+                    w, h, feat = _fake_decode(b)
+                    if kind != "image":
+                        w = h = None
+                    real = False
                 rows.append(
                     (
                         mid,
                         kind,
                         len(b),
                         hashlib.sha256(b).hexdigest(),
-                        w if kind == "image" else None,
-                        h if kind == "image" else None,
+                        w,
+                        h,
                         feat,
+                        real,
                     )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "media_type", "n_bytes", "sha256",
-                    "width", "height", "feature",
+                    "width", "height", "feature", "real_decode",
                 ],
             )
 

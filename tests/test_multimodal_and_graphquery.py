@@ -48,8 +48,10 @@ def test_media_features_deterministic(spark):
 
 
 def test_media_real_codec_path_guarded(spark):
-    with pytest.raises(NotImplementedError):
-        extract_media_features(synth_media(spark, 1), decode_stub=False)
+    # compressed media with decode_stub=False hits the honest no-codec
+    # boundary at execution time (raised inside the Arrow worker)
+    with pytest.raises(Exception, match="codec"):
+        extract_media_features(synth_media(spark, 1), decode_stub=False).collect()
 
 
 @pytest.fixture()
