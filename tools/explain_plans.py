@@ -40,6 +40,7 @@ AUDITS = {
     "dotnet_probe_uses": ["!CartesianProduct", "HashAggregate"],
     "simhash_groups": ["!CartesianProduct"],
     "archive_members": ["FlatMapGroupsInPandas"],
+    "sidefile_attach": ["!CartesianProduct"],
 }
 
 
@@ -62,7 +63,7 @@ def main() -> None:
         "minhash_lsh", "window_rank", "roots_antijoin", "embed_topk",
         "embed_neardup", "simhash_pairs", "ngram_jaccard", "lsh_dup_groups",
         "installs_hash_join", "dotnet_probe_uses", "simhash_groups",
-        "archive_members",
+        "archive_members", "sidefile_attach",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
