@@ -1,0 +1,45 @@
+"""CLI entry points (the `surfactant generate/merge` analogs,
+reference __main__.py:75): generate → graph JSON (with resume on the
+second invocation), merge of two exports, query printing."""
+
+import json
+
+from surfactant_spark.__main__ import main
+
+
+def test_cli_generate_resume_and_merge(spark, tmp_path, capsys):
+    from surfactant_spark.sources.pages import write_pages_parquet
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(spark, 300, pages)
+    out_a = str(tmp_path / "out_a")
+
+    assert main(["generate", pages, out_a, "--run-id", "t1"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["nodes"] > 0 and rep["edges"] > 0
+    assert rep["stages_run"] and not rep["stages_skipped"]
+
+    # second run resumes every stage from the snapshot catalog
+    assert main(["generate", pages, out_a, "--run-id", "t2"]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["stages_run"] == [] and rep2["stages_skipped"]
+    assert rep2["nodes"] == rep["nodes"] and rep2["edges"] == rep["edges"]
+
+    # self-merge is idempotent under any-hash dedup (node count stable)
+    out_m = str(tmp_path / "merged")
+    assert main(["merge", out_m, out_a, out_a]) == 0
+    repm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert repm["nodes"] == rep["nodes"]
+
+
+def test_cli_query_prints_json_lines(capsys):
+    assert main(["query", "stat_counts", "--sf-dir", "/root/testdata/sf0.001",
+                 "--limit", "3"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert 1 <= len(lines) <= 3
+    json.loads(lines[0])
+
+
+def test_cli_unknown_query_errors(capsys):
+    assert main(["query", "no_such_query"]) == 2
+    assert "unknown query" in capsys.readouterr().err

@@ -107,3 +107,68 @@ def test_mention_detection_total_and_first_match(text):
     out = detect_mentions_text(text, compiled)
     keys = [k for k, *_ in out]
     assert len(keys) == len(set(keys))
+
+
+_member_name = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-/", min_size=1, max_size=40
+).filter(lambda s: not s.endswith("/") and not s.startswith("/") and "//" not in s)
+
+
+@given(
+    st.lists(
+        st.tuples(_member_name, st.binary(max_size=200)),
+        min_size=1, max_size=6, unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_zip_parser_round_trips_stdlib_archives(members):
+    """Property: any stdlib-built ZIP (stored) parses back to exactly
+    its members, names and bytes (S3 archive family)."""
+    import io
+    import zipfile
+
+    from surfactant_spark.functions.archive import zip_members
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for n, d in members:
+            zf.writestr(zipfile.ZipInfo(n, (1980, 1, 1, 0, 0, 0)), d)
+    assert zip_members(buf.getvalue()) == members
+
+
+@given(
+    st.lists(
+        st.tuples(_member_name, st.binary(max_size=200)),
+        min_size=1, max_size=6, unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_tar_parser_round_trips_stdlib_archives(members):
+    import io
+    import tarfile
+
+    from surfactant_spark.functions.archive import tar_members
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for n, d in members:
+            ti = tarfile.TarInfo(n)
+            ti.size, ti.mtime = len(d), 0
+            tf.addfile(ti, io.BytesIO(d))
+    assert tar_members(buf.getvalue()) == members
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_binary_parsers_total_on_junk(b):
+    """Every header parser is total: junk → None or a dict, never an
+    exception (the log-and-continue policy)."""
+    from surfactant_spark.functions.archive import archive_members
+    from surfactant_spark.functions.binmeta import parse_binary_meta
+    from surfactant_spark.functions.mediadec import decode_media
+
+    out = parse_binary_meta(b)
+    assert out is None or isinstance(out, dict)
+    assert isinstance(archive_members(b), list)
+    m = decode_media(b)
+    assert m is None or isinstance(m, dict)
