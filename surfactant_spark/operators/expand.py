@@ -29,18 +29,29 @@ def iterative_expand(
     expand_fn: Callable[[DataFrame], DataFrame],
     key: str,
     max_depth: int = 10,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Union of seed + all transitively expanded rows, deduped on
     ``key``.  ``expand_fn`` maps a frontier to candidate child rows
     (same schema); children already seen (by key) are dropped, so
-    cycles terminate."""
-    all_rows = seed.dropDuplicates([key]).localCheckpoint(eager=True)
+    cycles terminate.
+
+    ``checkpoint_dir`` switches the per-round lineage truncation from
+    executor-local blocks to reliable storage — on a real cluster a
+    lost executor mid-fixpoint otherwise recomputes the whole prefix
+    (same contract as canonicalize.connected_components)."""
+    from .canonicalize import _round_checkpoint
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return _round_checkpoint(df, checkpoint_dir)
+
+    all_rows = ckpt(seed.dropDuplicates([key]))
     frontier = all_rows
     for _ in range(max_depth):
         children = expand_fn(frontier).dropDuplicates([key])
-        new = children.join(all_rows, on=key, how="left_anti").localCheckpoint(eager=True)
+        new = ckpt(children.join(all_rows, on=key, how="left_anti"))
         if new.isEmpty():
             break
-        all_rows = all_rows.unionByName(new).localCheckpoint(eager=True)
+        all_rows = ckpt(all_rows.unionByName(new))
         frontier = new
     return all_rows

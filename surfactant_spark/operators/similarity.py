@@ -136,7 +136,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int = 64,
-    bits: int = 3,
+    bits: int | None = 3,
     tables: int = 8,
 ) -> DataFrame:
     """Approximate top-k: candidates share a hyperplane bucket in at
@@ -148,9 +148,14 @@ def lsh_topk(
     Tuning: collision probability per table is (1-θ/π)^bits; for
     weakly-similar neighbors (cos ~0.3 → θ ≈ 0.4π) that is ~0.2 at
     bits=3, so ~8 tables are needed for ~0.85 candidate recall.
-    Fewer bits / more tables = higher recall, more candidates."""
+    Fewer bits / more tables = higher recall, more candidates.
+    ``bits=None`` sizes the tables from the target-corpus count
+    (adaptive_lsh_bits) so candidate volume stays ≈ n·target_bucket at
+    any scale; gates pin bits for oracle determinism."""
     from pyspark.sql.window import Window
 
+    if bits is None:
+        bits = adaptive_lsh_bits(targets.count(), lo=2)
     planes = table_planes(dim, bits, tables)
     q = _bucketed(queries, id_col, vec_col, "query_id", "qv", planes)
     t = _bucketed(targets, id_col, vec_col, "target_id", "tv", planes)

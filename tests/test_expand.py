@@ -36,3 +36,22 @@ def test_expand_depth_bound(spark):
 
     out = iterative_expand(seed, expand, key="k", max_depth=3).collect()
     assert len(out) == 4  # seed + 3 rounds
+
+
+def test_iterative_expand_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches to reliable checkpoints; result identical
+    to the localCheckpoint default."""
+    seed = spark.createDataFrame([(1,)], ["k"])
+
+    def expand(f):
+        from pyspark.sql import functions as F
+        return f.select((F.col("k") * 2).alias("k")).where(F.col("k") <= 8)
+
+    a = {r.k for r in iterative_expand(seed, expand, "k").collect()}
+    b = {
+        r.k
+        for r in iterative_expand(
+            seed, expand, "k", checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert a == b == {1, 2, 4, 8}
