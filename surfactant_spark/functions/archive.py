@@ -47,8 +47,13 @@ def zip_members(b: bytes) -> list[tuple[str, bytes]]:
     if eocd < 0:
         return out
     try:
-        n_total, cd_size, cd_off = struct.unpack_from("<HIi", b, eocd + 10)[0:3]
+        # cd_off is unsigned in the PKWARE APPNOTE layout — a signed
+        # unpack would go negative for central directories at ≥ 2 GiB
+        # and silently yield an empty member list
+        n_total, cd_size, cd_off = struct.unpack_from("<HII", b, eocd + 10)[0:3]
     except struct.error:
+        return out
+    if cd_off >= len(b):
         return out
     p = cd_off
     for _ in range(min(n_total, _MAX_MEMBERS)):

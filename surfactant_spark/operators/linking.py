@@ -433,8 +433,16 @@ def attach_side_files(binaries: DataFrame, files: DataFrame) -> DataFrame:
     """
     out = binaries
     for suffix, col in ((".manifest", "manifest_xml"), (".config", "appconfig_xml")):
-        side = files.select(
-            _win_fold(F.col("path")).alias("_skey"), F.col("text").alias(col)
+        # the file table is DATA, not a real filesystem: two rows may
+        # fold to the same key (case / separator variants).  A real disk
+        # has at most one side file per path, so keep one deterministic
+        # winner — output cardinality must equal the binaries input.
+        side = (
+            files.select(
+                _win_fold(F.col("path")).alias("_skey"), F.col("text").alias(col)
+            )
+            .groupBy("_skey")
+            .agg(F.min(col).alias(col))
         )
         out = (
             out.withColumn(

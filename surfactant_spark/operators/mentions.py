@@ -40,7 +40,10 @@ def unique_content(extracted: DataFrame) -> DataFrame:
 
 
 def content_for_detection(
-    extracted: DataFrame, dedup_threshold: float = 0.10, sample_fraction: float = 0.02
+    extracted: DataFrame,
+    dedup_threshold: float = 0.10,
+    sample_fraction: float = 0.02,
+    stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Adaptive pre-dedup: deduping before the detection UDF trades a
     full shuffle of the text column against re-detecting duplicate
@@ -49,16 +52,17 @@ def content_for_detection(
     moves for the estimate).  Real web crawls (30-60% dup) take the
     dedup path; low-dup corpora skip the shuffle entirely.  Either
     path yields the same edge set: downstream aggregations dedup on
-    (content, entity)."""
-    sample = extracted.select("content_sha256").sample(fraction=sample_fraction, seed=42)
-    agg = sample.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("content_sha256").alias("d"),
-    ).collect()[0]
-    if agg["n"] == 0:
+    (content, entity).  ``stats``: caller-supplied ``(n, distinct)``
+    from stats.column_stats skips the probe job (shared stats pass)."""
+    from ..stats import column_stats, dup_rate as _dup_rate
+
+    if stats is None:
+        stats = column_stats(
+            extracted, "content_sha256", sample_fraction=sample_fraction
+        )
+    if stats[0] == 0:
         return unique_content(extracted)
-    dup_rate = 1.0 - agg["d"] / agg["n"]
-    if dup_rate >= dedup_threshold:
+    if _dup_rate(stats) >= dedup_threshold:
         return unique_content(extracted)
     return extracted.select("content_sha256", "lang", "text")
 

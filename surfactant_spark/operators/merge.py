@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..schema import PRED_INSTALLS
 from .canonicalize import connected_components
 
 
@@ -217,7 +218,7 @@ def installs_edges(packages: DataFrame, files: DataFrame) -> DataFrame:
         out.distinct()
         .select(
             F.col("pkg_id").alias("subj"),
-            F.lit("Installs").alias("pred"),
+            F.lit(PRED_INSTALLS).alias("pred"),
             F.col("file_id").alias("obj"),
         )
     )

@@ -138,6 +138,7 @@ def lsh_topk(
     dim: int = 64,
     bits: int | None = 3,
     tables: int = 8,
+    stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share a hyperplane bucket in at
     least one of ``tables`` independent LSH tables, then exact rerank.
@@ -151,11 +152,14 @@ def lsh_topk(
     Fewer bits / more tables = higher recall, more candidates.
     ``bits=None`` sizes the tables from the target-corpus count
     (adaptive_lsh_bits) so candidate volume stays ≈ n·target_bucket at
-    any scale; gates pin bits for oracle determinism."""
+    any scale; gates pin bits for oracle determinism.  ``stats`` lets a
+    caller that already ran :func:`surfactant_spark.stats.column_stats`
+    skip the count job."""
     from pyspark.sql.window import Window
 
     if bits is None:
-        bits = adaptive_lsh_bits(targets.count(), lo=2)
+        n = stats[0] if stats is not None else targets.count()
+        bits = adaptive_lsh_bits(n, lo=2)
     planes = table_planes(dim, bits, tables)
     q = _bucketed(queries, id_col, vec_col, "query_id", "qv", planes)
     t = _bucketed(targets, id_col, vec_col, "target_id", "tv", planes)
@@ -303,6 +307,44 @@ def adaptive_lsh_bits(n: int, target_bucket: int = 1024,
     return max(lo, min(hi, math.ceil(math.log2(n / target_bucket))))
 
 
+def _skip_overfull_buckets(
+    b: DataFrame, vcol: str, max_bucket: int, what: str
+) -> DataFrame:
+    """Drop (tbl, bucket) cells holding more than ``max_bucket``
+    DISTINCT vectors — the same measure in the direct and flood paths
+    (the flood path's frame is already one row per distinct vector, so
+    its countDistinct ≡ count; counting raw docs in the direct path
+    would make the two paths disagree on corpora where duplication
+    concentrates in one bucket).  Distinctness is xxhash64-based —
+    collisions under-count by ~n²/2⁶⁵, far below cap granularity.
+
+    Shape: overfull buckets number ≤ n/max_bucket, so the filter is a
+    driver-side literal NOT-IN on a packed (tbl, bucket) key — the big
+    bucketed frame is never shuffled for the guard.  (r3 implemented
+    this as an equi-join against a per-bucket size frame, which
+    shuffled the full vector column twice: the embed_neardup +56%
+    bench regression.)"""
+    sizes = b.groupBy("tbl", "bucket").agg(
+        F.countDistinct(F.xxhash64(F.col(vcol))).alias("_n")
+    )
+    big = sizes.where(F.col("_n") > max_bucket).collect()
+    if not big:
+        return b
+    import warnings
+
+    warnings.warn(
+        f"{what}: {len(big)} band bucket(s) over the pair-join cap were "
+        "skipped; raise the cap or use the *_dup_groups operator (linear "
+        "seed edges) when group output suffices",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    # bucket < 2^bits ≤ 2^24 and tbl is small, so a packed long key is exact
+    key = F.col("tbl").cast("long") * F.lit(1 << 40) + F.col("bucket")
+    bad = [int(r["tbl"]) * (1 << 40) + int(r["bucket"]) for r in big]
+    return b.where(~key.isin(bad))
+
+
 def lsh_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -314,6 +356,7 @@ def lsh_near_pairs(
     max_bucket: int = 100_000,
     flood_dedup: bool | None = None,
     dup_threshold: float = 0.02,
+    stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs, deterministically approximate:
     (id_a, id_b, cos_x10000) for pairs that share a hyperplane bucket in
@@ -331,36 +374,39 @@ def lsh_near_pairs(
 
     Scale guards (r2 verdict items 4+5):
     * ``bits=None`` derives the table width from the corpus count via
-      :func:`adaptive_lsh_bits` (one count() job); gates pin bits for
-      oracle determinism.
+      :func:`adaptive_lsh_bits`; gates pin bits for oracle determinism.
     * flood path (``flood_dedup``): the bucket self-join runs over
       DISTINCT vectors (mass-duplicated embeddings collapse to one
       representative; identical vectors are recovered as cos=1·x10000
       pairs by an output-sized expansion).  ``None`` auto-selects from
-      a cheap hashed duplicate-rate probe — an all-distinct corpus
-      (the common post-exact-dedup case) keeps the direct formulation
-      and skips the compaction pass entirely (~2× at low sf); both
-      paths are result-identical by construction.
-    * buckets holding > ``max_bucket`` (distinct) vectors are skipped
-      with a warning — never silently."""
-    if bits is None:
-        bits = adaptive_lsh_bits(df.count(), lo=2)
-    planes = table_planes(dim, bits, tables)
-    from .dedup import _warn_bucket_overflow
+      a duplicate-rate probe — an all-distinct corpus (the common
+      post-exact-dedup case) keeps the direct formulation and skips the
+      compaction pass entirely (~2× at low sf); both paths are
+      result-identical (the over-cap skip counts DISTINCT vectors in
+      both, see :func:`_skip_overfull_buckets`).
+    * buckets holding > ``max_bucket`` DISTINCT vectors are skipped
+      with a warning — never silently.
+    * ``stats``: caller-supplied ``(n, n_distinct)`` from
+      stats.column_stats skips the probe job entirely (the r3 bench
+      regression was three operators each running their own probe)."""
+    if flood_dedup is None or bits is None:
+        if stats is None:
+            from ..stats import column_stats
 
-    if flood_dedup is None:
-        # hashed dup-rate probe: one narrow agg job; hash collisions
-        # only overestimate duplication → safe direction (flood path)
-        stats = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct(F.hash(F.col(vec_col))).alias("d"),
-        ).collect()[0]
-        flood_dedup = stats["n"] > 0 and 1.0 - stats["d"] / stats["n"] >= dup_threshold
+            stats = column_stats(df, vec_col)
+        if bits is None:
+            bits = adaptive_lsh_bits(stats[0], lo=2)
+        if flood_dedup is None:
+            n, d = stats
+            flood_dedup = n > 0 and 1.0 - d / n >= dup_threshold
+    planes = table_planes(dim, bits, tables)
+    # when the WHOLE corpus holds fewer distinct vectors than the cap,
+    # no bucket can overflow — the guard job is provably a no-op
+    guard_needed = stats is None or stats[1] > max_bucket
     if not flood_dedup:
         b = _bucketed(df, id_col, vec_col, "id", "v", planes)
-        sizes = b.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-        _warn_bucket_overflow(sizes.where(F.col("_n") > max_bucket), "lsh_near_pairs")
-        b = b.join(sizes.where(F.col("_n") <= max_bucket), ["tbl", "bucket"])
+        if guard_needed:
+            b = _skip_overfull_buckets(b, "v", max_bucket, "lsh_near_pairs")
         a, c = b.alias("a"), b.alias("b")
         cand = (
             a.join(c, ["tbl", "bucket"])
@@ -398,9 +444,8 @@ def lsh_near_pairs(
         extra=("cos_x10000",),
     )
     b = _bucketed(reps.select("rep", "v"), "rep", "v", "rid", "rv", planes)
-    sizes = b.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    _warn_bucket_overflow(sizes.where(F.col("_n") > max_bucket), "lsh_near_pairs")
-    b = b.join(sizes.where(F.col("_n") <= max_bucket), ["tbl", "bucket"])
+    if guard_needed:
+        b = _skip_overfull_buckets(b, "rv", max_bucket, "lsh_near_pairs")
     a, c = b.alias("a"), b.alias("b")
     cand = (
         a.join(c, ["tbl", "bucket"])

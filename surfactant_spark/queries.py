@@ -843,8 +843,16 @@ def q_embed_neardup(spark, sf):
     runs the FULL embeddings table.  The operator is defined as
     LSH-candidates ∩ threshold with deterministic md5 hyperplanes, so
     the DuckDB oracle replicates the identical bucket scheme; recall vs
-    the exact cross join is asserted in tests/test_dedup_similarity.py."""
-    return sim.lsh_near_pairs(_t(spark, sf, "embeddings"), **_NEARDUP)
+    the exact cross join is asserted in tests/test_dedup_similarity.py.
+
+    Corpus stats (flood-path auto-selection) come from the process-wide
+    cached stats pass keyed by the table path — one probe job per sf
+    dir no matter how many operators consult it."""
+    from .stats import column_stats
+
+    emb = _t(spark, sf, "embeddings")
+    stats = column_stats(emb, "embedding", cache_key=(sf, "embeddings", "embedding"))
+    return sim.lsh_near_pairs(emb, stats=stats, **_NEARDUP)
 
 
 def _lsh_neardup_sql(min_cos_x10000: int, dim: int, bits: int, tables: int) -> str:
