@@ -18,14 +18,47 @@ not filesystem writes — nothing is extracted to disk).
 
 from __future__ import annotations
 
+import bz2
+import lzma
 import struct
 import zlib
 
+GZIP_MAGIC = b"\x1f\x8b"
+BZ2_MAGIC = b"BZh"
+XZ_MAGIC = b"\xfd7zXZ\x00"
 ZIP_EOCD = b"PK\x05\x06"
 ZIP_CDIR = b"PK\x01\x02"
 ZIP_LOCAL = b"PK\x03\x04"
 _MAX_MEMBERS = 10_000
 _MAX_MEMBER_BYTES = 1 << 28  # 256 MiB per member: decompression-bomb guard
+
+
+def maybe_decompress(b: bytes) -> tuple[str | None, bytes]:
+    """``(codec, payload)`` for the single-stream compressors the
+    reference unpacks — gzip, bzip2, xz (stdlib ``zlib``/``bz2``/
+    ``lzma``; file_decompression.py:163-264).  RAR needs a third-party
+    extractor and stays a documented non-goal (SURVEY §2.1).
+
+    ``(None, b)`` when not compressed, corrupt, truncated, or over the
+    decompression-bomb cap — a partial payload is never returned (a
+    truncated stream is data corruption, not a smaller file).  Total:
+    one bad blob must never fail a partition."""
+    try:
+        if b[:2] == GZIP_MAGIC:
+            d = zlib.decompressobj(31)  # wbits 31 = gzip wrapper
+            out = d.decompress(b, _MAX_MEMBER_BYTES)
+            return ("gzip", out) if d.eof else (None, b)
+        if b[:3] == BZ2_MAGIC and len(b) > 4 and 0x31 <= b[3] <= 0x39:
+            d = bz2.BZ2Decompressor()
+            out = d.decompress(b, _MAX_MEMBER_BYTES)
+            return ("bzip2", out) if d.eof else (None, b)
+        if b[:6] == XZ_MAGIC:
+            d = lzma.LZMADecompressor()
+            out = d.decompress(b, _MAX_MEMBER_BYTES)
+            return ("xz", out) if d.eof else (None, b)
+    except Exception:
+        return (None, b)
+    return (None, b)
 
 
 def is_zip(b: bytes) -> bool:
@@ -114,9 +147,10 @@ def tar_members(b: bytes) -> list[tuple[str, bytes]]:
 
 
 def archive_members(b: bytes) -> list[tuple[str, bytes]]:
-    """First matching format's members; [] when not an archive.  Gzip
-    is handled upstream by ``maybe_gunzip`` (a gzip'd tar re-enters the
-    expansion fixpoint as a tar — the reference's recursive unpack,
+    """First matching format's members; [] when not an archive.
+    Single-stream compressors (gzip/bzip2/xz) are handled by
+    ``maybe_decompress`` — a compressed tar re-enters the expansion
+    fixpoint as a tar (the reference's recursive unpack,
     file_decompression.py:146-161)."""
     try:
         if is_zip(b):

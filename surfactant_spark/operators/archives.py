@@ -1,5 +1,5 @@
-"""Recursive archive expansion over the S2 fixpoint — ZIP/TAR/GZIP
-members become new scan rows, with sha256-keyed skip and Contains
+"""Recursive archive expansion over the S2 fixpoint — ZIP/TAR members
+and gzip/bzip2/xz payloads become new scan rows, with sha256-keyed skip and Contains
 edges, the Spark restatement of the reference's unpack loop
 (surfactant/infoextractors/file_decompression.py:119-161 cache-and-
 recurse; surfactant/cmd/generate.py:303-356 Contains derivation).
@@ -19,9 +19,12 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..functions.archive import archive_members
-from ..functions.extract import GZIP_MAGIC, maybe_gunzip
+from ..functions.archive import archive_members, maybe_decompress
 from .expand import iterative_expand
+
+# decompressed-payload pseudo-member names, one per codec (gzip keeps
+# its historical name; bzip2/xz joined in round 4)
+_CODEC_MEMBER = {"gzip": "<gunzipped>", "bzip2": "<bunzipped>", "xz": "<unxzed>"}
 
 EXPANDED_SCHEMA = (
     "file_id string, parent_id string, path string, content binary"
@@ -37,12 +40,13 @@ def _expand_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: list[tuple[str, str, str, bytes]] = []
         for fid, path, content in zip(pdf["file_id"], pdf["path"], pdf["content"]):
             b = bytes(content) if content is not None else b""
-            if b[:2] == GZIP_MAGIC:
-                inner = maybe_gunzip(b)
-                if inner != b:
-                    # decompressed payload re-enters the fixpoint (a
-                    # gzip'd tar expands on the next round)
-                    rows.append((_sha(inner), fid, f"{path}!/<gunzipped>", inner))
+            codec, inner = maybe_decompress(b)
+            if codec is not None:
+                # decompressed payload re-enters the fixpoint (a
+                # compressed tar expands on the next round)
+                rows.append(
+                    (_sha(inner), fid, f"{path}!/{_CODEC_MEMBER[codec]}", inner)
+                )
                 continue
             for name, data in archive_members(b):
                 rows.append((_sha(data), fid, f"{path}!/{name}", data))

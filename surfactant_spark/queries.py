@@ -1677,27 +1677,35 @@ FROM allc a JOIN targets tg ON lower(a.cand) = lower(tg.install_path)
 
 def q_archive_members(spark, sf):
     """S3 archive decompression beyond gzip: per-order line items are
-    packed into a deterministic ZIP (even orderkeys, stored members) or
-    ustar TAR (odd), then unpacked by the dependency-free parsers
-    (functions/archive.py — central-directory walk / 512-byte header
-    walk, the file_decompression.py:46-264 analog).  The oracle
-    recomputes every member's name/sha256/size straight from lineitem,
-    so the build→parse round-trip is checked member-by-member."""
+    packed into a deterministic container chosen by orderkey mod 4 —
+    ZIP (stored), ustar TAR, TAR.bz2, TAR.xz — then unpacked by the
+    dependency-free parsers (functions/archive.py — maybe_decompress
+    codec sniff + central-directory walk / 512-byte header walk, the
+    file_decompression.py:46-264 analog).  The oracle recomputes every
+    member's name/sha256/size straight from lineitem, so the
+    build→parse round-trip is checked member-by-member.  Modulus 389
+    keeps the fixture a few hundred archives at sf0.1 (the r3 modulus
+    97 made fixture construction dominate the gate's bench time)."""
     li = (
         _t(spark, sf, "lineitem")
-        .where(F.col("l_orderkey") % 97 == 0)
+        .where(F.col("l_orderkey") % 389 == 0)
         .select("l_orderkey", "l_linenumber", "l_partkey")
     )
 
     def build_and_parse(key, pdf):
+        import bz2
         import hashlib
         import io
+        import lzma
         import tarfile
         import zipfile
 
         import pandas as pd
 
-        from surfactant_spark.functions.archive import archive_members
+        from surfactant_spark.functions.archive import (
+            archive_members,
+            maybe_decompress,
+        )
 
         ok = int(key[0])
         pdf = pdf.sort_values("l_linenumber")
@@ -1709,7 +1717,7 @@ def q_archive_members(spark, sf):
             for r in pdf.itertuples()
         ]
         buf = io.BytesIO()
-        if ok % 2 == 0:
+        if ok % 4 == 0:
             with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
                 for n, d in members:
                     zf.writestr(zipfile.ZipInfo(n, (1980, 1, 1, 0, 0, 0)), d)
@@ -1720,7 +1728,13 @@ def q_archive_members(spark, sf):
                     ti = tarfile.TarInfo(n)
                     ti.size, ti.mtime = len(d), 0
                     tf.addfile(ti, io.BytesIO(d))
-        parsed = archive_members(buf.getvalue())
+        raw = buf.getvalue()
+        if ok % 4 == 2:
+            raw = bz2.compress(raw)
+        elif ok % 4 == 3:
+            raw = lzma.compress(raw, format=lzma.FORMAT_XZ)
+        _codec, payload = maybe_decompress(raw)
+        parsed = archive_members(payload)
         return pd.DataFrame(
             {
                 "archive_id": [f"a{ok}"] * len(parsed),
@@ -1744,7 +1758,7 @@ SELECT 'a' || l_orderkey AS archive_id,
          AS member_sha256,
        length('item|' || l_orderkey || '|' || l_linenumber || '|' || l_partkey)::BIGINT
          AS member_size
-FROM lineitem WHERE l_orderkey % 97 = 0
+FROM lineitem WHERE l_orderkey % 389 = 0
 """
 
 

@@ -119,6 +119,61 @@ def test_expand_archives_nested_with_contains_edges(spark):
     expanded.unpersist()
 
 
+def test_maybe_decompress_codecs_and_hostile_input():
+    """gzip/bzip2/xz sniff-and-decode round-trips; corrupt, truncated,
+    and non-compressed inputs are returned untouched with codec=None
+    (log-and-continue: one bad blob never fails a partition)."""
+    import bz2
+    import lzma
+
+    from surfactant_spark.functions.archive import maybe_decompress
+
+    payload = b"the quick brown fox" * 100
+    assert maybe_decompress(gzip.compress(payload, mtime=0)) == ("gzip", payload)
+    assert maybe_decompress(bz2.compress(payload)) == ("bzip2", payload)
+    xz = lzma.compress(payload, format=lzma.FORMAT_XZ)
+    assert maybe_decompress(xz) == ("xz", payload)
+    for hostile in (
+        b"",
+        b"plain text",
+        b"\x1f\x8btruncated!!",
+        b"BZh9truncated",
+        b"\xfd7zXZ\x00garbage",
+        gzip.compress(payload)[:-5],   # truncated stream: no partial output
+        bz2.compress(payload)[:-5],
+        xz[:-5],
+    ):
+        assert maybe_decompress(hostile) == (None, hostile)
+
+
+def test_expand_archives_tar_bz2_and_tar_xz(spark):
+    """Compressed tars re-enter the fixpoint through the codec sniff:
+    tar.bz2 and tar.xz each expand to the decompression pseudo-node and
+    then the tar members (file_decompression.py:163-264 parity for the
+    stdlib-coverable codecs; rar is the documented non-goal)."""
+    import bz2
+    import lzma
+
+    from surfactant_spark.operators.archives import expand_archives
+
+    # distinct payloads — identical ones would dedup on sha256 and the
+    # second container would (correctly) stop at the compressed node
+    tar_a = _tar_bytes([("lib/z.so", b"ZDATA")])
+    tar_b = _tar_bytes([("lib/y.so", b"YDATA")])
+    files = spark.createDataFrame(
+        [
+            ("a.tar.bz2", bytearray(bz2.compress(tar_a))),
+            ("b.tar.xz", bytearray(lzma.compress(tar_b, format=lzma.FORMAT_XZ))),
+        ],
+        "path string, content binary",
+    )
+    paths = {r.path for r in expand_archives(files).collect()}
+    assert "a.tar.bz2!/<bunzipped>" in paths
+    assert "b.tar.xz!/<unxzed>" in paths
+    assert "a.tar.bz2!/<bunzipped>!/lib/z.so" in paths
+    assert "b.tar.xz!/<unxzed>!/lib/y.so" in paths
+
+
 def test_expand_archives_cycle_terminates(spark):
     """A zip containing ITSELF cannot be built, but a gzip whose payload
     is not smaller re-enters with identical sha and must be dropped by
