@@ -140,3 +140,20 @@ def test_csv_round_trip_fixed_point(spark, tmp_path):
         }
 
     assert norm(read_graph_csv(spark, out1)) == norm(read_graph_csv(spark, out2))
+
+
+def test_standards_export_empty_graph(spark, tmp_path):
+    """Zero nodes/edges must still yield a valid single document with
+    empty arrays (the distributed shard concat has no first element)."""
+    import json
+
+    from surfactant_spark.sources.sinks import write_cyclonedx_json, write_spdx_json
+
+    nodes = spark.createDataFrame([], NODES_SCHEMA)
+    edges = spark.createDataFrame([], EDGES_SCHEMA)
+    cdx, spdx = str(tmp_path / "e.cdx.json"), str(tmp_path / "e.spdx.json")
+    write_cyclonedx_json(nodes, edges, cdx)
+    write_spdx_json(nodes, edges, spdx)
+    d1, d2 = json.load(open(cdx)), json.load(open(spdx))
+    assert d1["components"] == [] and d1["dependencies"] == []
+    assert d2["packages"] == [] and d2["relationships"] == []
