@@ -172,9 +172,14 @@ def main() -> None:
     from surfactant_spark.operators.canonicalize import entity_canonical_map
     from surfactant_spark.operators.extract import extract_pages
     from surfactant_spark.operators.linking import build_edges, build_nodes
-    from surfactant_spark.operators.mentions import content_for_detection, detect_mentions
+    from surfactant_spark.operators.mentions import (
+        CONTENT_DEDUP_THRESHOLD,
+        content_for_detection,
+        detect_mentions,
+    )
     from surfactant_spark.session import get_spark
     from surfactant_spark.sources.pages import synth_pages
+    from surfactant_spark.stats import column_stats, dup_rate
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=max(2 * cores, 8))
     spark.range(1000).selectExpr("sum(id)").collect()  # warm-up
@@ -211,11 +216,19 @@ def main() -> None:
         ext.count()
         stages["extract"] = round(time.monotonic() - t, 3)
         t = time.monotonic()
-        mentions = detect_mentions(content_for_detection(ext), compiled).cache()
+        # one shared stats probe feeds both the mention pre-dedup path
+        # and the edges-stage mentions_unique decision
+        cstats = column_stats(ext, "content_sha256")
+        mentions = detect_mentions(
+            content_for_detection(ext, stats=cstats), compiled
+        ).cache()
         mentions.count()
         stages["mentions"] = round(time.monotonic() - t, 3)
         t = time.monotonic()
-        edges = build_edges(ext, mentions, emap)
+        edges = build_edges(
+            ext, mentions, emap,
+            mentions_unique=dup_rate(cstats) >= CONTENT_DEDUP_THRESHOLD,
+        )
         edges.write.format("noop").mode("overwrite").save()
         stages["edges"] = round(time.monotonic() - t, 3)
         t = time.monotonic()
@@ -249,6 +262,16 @@ def main() -> None:
             )
             line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
             micro["mention_confirm"] = json.loads(line)
+        except Exception:
+            pass
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.join(repo, "tools", "bench_dictionary.py")],
+                capture_output=True, text=True, timeout=1200,
+                env=dict(os.environ, PYTHONPATH=repo), cwd=repo,
+            )
+            line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+            micro["dictionary"] = json.loads(line)
         except Exception:
             pass
 
@@ -330,6 +353,27 @@ def main() -> None:
                     f"Engine efficiency normalized to the hardware ceiling: "
                     f"**{scaling.get('efficiency_vs_hw')}**.\n"
                 )
+        if micro.get("dictionary"):
+            md = micro["dictionary"]
+            bd = md.get("big_dict", {})
+            f.write(
+                f"\n## Micro: production-size dictionary "
+                f"({md.get('n_pages')} pages, planted hits)\n\n"
+                f"Prefilter crossover (vectorized per-literal passes vs one "
+                f"Aho-Corasick scan; AC_THRESHOLD sits at the measured "
+                f"crossing):\n\n"
+                f"| patterns | vectorized s | AC s |\n|---|---|---|\n"
+            )
+            for row in md.get("crossover", []):
+                f.write(
+                    f"| {row['n_patterns']} | {row['vectorized_sec']} "
+                    f"| {row['ac_sec']} |\n"
+                )
+            f.write(
+                f"\n{bd.get('n_entities')}-entity dictionary "
+                f"({bd.get('n_patterns')} patterns, {bd.get('ship')}-shipped): "
+                f"{bd.get('sec')} s → **{bd.get('docs_per_sec')} docs/s**\n"
+            )
 
 
 if __name__ == "__main__":

@@ -7,12 +7,23 @@ cmd/merge.py:85-133) over the Spark pipeline:
         [--no-resume] [--cores N]
     python -m surfactant_spark merge OUT_DIR IN_DIR1 IN_DIR2 [--cores N]
     python -m surfactant_spark query NAME [--sf-dir DIR] [--limit N]
+    python -m surfactant_spark load GRAPH_JSON_DIR [--session DIR]
+    python -m surfactant_spark save OUT [--session DIR] [--format ...]
+    python -m surfactant_spark find [--session DIR] [--node-type T]
+        [--name-contains S] [--url-contains S] [--sha256 H] [--limit N]
 
 `generate` scans a pages parquet (url, warc_ts, html …), runs the
 extract → mention → canonicalize → relate pipeline with snapshot
 resume, and writes the graph in the chosen sink format.  `merge`
 unions two graph-JSON exports with any-hash dedup-merge and edge
 remap.  `query` runs one registered operator and prints JSON lines.
+
+`load`/`save`/`find` are the reference's cli session commands
+(surfactant/cmd/cli_commands/cli_load.py, cli_save.py, cli.py): `load`
+persists a graph export as the WORKING graph in a session directory
+(parquet — the serialized-SBOM working file analog), `find` queries the
+working graph across invocations without reloading the export, and
+`save` writes the working graph back out in any sink format.
 """
 
 from __future__ import annotations
@@ -97,6 +108,82 @@ def cmd_query(args) -> int:
     return 0
 
 
+DEFAULT_SESSION = ".surfactant_spark_session"
+
+
+def _read_session(spark, session_dir: str):
+    import os
+
+    if not os.path.exists(f"{session_dir}/nodes.parquet"):
+        print(
+            f"no working graph in {session_dir!r}; run "
+            "`surfactant_spark load <graph-json-dir>` first",
+            file=sys.stderr,
+        )
+        return None, None
+    return (
+        spark.read.parquet(f"{session_dir}/nodes.parquet"),
+        spark.read.parquet(f"{session_dir}/edges.parquet"),
+    )
+
+
+def cmd_load(args) -> int:
+    """cli_load.py analog: graph export → persisted working graph."""
+    from .sources.readers import read_graph_json
+
+    spark = _spark(args)
+    nodes, edges = read_graph_json(spark, args.input)
+    nodes.write.mode("overwrite").parquet(f"{args.session}/nodes.parquet")
+    edges.write.mode("overwrite").parquet(f"{args.session}/edges.parquet")
+    n, e = (
+        spark.read.parquet(f"{args.session}/nodes.parquet").count(),
+        spark.read.parquet(f"{args.session}/edges.parquet").count(),
+    )
+    print(json.dumps({"session": args.session, "nodes": n, "edges": e}))
+    return 0
+
+
+def cmd_save(args) -> int:
+    """cli_save.py analog: working graph → chosen sink format."""
+    from .sources import sinks
+
+    spark = _spark(args)
+    nodes, edges = _read_session(spark, args.session)
+    if nodes is None:
+        return 2
+    if args.format == "json":
+        sinks.write_graph_json(nodes, edges, args.out)
+    elif args.format == "csv":
+        sinks.write_graph_csv(nodes, args.out)
+    elif args.format == "cyclonedx":
+        sinks.write_cyclonedx_json(nodes, edges, args.out)
+    elif args.format == "spdx":
+        sinks.write_spdx_json(nodes, edges, args.out)
+    print(json.dumps({"out": args.out, "format": args.format,
+                      "nodes": nodes.count(), "edges": edges.count()}))
+    return 0
+
+
+def cmd_find(args) -> int:
+    """cli.py find analog over the persisted working graph."""
+    from .operators.graphquery import find_nodes
+
+    spark = _spark(args)
+    nodes, _edges = _read_session(spark, args.session)
+    if nodes is None:
+        return 2
+    found = find_nodes(
+        nodes,
+        node_type=args.node_type,
+        name_contains=args.name_contains,
+        url_contains=args.url_contains,
+        sha256=args.sha256,
+    )
+    for row in found.orderBy("canonical_id").limit(args.limit).toJSON().collect():
+        print(row)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="surfactant_spark")
     p.add_argument("--cores", default=None, help="local[N] cores (default: env/all)")
@@ -123,6 +210,27 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     qp.add_argument("--limit", type=int, default=20)
     qp.set_defaults(fn=cmd_query)
+
+    lo = sub.add_parser("load", help="graph export → session working graph")
+    lo.add_argument("input")
+    lo.add_argument("--session", default=DEFAULT_SESSION)
+    lo.set_defaults(fn=cmd_load)
+
+    sv = sub.add_parser("save", help="session working graph → sink format")
+    sv.add_argument("out")
+    sv.add_argument("--session", default=DEFAULT_SESSION)
+    sv.add_argument("--format", default="json",
+                    choices=["json", "csv", "cyclonedx", "spdx"])
+    sv.set_defaults(fn=cmd_save)
+
+    fd = sub.add_parser("find", help="query the session working graph")
+    fd.add_argument("--session", default=DEFAULT_SESSION)
+    fd.add_argument("--node-type", default=None)
+    fd.add_argument("--name-contains", default=None)
+    fd.add_argument("--url-contains", default=None)
+    fd.add_argument("--sha256", default=None)
+    fd.add_argument("--limit", type=int, default=20)
+    fd.set_defaults(fn=cmd_find)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,184 @@
+"""Offline pattern-DB ingest with content-hash freshness.
+
+The reference refreshes its RetireJS/EMBA pattern databases by
+downloading a feed, hashing the raw bytes, and skipping the re-parse +
+re-save when the hash matches the recorded one
+(surfactant/database_manager/database_utils.py:166-189); the parsed DB
+is persisted as JSON and version metadata (hash + timestamp) alongside
+(database_utils.py:136-160).  The sandbox has no network, so the feed
+is a FILE — which is also the production shape on an air-gapped
+cluster: a feed snapshot lands on shared storage, the ingest job turns
+it into dictionary rows, and every downstream run reuses the parsed
+rows until the feed bytes change.
+
+Feed format: the RetireJS JSON dump shape
+(https://github.com/RetireJS/retire.js repository.json, as parsed by
+surfactant/infoextractors/js_file.py:54-97):
+
+    { "<library>": { "extractors": {
+        "filename":    ["<regex with §§version§§>", ...],
+        "filecontent": ["<regex with §§version§§>", ...],
+        "hashes":      ["<hex digest>", ...] } }, ... }
+
+Row mapping:
+* ``filecontent`` regexes → ``(library, "content", pattern)`` rows —
+  the page-text mention patterns (compile_dictionary applies the
+  §§version§§ rewrite, validation, and prefilter skip policy).
+* ``filename`` regexes → ``(library, "filename", pattern)`` rows —
+  matched against url basenames, not page text; kept as data for the
+  filename matcher and excluded from text compilation.
+* ``hashes`` → ``(library, "hash", digest)`` rows — exact
+  content-digest identification (js_file.py:110-118's sha1-lookup
+  analog): a broadcast join against content hashes, no regex at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import os
+import re
+from dataclasses import dataclass
+
+logger = logging.getLogger(__name__)
+
+VERSION_PLACEHOLDER = "§§version§§"
+
+
+@dataclass
+class IngestResult:
+    rows: list[tuple[str, str, str, str | None]]
+    updated: bool  # False = feed hash unchanged, rows read from cache
+    feed_hash: str
+    n_libraries: int
+
+
+def parse_retirejs(raw: str) -> dict[str, dict[str, list[str]]]:
+    """RetireJS dump → {library: {filename/filecontent/hashes: [...]}}.
+    Invalid JSON yields {}; invalid regexes are logged and skipped,
+    never fatal (js_file.py:88-95).  The §§version§§ rewrite happens at
+    dictionary-compile time, so patterns are validated here with the
+    placeholder substituted the same way the compiler will."""
+    try:
+        db = json.loads(raw)
+    except json.JSONDecodeError as err:
+        logger.error("failed to parse pattern-DB JSON: %s", err)
+        return {}
+    if not isinstance(db, dict):
+        logger.error("expected top-level JSON object for RetireJS data")
+        return {}
+    clean: dict[str, dict[str, list[str]]] = {}
+    for library, lib_entry in db.items():
+        extractors = (lib_entry or {}).get("extractors")
+        if not isinstance(extractors, dict):
+            continue
+        clean[library] = {}
+        for entry in ("filename", "filecontent", "hashes"):
+            pats = extractors.get(entry)
+            if not isinstance(pats, list):
+                continue
+            kept: list[str] = []
+            for pat in pats:
+                if entry == "hashes":
+                    kept.append(str(pat).lower())
+                    continue
+                candidate = str(pat).replace(VERSION_PLACEHOLDER, r"\d+(?:\.\d+)*")
+                try:
+                    re.compile(candidate)
+                    kept.append(str(pat))
+                except re.error as rex:
+                    logger.warning(
+                        "skipping invalid %s regex for %s: %s (%s)",
+                        entry, library, pat, rex,
+                    )
+            clean[library][entry] = kept
+    return clean
+
+
+def retirejs_to_rows(
+    clean: dict[str, dict[str, list[str]]],
+) -> list[tuple[str, str, str, str | None]]:
+    """Parsed DB → dictionary rows, deterministic order (library name,
+    then entry kind, then feed order)."""
+    kind_map = {"filecontent": "content", "filename": "filename", "hashes": "hash"}
+    rows: list[tuple[str, str, str, str | None]] = []
+    for library in sorted(clean):
+        for entry in ("filecontent", "filename", "hashes"):
+            for pat in clean[library].get(entry, []):
+                rows.append((library, kind_map[entry], pat, None))
+    return rows
+
+
+def text_rows(
+    rows: list[tuple[str, str, str, str | None]],
+) -> list[tuple[str, str, str, str | None]]:
+    """The subset compile_dictionary consumes (content patterns);
+    filename/hash rows feed their own matchers."""
+    return [r for r in rows if r[1] in ("content", "name")]
+
+
+def hash_rows(rows) -> list[tuple[str, str]]:
+    """(digest, entity_key) pairs for the exact-hash identification join."""
+    return [(r[2], r[0]) for r in rows if r[1] == "hash"]
+
+
+def ingest_pattern_db(feed_path: str, state_dir: str, force: bool = False) -> IngestResult:
+    """Parse ``feed_path`` into dictionary rows, skipping the re-parse
+    when the feed's content hash matches the recorded one — the
+    download_and_update_database freshness contract
+    (database_utils.py:166-189) minus the network fetch.
+
+    ``state_dir`` holds ``rows.json`` (the parsed DB, the reference's
+    save_database analog) and ``version.json`` ({hash}); both are
+    rewritten only on change."""
+    with open(feed_path, "rb") as f:
+        raw = f.read()
+    feed_hash = hashlib.sha256(raw).hexdigest()
+    meta_path = os.path.join(state_dir, "version.json")
+    rows_path = os.path.join(state_dir, "rows.json")
+    if not force and os.path.exists(meta_path) and os.path.exists(rows_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("hash") == feed_hash:
+            with open(rows_path) as f:
+                cached = json.load(f)
+            rows = [tuple(r) for r in cached["rows"]]
+            return IngestResult(rows, False, feed_hash, cached["n_libraries"])
+    clean = parse_retirejs(raw.decode("utf-8", "replace"))
+    rows = retirejs_to_rows(clean)
+    os.makedirs(state_dir, exist_ok=True)
+    with open(rows_path, "w") as f:
+        json.dump({"rows": rows, "n_libraries": len(clean)}, f)
+    with open(meta_path, "w") as f:
+        json.dump({"hash": feed_hash, "key": "retirejs"}, f)
+    return IngestResult(rows, True, feed_hash, len(clean))
+
+
+def identify_by_hash(content_hashes, hash_pairs):
+    """Exact-digest identification: content rows whose hash appears in
+    the pattern DB's ``hashes`` list → (content hash, entity_key) —
+    the js_file.py sha1-lookup as a broadcast equi-join (the DB side is
+    dictionary-sized; the corpus side never shuffles).
+
+    ``content_hashes``: DataFrame with a ``content_sha256`` column (or
+    any single hash column named there).  ``hash_pairs``: list of
+    (digest, entity_key)."""
+    from pyspark.sql import functions as F
+
+    spark = content_hashes.sparkSession
+    if not hash_pairs:
+        return (
+            content_hashes.select("content_sha256")
+            .limit(0)
+            .withColumn("entity_key", F.lit(None).cast("string"))
+        )
+    db = spark.createDataFrame(
+        [(d.lower(), k) for d, k in hash_pairs], "digest string, entity_key string"
+    )
+    return (
+        content_hashes.select(F.lower(F.col("content_sha256")).alias("digest"))
+        .join(F.broadcast(db), "digest")
+        .select(F.col("digest").alias("content_sha256"), "entity_key")
+        .distinct()
+    )

@@ -312,6 +312,12 @@ def compile_dictionary(
                 CompiledPattern(key, kind, pat, order, _name_regex(pat), (pat.lower(),), CONF_NAME)
             )
             continue
+        if kind != "content":
+            # filename/hash rows (dbingest.py) feed their own matchers —
+            # compiling a hex digest or filename regex as a text pattern
+            # would be silently wrong
+            skipped.append((key, pat, f"unsupported-kind:{kind}"))
+            continue
         # content regex: §§version§§ rewrite, validate, derive prefilter
         # literals, apply skip policy (rewrite-then-validate ordering as
         # in the reference: a pattern that only compiles after the
@@ -358,6 +364,28 @@ def alias_edges(rows=None, extra: list[tuple[str, str]] | None = None) -> list[t
             seen.add(k)
             out.append(e)
     return out
+
+
+def synth_dictionary_rows(
+    n_entities: int, seed: str = "dict", version_rows: bool = True
+) -> list[tuple[str, str, str, str | None]]:
+    """Deterministic production-size dictionary: ``n_entities`` synthetic
+    libraries shaped like RetireJS/EMBA entries (the reference DBs hold
+    thousands of patterns; the built-in fixture holds ~20 — this
+    generator sizes benches and the AC-threshold crossover honestly).
+
+    Per entity i: a name alias ``lib<md5-8>`` and (optionally) a content
+    regex ``lib<md5-8>/(§§version§§)``.  Literals are 11 chars, unique
+    with overwhelming probability, and derived only from (seed, i) so
+    two processes build identical dictionaries."""
+    rows: list[tuple[str, str, str, str | None]] = []
+    for i in range(n_entities):
+        base = hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8]
+        key = f"lib{base}"
+        rows.append((key, "name", key, None))
+        if version_rows:
+            rows.append((key, "content", rf"lib{base}/({VERSION_PLACEHOLDER})", None))
+    return rows
 
 
 def sha256_hex(s: str | bytes) -> str:

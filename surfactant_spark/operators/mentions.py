@@ -39,10 +39,16 @@ def unique_content(extracted: DataFrame) -> DataFrame:
     )
 
 
+# duplicate-rate above which pre-deduping content before the detection
+# UDF pays for its shuffle (shared with the pipeline's edges-stage
+# mentions_unique decision — the two MUST agree)
+CONTENT_DEDUP_THRESHOLD = 0.10
+
+
 def content_for_detection(
     extracted: DataFrame,
-    dedup_threshold: float = 0.10,
-    sample_fraction: float = 0.02,
+    dedup_threshold: float = CONTENT_DEDUP_THRESHOLD,
+    sample_fraction: float | None = None,
     stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Adaptive pre-dedup: deduping before the detection UDF trades a
@@ -67,7 +73,14 @@ def content_for_detection(
     return extracted.select("content_sha256", "lang", "text")
 
 
-AC_THRESHOLD = 32  # above this many patterns, one AC scan beats per-literal passes
+# Above this many patterns, one Aho-Corasick scan beats per-literal
+# vectorized substring passes.  Measured (tools/bench_dictionary.py,
+# 20k × 5-10 KB pages, ~1 planted hit/page): vectorized wins to ~128
+# patterns (C-speed str.contains, cost ∝ patterns × bytes), AC is flat
+# ~1.4 s from 16 to 20,000 patterns (one pure-Python pass, cost ∝
+# bytes); curves cross between 128 and 256.  r1-r3 assumed 32 — that
+# under-used the faster vectorized path for mid-size dictionaries.
+AC_THRESHOLD = 192
 
 # Regex-confirm window around an AC candidate position, matching the
 # reference's ±(50, 4096)-byte windows
@@ -212,18 +225,49 @@ def _detect_batches(
     return fn
 
 
+# Above this many patterns the compiled dictionary ships via
+# sparkContext.broadcast (torrent distribution, one copy per executor)
+# instead of the task closure (re-serialized into EVERY task); the
+# automaton/regexes are then rebuilt once per worker and memoized.
+BROADCAST_THRESHOLD = 512
+
+# worker-side memo: token → detection closure.  A python worker is
+# reused across tasks, so a production-size dictionary pays its
+# automaton build once per worker, not once per task.  Tiny bounded
+# cache — a worker sees a handful of dictionaries per session.
+_WORKER_DETECT_CACHE: dict = {}
+
+
+def _detect_via_broadcast(bc, token: str, ac_threshold: int, windowed_confirm: bool):
+    def fn(batches):
+        f = _WORKER_DETECT_CACHE.get(token)
+        if f is None:
+            if len(_WORKER_DETECT_CACHE) > 8:
+                _WORKER_DETECT_CACHE.clear()
+            f = _detect_batches(bc.value, ac_threshold, windowed_confirm)
+            _WORKER_DETECT_CACHE[token] = f
+        yield from f(batches)
+
+    return fn
+
+
 def detect_mentions(
     content: DataFrame,
     compiled: CompiledDictionary | None = None,
     ac_threshold: int = AC_THRESHOLD,
     windowed_confirm: bool = True,
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
 ) -> DataFrame:
     """content(content_sha256, lang, text) → MENTIONS_SCHEMA.
 
     The dictionary is compiled driver-side once (the reference's
-    init_hook analog, surfactant/plugin/hookspecs.py:146-156) and ships
-    to executors inside the serialized closure — it is a few KB; for a
-    multi-MB production dictionary swap in ``sparkContext.broadcast``.
+    init_hook analog, surfactant/plugin/hookspecs.py:146-156).  Small
+    dictionaries ship inside the serialized task closure (a few KB);
+    above ``broadcast_threshold`` patterns a production-size dictionary
+    (RetireJS/EMBA scale: thousands of entries, MBs compiled) ships via
+    ``sparkContext.broadcast`` — one torrent copy per executor instead
+    of a per-task closure payload — and each worker memoizes the built
+    automaton across tasks.
 
     Above ``ac_threshold`` patterns the prefilter switches from
     per-literal vectorized substring passes to a single Aho-Corasick
@@ -233,10 +277,19 @@ def detect_mentions(
     if compiled is None:
         compiled = compile_dictionary()
     src = content.select("content_sha256", "lang", "text")
-    return src.mapInPandas(
-        _detect_batches(compiled, ac_threshold, windowed_confirm),
-        schema=MENTIONS_SCHEMA,
-    )
+    if len(compiled.patterns) > broadcast_threshold:
+        import hashlib as _hl
+
+        sc = content.sparkSession.sparkContext
+        token = _hl.md5(
+            f"{ac_threshold}|{windowed_confirm}|".encode()
+            + "|".join(p.pattern for p in compiled.patterns).encode()
+        ).hexdigest()
+        bc = sc.broadcast(compiled)
+        fn = _detect_via_broadcast(bc, token, ac_threshold, windowed_confirm)
+    else:
+        fn = _detect_batches(compiled, ac_threshold, windowed_confirm)
+    return src.mapInPandas(fn, schema=MENTIONS_SCHEMA)
 
 
 def resolve_version_hints(mentions: DataFrame) -> DataFrame:

@@ -84,11 +84,22 @@ def run_pipeline(
         partition_by=["lang"],
     )
 
+    # ONE corpus-stats probe decides both the mention pre-dedup path and
+    # whether Uses edges need a dedup shuffle (they don't when mentions
+    # ran over per-content rows) — the shared stats pass
+    from ..operators.mentions import CONTENT_DEDUP_THRESHOLD
+    from ..stats import column_stats, dup_rate
+
+    content_stats = column_stats(extracted, "content_sha256")
+    mentions_unique = dup_rate(content_stats) >= CONTENT_DEDUP_THRESHOLD
+
     fp_mentions = _fingerprint(__version__, "mentions", fp_extract, dict_fp)
     mentions = stage(
         "mentions",
         fp_mentions,
-        lambda: detect_mentions(content_for_detection(extracted), compiled),
+        lambda: detect_mentions(
+            content_for_detection(extracted, stats=content_stats), compiled
+        ),
     )
 
     fp_emap = _fingerprint(__version__, "entity_map", dict_fp)
@@ -112,7 +123,7 @@ def run_pipeline(
     edges = stage(
         "edges",
         fp_edges,
-        lambda: build_edges(extracted, mentions, emap),
+        lambda: build_edges(extracted, mentions, emap, mentions_unique=mentions_unique),
         partition_by=["lang"],
     )
 

@@ -31,20 +31,30 @@ def column_stats(
     sample_fraction: float | None = None,
     cache_key: object = None,
 ) -> tuple[int, int]:
-    """``(n_rows, n_distinct)`` for ``col``, one agg job.
+    """``(n_rows, n_distinct)`` for ``col``, one agg job over the FULL
+    column.
 
-    Distinctness is xxhash64-based: a 64-bit collision under-counts by
-    ~n²/2⁶⁵ — negligible at any corpus size this probe feeds (the
-    numbers drive heuristics and caps, not results).  With
-    ``sample_fraction`` the counts are SAMPLE counts — use their ratio
-    (dup rate), not their magnitudes."""
+    Distinctness is an HLL sketch (``approx_count_distinct``, rsd 2%):
+    sketches merge map-side, so the probe never shuffles more than a
+    few KB per partition at any corpus size, and a ±2% distinct count
+    is ample for the heuristics and caps it feeds.
+
+    ``sample_fraction`` exists for callers that cannot afford even a
+    one-column scan, but know the BIAS: row sampling destroys duplicate
+    structure — at fraction f, a value duplicated k times is seen twice
+    with probability ≈ (kf)²/2, so uniform low-k duplication (the
+    2-4× url-variant duplication of a real crawl) reads as ~0% and only
+    heavy hot-page duplication registers.  The full-column sketch has
+    no such bias; prefer it (measured: a 75%-duplicated corpus sampled
+    at 2% estimated <1% dup and silently disabled the dedup path)."""
     if cache_key is not None and cache_key in _CACHE:
         return _CACHE[cache_key]
-    src = df.select(F.xxhash64(F.col(col)).alias("_h"))
+    src = df.select(F.col(col).alias("_c"))
     if sample_fraction:
         src = src.sample(fraction=sample_fraction, seed=42)
     row = src.agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct("_h").alias("d")
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("_c", rsd=0.02).alias("d"),
     ).collect()[0]
     out = (int(row["n"]), int(row["d"]))
     if cache_key is not None:
@@ -53,6 +63,7 @@ def column_stats(
 
 
 def dup_rate(stats: tuple[int, int]) -> float:
-    """Duplicate fraction implied by ``(n, distinct)``; 0.0 on empty."""
+    """Duplicate fraction implied by ``(n, distinct)``; 0.0 on empty.
+    Clamped at 0 (the HLL sketch can overestimate distinct by ~rsd)."""
     n, d = stats
-    return 0.0 if n == 0 else 1.0 - d / n
+    return 0.0 if n == 0 else max(0.0, 1.0 - d / n)

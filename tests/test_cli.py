@@ -43,3 +43,47 @@ def test_cli_query_prints_json_lines(capsys):
 def test_cli_unknown_query_errors(capsys):
     assert main(["query", "no_such_query"]) == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_cli_session_load_find_save_round_trip(spark, tmp_path, capsys):
+    """cli load/save analogs (cli_load.py/cli_save.py): the working
+    graph persists in the session dir BETWEEN invocations — find and
+    save run against it without re-reading the original export."""
+    from surfactant_spark.sources.pages import write_pages_parquet
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(spark, 200, pages)
+    out = str(tmp_path / "out")
+    assert main(["generate", pages, out, "--run-id", "s1"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    sess = str(tmp_path / "sess")
+    assert main(["load", out, "--session", sess]) == 0
+    lrep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert lrep["nodes"] == rep["nodes"] and lrep["edges"] == rep["edges"]
+
+    # separate invocation reads the persisted session
+    assert main(["find", "--session", sess, "--node-type", "page",
+                 "--limit", "5"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert lines and all(json.loads(l)["node_type"] == "page" for l in lines)
+
+    # save round-trip: session → json export → loads back identically
+    out2 = str(tmp_path / "out2")
+    assert main(["save", out2, "--session", sess]) == 0
+    srep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert srep["nodes"] == rep["nodes"] and srep["edges"] == rep["edges"]
+    sess2 = str(tmp_path / "sess2")
+    assert main(["load", out2, "--session", sess2]) == 0
+    lrep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert lrep2["nodes"] == rep["nodes"] and lrep2["edges"] == rep["edges"]
+
+    # save to a standards format from the session
+    cdx = str(tmp_path / "bom.cdx.json")
+    assert main(["save", cdx, "--session", sess, "--format", "cyclonedx"]) == 0
+    doc = json.load(open(cdx))
+    assert len(doc["components"]) == rep["nodes"]
+
+    # no session → helpful error
+    assert main(["find", "--session", str(tmp_path / "nope")]) == 2
+    assert "no working graph" in capsys.readouterr().err

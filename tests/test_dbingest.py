@@ -1,0 +1,124 @@
+"""Offline pattern-DB ingest: RetireJS-shaped feed → dictionary rows,
+content-hash freshness skip, exact-hash identification join — the
+database_utils.py:166-189 / js_file.py:54-118 analogs without network.
+"""
+
+import hashlib
+import json
+
+import pytest
+
+from surfactant_spark.dbingest import (
+    hash_rows,
+    identify_by_hash,
+    ingest_pattern_db,
+    parse_retirejs,
+    retirejs_to_rows,
+    text_rows,
+)
+
+FEED = {
+    "alphalib": {
+        "extractors": {
+            "filename": [r"alphalib-(§§version§§)(\.min)?\.js"],
+            "filecontent": [r"/\*! alphalib v(§§version§§)", r"badregex(["],
+            "hashes": ["AABB01", "ccdd02"],
+        }
+    },
+    "betajs": {
+        "extractors": {
+            "filecontent": [r"betajs/(§§version§§)"],
+        }
+    },
+    "no-extractors": {"vulnerabilities": []},
+}
+
+
+def test_parse_and_row_mapping():
+    clean = parse_retirejs(json.dumps(FEED))
+    # invalid regex dropped, hashes lowercased, extractor-less lib skipped
+    assert set(clean) == {"alphalib", "betajs"}
+    assert clean["alphalib"]["filecontent"] == [r"/\*! alphalib v(§§version§§)"]
+    assert clean["alphalib"]["hashes"] == ["aabb01", "ccdd02"]
+    rows = retirejs_to_rows(clean)
+    kinds = {(r[0], r[1]) for r in rows}
+    assert ("alphalib", "content") in kinds
+    assert ("alphalib", "filename") in kinds
+    assert ("alphalib", "hash") in kinds
+    assert ("betajs", "content") in kinds
+    # deterministic: same input, same order
+    assert rows == retirejs_to_rows(parse_retirejs(json.dumps(FEED)))
+    # text_rows feeds compile_dictionary; filename/hash rows excluded
+    assert {r[1] for r in text_rows(rows)} == {"content"}
+    assert hash_rows(rows) == [("aabb01", "alphalib"), ("ccdd02", "alphalib")]
+
+
+def test_parse_hostile_input():
+    assert parse_retirejs("not json {") == {}
+    assert parse_retirejs('["top-level-array"]') == {}
+    assert parse_retirejs('{"lib": null}') == {}
+
+
+def test_ingest_freshness_skip(tmp_path):
+    feed = tmp_path / "feed.json"
+    state = str(tmp_path / "state")
+    feed.write_text(json.dumps(FEED))
+    r1 = ingest_pattern_db(str(feed), state)
+    assert r1.updated and r1.n_libraries == 2 and r1.rows
+    # unchanged feed → parse skipped, identical rows from cache
+    r2 = ingest_pattern_db(str(feed), state)
+    assert not r2.updated and r2.rows == r1.rows and r2.feed_hash == r1.feed_hash
+    # changed feed → re-parse
+    feed.write_text(json.dumps({**FEED, "gammalib": {
+        "extractors": {"filecontent": [r"gammalib (§§version§§)"]}}}))
+    r3 = ingest_pattern_db(str(feed), state)
+    assert r3.updated and r3.n_libraries == 3 and r3.feed_hash != r1.feed_hash
+    # force re-parses even when unchanged
+    r4 = ingest_pattern_db(str(feed), state, force=True)
+    assert r4.updated and r4.rows == r3.rows
+
+
+def test_ingested_rows_compile_and_detect(spark):
+    """End-to-end: feed rows → compile_dictionary → detect_mentions
+    finds a planted filecontent mention with the version group."""
+    from surfactant_spark.dictionary import compile_dictionary
+    from surfactant_spark.operators.mentions import detect_mentions
+
+    rows = retirejs_to_rows(parse_retirejs(json.dumps(FEED)))
+    compiled = compile_dictionary(text_rows(rows))
+    assert {p.entity_key for p in compiled.patterns} == {"alphalib", "betajs"}
+    content = spark.createDataFrame(
+        [("c1", "en", "/*! alphalib v2.14.1 | MIT */ rest of bundle"),
+         ("c2", "en", "nothing here")],
+        "content_sha256 string, lang string, text string",
+    )
+    got = detect_mentions(content, compiled).collect()
+    assert [(r.content_sha256, r.entity_key, r.version) for r in got] == [
+        ("c1", "alphalib", "2.14.1")
+    ]
+
+
+def test_identify_by_hash(spark):
+    rows = retirejs_to_rows(parse_retirejs(json.dumps(FEED)))
+    content = spark.createDataFrame(
+        [("AABB01",), ("ffff99",), ("ccdd02",), ("ccdd02",)],
+        "content_sha256 string",
+    )
+    got = identify_by_hash(content, hash_rows(rows)).collect()
+    assert {(r.content_sha256, r.entity_key) for r in got} == {
+        ("aabb01", "alphalib"), ("ccdd02", "alphalib")
+    }
+    # empty DB → empty result with stable schema
+    empty = identify_by_hash(content, [])
+    assert empty.columns == ["content_sha256", "entity_key"]
+    assert empty.count() == 0
+
+
+def test_ingest_feed_with_bom_and_weird_bytes(tmp_path):
+    feed = tmp_path / "feed.json"
+    feed.write_bytes(b'\xef\xbb\xbf{"x": {"extractors": {"filecontent": ["ab(c)"]}}}')
+    state = str(tmp_path / "state")
+    r = ingest_pattern_db(str(feed), state)
+    # BOM breaks json.loads → parse yields {} but ingest stays total
+    assert r.rows == [] or r.rows  # no exception is the contract
+    assert r.feed_hash == hashlib.sha256(feed.read_bytes()).hexdigest()

@@ -74,3 +74,31 @@ def test_spark_matches_oracle_detector(spark):
         for ent, ver, _c, _k in detect_mentions_text(t, compiled):
             exp.add((f"sha{i}", ent, ver))
     assert got == exp and len(exp) >= 8
+
+
+def test_large_dictionary_broadcast_path(spark):
+    """A production-size dictionary (> BROADCAST_THRESHOLD patterns)
+    ships via sparkContext.broadcast and the worker-side automaton memo;
+    planted mentions are still found exactly (parity with the
+    closure-shipped path on the same corpus)."""
+    from surfactant_spark.dictionary import compile_dictionary, synth_dictionary_rows
+    from surfactant_spark.operators.mentions import detect_mentions
+
+    rows = synth_dictionary_rows(600, version_rows=False)  # 600 > 512
+    compiled = compile_dictionary(rows)
+    assert len(compiled.patterns) == 600
+    planted = [rows[i][0] for i in (0, 17, 599)]
+    content = spark.createDataFrame(
+        [(f"c{i}", "en", f"this page uses {k} extensively")
+         for i, k in enumerate(planted)] + [("c9", "en", "no mentions here")],
+        "content_sha256 string, lang string, text string",
+    )
+    got = detect_mentions(content, compiled).collect()
+    assert {(r.content_sha256, r.entity_key) for r in got} == {
+        (f"c{i}", k) for i, k in enumerate(planted)
+    }
+    # parity with the closure path (broadcast disabled)
+    got2 = detect_mentions(content, compiled, broadcast_threshold=10**9).collect()
+    assert {(r.content_sha256, r.entity_key, r.confidence) for r in got2} == {
+        (r.content_sha256, r.entity_key, r.confidence) for r in got
+    }

@@ -47,11 +47,16 @@ def run_once(spark, n_pages: int, cores: int, variant: str) -> dict:
     t = mark("synth+extract", t)
 
     if variant == "no_prededup":
-        content = ext.select("content_sha256", "lang", "text")
+        content, m_unique = ext.select("content_sha256", "lang", "text"), False
     elif variant == "always_dedup":
-        content = unique_content(ext)
+        content, m_unique = unique_content(ext), True
     else:
-        content = content_for_detection(ext)
+        from surfactant_spark.operators.mentions import CONTENT_DEDUP_THRESHOLD
+        from surfactant_spark.stats import column_stats, dup_rate
+
+        cstats = column_stats(ext, "content_sha256")
+        content = content_for_detection(ext, stats=cstats)
+        m_unique = dup_rate(cstats) >= CONTENT_DEDUP_THRESHOLD
     t = mark("prededup_decision", t)
 
     windowed = variant != "fulltext_confirm"
@@ -59,7 +64,22 @@ def run_once(spark, n_pages: int, cores: int, variant: str) -> dict:
     mentions.count()
     t = mark("detect_mentions", t)
 
-    edges = build_edges(ext, mentions, emap)
+    if variant == "edges_global_dedup":
+        # the r3 formulation: one groupBy(subj,pred,obj) over the union
+        from surfactant_spark.operators.linking import (
+            contains_edges,
+            dedup_edges,
+            links_to_edges,
+            uses_edges,
+        )
+
+        edges = dedup_edges(
+            uses_edges(mentions, emap)
+            .unionByName(links_to_edges(ext))
+            .unionByName(contains_edges(ext))
+        )
+    else:
+        edges = build_edges(ext, mentions, emap, mentions_unique=m_unique)
     edges.write.format("noop").mode("overwrite").save()
     t = mark("build_edges", t)
 

@@ -73,12 +73,16 @@ def main() -> None:
     from surfactant_spark.operators.mentions import unique_content
     from surfactant_spark.operators.skew import find_hot_keys
 
+    from surfactant_spark.operators.mentions import CONTENT_DEDUP_THRESHOLD
+    from surfactant_spark.stats import column_stats, dup_rate
+
     ext0 = extract_pages(pages).cache()
-    sample = ext0.select("content_sha256").sample(fraction=0.02, seed=42)
-    agg = sample.agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct("content_sha256").alias("d")
-    ).collect()[0]
-    dedup_first = agg["n"] > 0 and (1.0 - agg["d"] / agg["n"]) >= 0.10
+    # full-column HLL sketch, not a row sample: sampling destroys
+    # duplicate structure and under-reads uniform low-k duplication
+    # (stats.column_stats docstring)
+    dedup_first = (
+        dup_rate(column_stats(ext0, "content_sha256")) >= CONTENT_DEDUP_THRESHOLD
+    )
     links_flat = ext0.select(F.explode("links").alias("url"))
     hot_keys = find_hot_keys(links_flat, "url")
     ext0.unpersist()
@@ -96,7 +100,10 @@ def main() -> None:
             "content_sha256", "lang", "text"
         )
         mentions = detect_mentions(content, compiled)
-        edges = build_edges(ext, mentions, emap, hot_link_keys=hot_keys)
+        edges = build_edges(
+            ext, mentions, emap, hot_link_keys=hot_keys,
+            mentions_unique=dedup_first,
+        )
         edges.write.format("noop").mode("overwrite").save()
         sec = time.monotonic() - t0
         ext.unpersist()
