@@ -44,6 +44,7 @@ class PipelineResult:
     lineage: DataFrame
     stages_run: list[str]
     stages_skipped: list[str]
+    stage_seconds: dict[str, float] | None = None  # wall per executed stage
 
 
 def _fingerprint(*parts: object) -> str:
@@ -67,12 +68,18 @@ def run_pipeline(
     stages_run: list[str] = []
     stages_skipped: list[str] = []
 
+    stage_seconds: dict[str, float] = {}
+
     def stage(name: str, fp: str, compute, partition_by=None) -> DataFrame:
         if resume and catalog.has(name, fp):
             stages_skipped.append(name)
             return catalog.read(spark, name)
+        import time as _time
+
+        t0 = _time.monotonic()
         df = lineage.wrap(compute(), name)
         catalog.write(df, name, fp, partition_by=partition_by)
+        stage_seconds[name] = round(_time.monotonic() - t0, 3)
         stages_run.append(name)
         return catalog.read(spark, name)
 
@@ -138,4 +145,5 @@ def run_pipeline(
         lineage=lin_df,
         stages_run=stages_run,
         stages_skipped=stages_skipped,
+        stage_seconds=stage_seconds,
     )
