@@ -44,6 +44,59 @@ def _round_checkpoint(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+# Below this many edges, the component graph collects to the driver and
+# a Python union-find answers in one job — the broadcast-join-selection
+# analog for the CC fixpoint.  CC serves two very different regimes:
+# billion-edge dedup graphs (distributed fixpoint required) and
+# dictionary-sized alias graphs (tens of edges, where ~12 eager Spark
+# jobs of fixpoint rounds are pure job-launch overhead).
+SMALL_GRAPH_EDGES = 100_000
+
+
+def _small_graph_labels(
+    edges: DataFrame, src: str, dst: str, threshold: int
+) -> DataFrame | None:
+    """The small-graph fast path, or None when the graph exceeds
+    ``threshold`` edges (probed with an early-aborting limit+count —
+    big inputs never fully evaluate).  Output contract is identical to
+    the distributed fixpoints: (node, component=min member), nodes from
+    non-self edges only.  String min parity holds because UTF-8 byte
+    order (Spark) equals code-point order (Python)."""
+    pairs = edges.select(src, dst)
+    if pairs.limit(threshold + 1).count() > threshold:
+        return None
+    rows = [(r[0], r[1]) for r in pairs.collect()
+            if r[0] is not None and r[1] is not None and r[0] != r[1]]
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    comps: dict = {}
+    for a, b in rows:
+        comps.setdefault(find(a), set()).update((a, b))
+    out = []
+    for members in comps.values():
+        m = min(members)
+        out.extend((n, m) for n in sorted(members))
+    from pyspark.sql.types import StructField, StructType
+
+    dt = pairs.schema.fields[0].dataType
+    st = StructType([StructField("node", dt), StructField("component", dt)])
+    return edges.sparkSession.createDataFrame(out, st)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
@@ -51,13 +104,21 @@ def connected_components(
     max_iter: int = 25,
     check_every: int = 1,
     checkpoint_dir: str | None = None,
+    small_threshold: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """→ (node, component) where component = min node id (total order on
     the node string) reachable from ``node``.
 
     Nodes appearing only as isolated (self-edge or absent) should be
     unioned in by the caller; edges here may be sparse.
-    """
+
+    ``small_threshold``: graphs at or under this many edges take the
+    driver union-find fast path (identical output); 0 forces the
+    distributed fixpoint."""
+    if small_threshold:
+        small = _small_graph_labels(edges, src, dst, small_threshold)
+        if small is not None:
+            return small
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -128,6 +189,7 @@ def connected_components_star(
     max_iter: int = 25,
     check_every: int = 1,
     checkpoint_dir: str | None = None,
+    small_threshold: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Large-star/small-star connected components (the MapReduce CC
     algorithm of Kiveris et al., "Connected Components in MapReduce and
@@ -145,6 +207,10 @@ def connected_components_star(
     small-star: every neighbor v < u (and u itself) links to m.
     Alternate until the edge set is stable; the result is a star
     forest rooted at component minima."""
+    if small_threshold:
+        small = _small_graph_labels(edges, src, dst, small_threshold)
+        if small is not None:
+            return small
 
     def canon(e: DataFrame) -> DataFrame:
         return (

@@ -230,22 +230,6 @@ def _simhash_bands(fp_df: DataFrame) -> DataFrame:
              F.col("bd.band_idx").alias("bi"), F.col("bd.band_val").alias("bv"))
 
 
-def _warn_bucket_overflow(over: DataFrame, what: str) -> None:
-    """No silent truncation: one cheap existence probe; if any bucket
-    exceeded the cap, say so loudly (callers pick a bigger cap or the
-    group-output operator)."""
-    if over.limit(1).count():
-        import warnings
-
-        warnings.warn(
-            f"{what}: band bucket(s) over the pair-join cap were skipped; "
-            "raise the cap or use the *_dup_groups operator (linear seed "
-            "edges) when group output suffices",
-            RuntimeWarning,
-            stacklevel=3,
-        )
-
-
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        max_hamming: int = 3,
                        max_bucket_fps: int = 10_000) -> DataFrame:
@@ -282,10 +266,28 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     # from the id list, cost = its own output size
     same = _pairs_within_ids(fps)
     bands = _simhash_bands(fps.drop("ids"))
+    # over-cap guard as a driver-side literal filter: overfull buckets
+    # number ≤ 4·n_fps/cap, so collecting them is bounded, and the big
+    # band frame is never shuffled for the guard (the r3 sizes
+    # equi-join + separate existence probe cost two extra jobs and a
+    # shuffle — same fix as similarity._skip_overfull_buckets)
     sizes = bands.groupBy("bi", "bv").agg(F.count(F.lit(1)).alias("_n"))
-    _warn_bucket_overflow(sizes.where(F.col("_n") > max_bucket_fps),
-                          "simhash_near_pairs")
-    bands = bands.join(sizes.where(F.col("_n") <= max_bucket_fps), ["bi", "bv"])
+    big = sizes.where(F.col("_n") > max_bucket_fps).collect()
+    if big:
+        import warnings
+
+        warnings.warn(
+            f"simhash_near_pairs: {len(big)} band bucket(s) over the "
+            "pair-join cap were skipped; raise the cap or use the "
+            "*_dup_groups operator (linear seed edges) when group "
+            "output suffices",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        # bi ∈ 0..3, bv ∈ [0, 0xFFFF] → exact packed int key
+        key = F.col("bi") * F.lit(1 << 16) + F.col("bv")
+        bad = [int(r["bi"]) * (1 << 16) + int(r["bv"]) for r in big]
+        bands = bands.where(~key.isin(bad))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["bi", "bv"])

@@ -43,6 +43,17 @@ def cosine_x10000(a: Column, b: Column) -> Column:
     return F.floor(_dot(a, b) / F.when(denom > 0, denom) * 10000 + F.lit(0.5)).cast("long")
 
 
+def _cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine_x10000 with the per-vector norms PRECOMPUTED as columns —
+    numerically identical (same sqrt-of-sum value, same multiply /
+    divide / floor order), but a candidate-pair rerank evaluates each
+    vector's norm once per VECTOR instead of once per PAIR (a bucket of
+    n vectors yields ~n²/2 pairs, so the pairwise form recomputes every
+    norm ~n times)."""
+    denom = na * nb
+    return F.floor(_dot(a, b) / F.when(denom > 0, denom) * 10000 + F.lit(0.5)).cast("long")
+
+
 def brute_force_topk(
     queries: DataFrame,
     targets: DataFrame,
@@ -108,6 +119,26 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _bucket_expr(vec_col_name: str, planes: list[list[float]]) -> Column:
+    """:func:`hyperplane_bucket` built as ONE parsed SQL expression.
+
+    Numerically identical (same zip_with multiply, same left-fold add,
+    same >= 0 sign fold; repr() double literals round-trip exactly),
+    but plan CONSTRUCTION is a single py4j call instead of ~64 Column
+    objects per plane — with 16 planes × 64 dims the nested-Column
+    build cost ~2 s of driver wall per operator invocation (measured
+    at sf0.1), pure py4j overhead that the string parse avoids."""
+    terms = []
+    for i, p in enumerate(planes):
+        arr = ",".join(repr(float(x)) + "D" for x in p)
+        d = (
+            f"aggregate(zip_with(`{vec_col_name}`, array({arr}), "
+            "(x, y) -> double(x) * y), 0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {d} >= 0D THEN {2 ** i}L ELSE 0L END)")
+    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
+
+
 def table_planes(dim: int, bits: int, tables: int) -> list[list[list[float]]]:
     """The hyperplane set for ``tables`` independent LSH tables — shared
     by the Spark operators and the DuckDB oracle-SQL generator so both
@@ -124,7 +155,7 @@ def _bucketed(df: DataFrame, id_col: str, vec_col: str, out_id: str,
         F.col(id_col).alias(out_id),
         F.col(vec_col).alias(out_vec),
         F.posexplode(
-            F.array(*[hyperplane_bucket(F.col(vec_col), p) for p in planes])
+            F.array(*[_bucket_expr(vec_col, p) for p in planes])
         ).alias("tbl", "bucket"),
     )
 
@@ -161,13 +192,20 @@ def lsh_topk(
         n = stats[0] if stats is not None else targets.count()
         bits = adaptive_lsh_bits(n, lo=2)
     planes = table_planes(dim, bits, tables)
-    q = _bucketed(queries, id_col, vec_col, "query_id", "qv", planes)
-    t = _bucketed(targets, id_col, vec_col, "target_id", "tv", planes)
+    q = _bucketed(queries, id_col, vec_col, "query_id", "qv", planes).withColumn(
+        "nq", _norm(F.col("qv"))
+    )
+    t = _bucketed(targets, id_col, vec_col, "target_id", "tv", planes).withColumn(
+        "nt", _norm(F.col("tv"))
+    )
     cand = t.join(F.broadcast(q), ["tbl", "bucket"]).where(
         F.col("query_id") != F.col("target_id")
     )
     scored = cand.select(
-        "query_id", "target_id", cosine_x10000(F.col("qv"), F.col("tv")).alias("cos_x10000")
+        "query_id", "target_id",
+        _cosine_from_norms(
+            F.col("qv"), F.col("tv"), F.col("nq"), F.col("nt")
+        ).alias("cos_x10000"),
     ).dropDuplicates(["query_id", "target_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_x10000"), F.asc("target_id"))
     return (
@@ -279,11 +317,16 @@ def ivf_topk(
     q = qd.select(
         "query_id", "qv", F.explode(F.array(*probes)).alias("cluster")
     )
+    t = t.withColumn("nt", _norm(F.col("tv")))
+    q = q.withColumn("nq", _norm(F.col("qv")))
     cand = t.join(F.broadcast(q), "cluster").where(
         F.col("query_id") != F.col("target_id")
     )
     scored = cand.select(
-        "query_id", "target_id", cosine_x10000(F.col("qv"), F.col("tv")).alias("cos_x10000")
+        "query_id", "target_id",
+        _cosine_from_norms(
+            F.col("qv"), F.col("tv"), F.col("nq"), F.col("nt")
+        ).alias("cos_x10000"),
     ).dropDuplicates(["query_id", "target_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_x10000"), F.asc("target_id"))
     return (
@@ -404,7 +447,9 @@ def lsh_near_pairs(
     # no bucket can overflow — the guard job is provably a no-op
     guard_needed = stats is None or stats[1] > max_bucket
     if not flood_dedup:
-        b = _bucketed(df, id_col, vec_col, "id", "v", planes)
+        b = _bucketed(df, id_col, vec_col, "id", "v", planes).withColumn(
+            "nv", _norm(F.col("v"))
+        )
         if guard_needed:
             b = _skip_overfull_buckets(b, "v", max_bucket, "lsh_near_pairs")
         a, c = b.alias("a"), b.alias("b")
@@ -416,11 +461,16 @@ def lsh_near_pairs(
                 F.col("b.id").alias("id_b"),
                 F.col("a.v").alias("va"),
                 F.col("b.v").alias("vb"),
+                F.col("a.nv").alias("na"),
+                F.col("b.nv").alias("nb"),
             )
             .dropDuplicates(["id_a", "id_b"])
         )
         return cand.select(
-            "id_a", "id_b", cosine_x10000(F.col("va"), F.col("vb")).alias("cos_x10000")
+            "id_a", "id_b",
+            _cosine_from_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_x10000"),
         ).where(F.col("cos_x10000") >= min_cos_x10000)
     # flood path — ONE pass over the corpus: group by the vector value,
     # carrying the member-id list; banding, the same-vector pairs, and
@@ -443,7 +493,9 @@ def lsh_near_pairs(
         ).where(F.col("cos_x10000") >= min_cos_x10000),
         extra=("cos_x10000",),
     )
-    b = _bucketed(reps.select("rep", "v"), "rep", "v", "rid", "rv", planes)
+    b = _bucketed(reps.select("rep", "v"), "rep", "v", "rid", "rv", planes).withColumn(
+        "nv", _norm(F.col("rv"))
+    )
     if guard_needed:
         b = _skip_overfull_buckets(b, "rv", max_bucket, "lsh_near_pairs")
     a, c = b.alias("a"), b.alias("b")
@@ -455,12 +507,16 @@ def lsh_near_pairs(
             F.col("b.rid").alias("rb"),
             F.col("a.rv").alias("va"),
             F.col("b.rv").alias("vb"),
+            F.col("a.nv").alias("na"),
+            F.col("b.nv").alias("nb"),
         )
         .dropDuplicates(["ra", "rb"])
     )
     confirmed = cand.select(
         "ra", "rb",
-        cosine_x10000(F.col("va"), F.col("vb")).alias("cos_x10000"),
+        _cosine_from_norms(
+            F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+        ).alias("cos_x10000"),
     ).where(F.col("cos_x10000") >= min_cos_x10000)
     # fan confirmed representative pairs back out to member documents
     cross = (

@@ -346,7 +346,11 @@ WHERE lang = 'en' AND n_chars > 300 AND text LIKE '%data%'
 
 def q_cc_components(spark, sf):
     """M2 union-find connected components over a customer→nation→region
-    alias graph (the distributed piece; oracle = recursive CTE)."""
+    alias graph (the distributed piece; oracle = recursive CTE).
+    ``small_threshold=0`` pins the DISTRIBUTED fixpoint — the adaptive
+    small-graph cutover (canonicalize.SMALL_GRAPH_EDGES) would
+    otherwise take the driver union-find at gate scale, and this gate
+    exists to verify the fixpoint itself."""
     cust = _t(spark, sf, "customer")
     nat = _t(spark, sf, "nation")
     e1 = cust.select(
@@ -357,7 +361,10 @@ def q_cc_components(spark, sf):
         F.concat(F.lit("n:"), F.col("n_nationkey")).alias("a"),
         F.concat(F.lit("r:"), F.col("n_regionkey")).alias("b"),
     )
-    return connected_components(e1.unionByName(e2))
+    # check_every=2 halves the per-round convergence-probe jobs (each
+    # probe is a full Spark job; results are identical — the fixpoint
+    # just checks stability every other round)
+    return connected_components(e1.unionByName(e2), small_threshold=0, check_every=2)
 
 
 def q_cc_star(spark, sf):
@@ -377,7 +384,7 @@ def q_cc_star(spark, sf):
         F.concat(F.lit("n:"), F.col("n_nationkey")).alias("a"),
         F.concat(F.lit("r:"), F.col("n_regionkey")).alias("b"),
     )
-    return connected_components_star(e1.unionByName(e2))
+    return connected_components_star(e1.unionByName(e2), small_threshold=0)
 
 
 O_CC = """
@@ -1762,6 +1769,38 @@ FROM lineitem WHERE l_orderkey % 389 = 0
 """
 
 
+def q_hash_identify(spark, sf):
+    """Exact content-digest identification (dbingest.identify_by_hash):
+    the pattern DB's per-library hash lists
+    (surfactant/infoextractors/js_file.py:110-118 sha1 lookup) as a
+    broadcast equi-join — the corpus side never shuffles.  A synthetic
+    hash DB is derived from every 7th partkey in BOTH engines (md5 of
+    the same derived string), so matches are fully determined."""
+    from .dbingest import identify_by_hash
+
+    part = _t(spark, sf, "part")
+    n = part.count()
+    pairs = []
+    import hashlib as _hl
+
+    # partkeys are 0-based (0..n-1) in the driver-generated tables
+    for k in range(0, n, 7):
+        pairs.append((_hl.md5(f"part|{k}".encode()).hexdigest(), f"lib{k % 5}"))
+    corpus = part.select(
+        F.md5(F.concat(F.lit("part|"), F.col("p_partkey").cast("string"))).alias(
+            "content_sha256"
+        )
+    )
+    return identify_by_hash(corpus, pairs)
+
+
+O_HASH_IDENTIFY = """
+SELECT md5('part|' || p_partkey) AS content_sha256,
+       'lib' || CAST(p_partkey % 5 AS VARCHAR) AS entity_key
+FROM part WHERE p_partkey % 7 = 0
+"""
+
+
 def q_sidefile_attach(spark, sf):
     """PE side-file lookup (pe_file.py:337-343, :493-496): the on-disk
     `<binary>.manifest` / `<binary>.config` existence checks as
@@ -1871,6 +1910,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, O_LANG_ID),
     "quality": (q_quality, O_QUALITY),
     "mention_detect": (q_mention_detect, O_MENTION_DETECT),
+    "hash_identify": (q_hash_identify, O_HASH_IDENTIFY),
 }
 
 

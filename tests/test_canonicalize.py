@@ -111,9 +111,42 @@ def test_cc_warns_on_max_iter_exhaustion(spark):
     edges = spark.createDataFrame(rows, ["a", "b"])
     with w.catch_warnings(record=True) as rec:
         w.simplefilter("always")
-        connected_components(edges, max_iter=1).collect()
+        connected_components(edges, max_iter=1, small_threshold=0).collect()
         assert any("no convergence" in str(x.message) for x in rec)
     with w.catch_warnings(record=True) as rec:
         w.simplefilter("always")
-        connected_components_star(edges, max_iter=1).collect()
+        connected_components_star(edges, max_iter=1, small_threshold=0).collect()
         assert any("no convergence" in str(x.message) for x in rec)
+
+
+def test_small_graph_fast_path_parity(spark):
+    """The driver union-find fast path must be row-identical to BOTH
+    distributed fixpoints on the same graph (the adaptive cutover can
+    never change results), and the limit-probe must leave big graphs on
+    the distributed path."""
+    from surfactant_spark.operators.canonicalize import (
+        _small_graph_labels,
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("z", "z"), ("q", "x")],
+        "a string, b string",
+    )
+    fast = {(r.node, r.component) for r in
+            connected_components(edges).collect()}
+    dist = {(r.node, r.component) for r in
+            connected_components(edges, small_threshold=0).collect()}
+    star = {(r.node, r.component) for r in
+            connected_components_star(edges, small_threshold=0).collect()}
+    assert fast == dist == star
+    assert fast == {("a", "a"), ("b", "a"), ("c", "a"),
+                    ("x", "q"), ("y", "q"), ("q", "q")}
+    # probe: threshold below the edge count → fast path declines
+    assert _small_graph_labels(edges, "a", "b", 2) is None
+    # int-typed node ids keep their type through the fast path
+    iedges = spark.createDataFrame([(2, 1), (3, 2)], "a int, b int")
+    got = {(r.node, r.component) for r in
+           connected_components(iedges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}
