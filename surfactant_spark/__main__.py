@@ -11,6 +11,7 @@ cmd/merge.py:85-133) over the Spark pipeline:
     python -m surfactant_spark save OUT [--session DIR] [--format ...]
     python -m surfactant_spark find [--session DIR] [--node-type T]
         [--name-contains S] [--url-contains S] [--sha256 H] [--limit N]
+    python -m surfactant_spark config SECTION.OPTION [VALUE...]
 
 `generate` scans a pages parquet (url, warc_ts, html …), runs the
 extract → mention → canonicalize → relate pipeline with snapshot
@@ -111,6 +112,42 @@ def cmd_query(args) -> int:
 DEFAULT_SESSION = ".surfactant_spark_session"
 
 
+def cmd_config(args) -> int:
+    """`surfactant config KEY [VALUE...]` analog
+    (surfactant/cmd/config.py): get with KEY alone, set with values
+    ('true'/'false' coerced to bool; multiple values → list)."""
+    from .configmanager import ConfigManager, coerce_value
+
+    cm = ConfigManager(config_dir=args.config_dir)
+    if "." not in args.key:
+        print("Invalid KEY given. Is it in the format 'section.option'?",
+              file=sys.stderr)
+        return 2
+    section, option = args.key.split(".", 1)
+    if not args.values:
+        result = cm.get(section, option)
+        if result is None:
+            print(f"Configuration '{args.key}' not found.")
+        else:
+            print(f"{args.key} = {result}")
+        return 0
+    vals = [coerce_value(v) for v in args.values]
+    final = vals[0] if len(vals) == 1 else vals
+    cm.set(section, option, final)
+    print(f"Configuration '{args.key}' set to '{final}'.")
+    return 0
+
+
+def _session_dir(args) -> str:
+    """--session flag, else the configured cli.session_dir, else the
+    local default — the reference's data-dir resolution order."""
+    if args.session is not None:
+        return args.session
+    from .configmanager import ConfigManager
+
+    return ConfigManager().get("cli", "session_dir", DEFAULT_SESSION)
+
+
 def _read_session(spark, session_dir: str):
     import os
 
@@ -131,15 +168,16 @@ def cmd_load(args) -> int:
     """cli_load.py analog: graph export → persisted working graph."""
     from .sources.readers import read_graph_json
 
+    sess = _session_dir(args)
     spark = _spark(args)
     nodes, edges = read_graph_json(spark, args.input)
-    nodes.write.mode("overwrite").parquet(f"{args.session}/nodes.parquet")
-    edges.write.mode("overwrite").parquet(f"{args.session}/edges.parquet")
+    nodes.write.mode("overwrite").parquet(f"{sess}/nodes.parquet")
+    edges.write.mode("overwrite").parquet(f"{sess}/edges.parquet")
     n, e = (
-        spark.read.parquet(f"{args.session}/nodes.parquet").count(),
-        spark.read.parquet(f"{args.session}/edges.parquet").count(),
+        spark.read.parquet(f"{sess}/nodes.parquet").count(),
+        spark.read.parquet(f"{sess}/edges.parquet").count(),
     )
-    print(json.dumps({"session": args.session, "nodes": n, "edges": e}))
+    print(json.dumps({"session": sess, "nodes": n, "edges": e}))
     return 0
 
 
@@ -148,7 +186,7 @@ def cmd_save(args) -> int:
     from .sources import sinks
 
     spark = _spark(args)
-    nodes, edges = _read_session(spark, args.session)
+    nodes, edges = _read_session(spark, _session_dir(args))
     if nodes is None:
         return 2
     if args.format == "json":
@@ -169,7 +207,7 @@ def cmd_find(args) -> int:
     from .operators.graphquery import find_nodes
 
     spark = _spark(args)
-    nodes, _edges = _read_session(spark, args.session)
+    nodes, _edges = _read_session(spark, _session_dir(args))
     if nodes is None:
         return 2
     found = find_nodes(
@@ -213,24 +251,30 @@ def main(argv: list[str] | None = None) -> int:
 
     lo = sub.add_parser("load", help="graph export → session working graph")
     lo.add_argument("input")
-    lo.add_argument("--session", default=DEFAULT_SESSION)
+    lo.add_argument("--session", default=None)
     lo.set_defaults(fn=cmd_load)
 
     sv = sub.add_parser("save", help="session working graph → sink format")
     sv.add_argument("out")
-    sv.add_argument("--session", default=DEFAULT_SESSION)
+    sv.add_argument("--session", default=None)
     sv.add_argument("--format", default="json",
                     choices=["json", "csv", "cyclonedx", "spdx"])
     sv.set_defaults(fn=cmd_save)
 
     fd = sub.add_parser("find", help="query the session working graph")
-    fd.add_argument("--session", default=DEFAULT_SESSION)
+    fd.add_argument("--session", default=None)
     fd.add_argument("--node-type", default=None)
     fd.add_argument("--name-contains", default=None)
     fd.add_argument("--url-contains", default=None)
     fd.add_argument("--sha256", default=None)
     fd.add_argument("--limit", type=int, default=20)
     fd.set_defaults(fn=cmd_find)
+
+    cf = sub.add_parser("config", help="get/set a section.option config value")
+    cf.add_argument("key")
+    cf.add_argument("values", nargs="*")
+    cf.add_argument("--config-dir", default=None)
+    cf.set_defaults(fn=cmd_config)
 
     args = p.parse_args(argv)
     return args.fn(args)

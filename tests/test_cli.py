@@ -87,3 +87,35 @@ def test_cli_session_load_find_save_round_trip(spark, tmp_path, capsys):
     # no session → helpful error
     assert main(["find", "--session", str(tmp_path / "nope")]) == 2
     assert "no working graph" in capsys.readouterr().err
+
+
+def test_config_manager_and_cli(tmp_path, capsys):
+    """Config get/set round-trip (configmanager.py + cmd/config.py
+    analogs): section.option addressing, bool coercion, persistence
+    across ConfigManager instances, and the session-dir fallback."""
+    from surfactant_spark.configmanager import ConfigManager, coerce_value
+
+    cdir = str(tmp_path / "cfg")
+    assert main(["config", "core.output_format", "spdx",
+                 "--config-dir", cdir]) == 0
+    assert "set to 'spdx'" in capsys.readouterr().out
+    assert main(["config", "core.output_format", "--config-dir", cdir]) == 0
+    assert "core.output_format = spdx" in capsys.readouterr().out
+    # bool coercion and multi-value → list
+    assert main(["config", "core.recorded_institution", "true",
+                 "--config-dir", cdir]) == 0
+    capsys.readouterr()
+    cm = ConfigManager(config_dir=cdir)
+    assert cm.get("core", "recorded_institution") is True
+    assert cm.get("core", "missing", fallback="dflt") == "dflt"
+    assert coerce_value("FALSE") is False
+    # malformed key
+    assert main(["config", "nodot", "--config-dir", cdir]) == 2
+    assert "Invalid KEY" in capsys.readouterr().err
+    # not-found get
+    assert main(["config", "nope.nothing", "--config-dir", cdir]) == 0
+    assert "not found" in capsys.readouterr().out
+    # delete
+    assert cm.delete("core", "output_format") is True
+    assert cm.get("core", "output_format") is None
+    assert cm.delete("ghost") is False
