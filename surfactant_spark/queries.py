@@ -1769,6 +1769,70 @@ FROM lineitem WHERE l_orderkey % 389 = 0
 """
 
 
+def q_hash_sample(spark, sf):
+    """Deterministic ≈1/8 corpus sample (operators/sampling.hash_sample):
+    md5-keyed predicate, so the identical sample replays in any engine
+    under any partitioning — df.sample() can't (partitioning-dependent
+    RNG).  Pure whole-stage-codegen filter; no shuffle."""
+    from .operators.sampling import hash_sample, sample_key
+
+    docs = _t(spark, sf, "documents")
+    return hash_sample(docs, "doc_id", 8192).select(
+        "doc_id", "lang", sample_key(F.col("doc_id")).alias("skey")
+    )
+
+
+O_HASH_SAMPLE = """
+SELECT doc_id, lang,
+       ('0x' || substr(md5('s0|' || doc_id), 1, 4))::BIGINT AS skey
+FROM documents
+WHERE ('0x' || substr(md5('s0|' || doc_id), 1, 4))::BIGINT < 8192
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Per-language sampling rates (downsample the dominant language,
+    keep the rest) as ONE literal-CASE predicate — no join, no
+    shuffle (operators/sampling.stratified_sample)."""
+    from .operators.sampling import sample_key, stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 16384, "de": 32768}, 65536, "doc_id"
+    ).select("doc_id", "lang", sample_key(F.col("doc_id")).alias("skey"))
+
+
+O_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang,
+       ('0x' || substr(md5('s0|' || doc_id), 1, 4))::BIGINT AS skey
+FROM documents
+WHERE ('0x' || substr(md5('s0|' || doc_id), 1, 4))::BIGINT <
+      CASE lang WHEN 'en' THEN 16384 WHEN 'de' THEN 32768 ELSE 65536 END
+"""
+
+
+def q_group_topk_sample(spark, sf):
+    """Exactly k docs per language by hash order — the fixed-budget
+    per-group subsample (reservoir-sampling use case) as one window
+    (operators/sampling.group_topk_by_hash)."""
+    from .operators.sampling import group_topk_by_hash
+
+    docs = _t(spark, sf, "documents")
+    return group_topk_by_hash(docs, "lang", "doc_id", 25).select("doc_id", "lang")
+
+
+O_GROUP_TOPK_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('s0|' || doc_id), 1, 4))::BIGINT, doc_id
+         ) AS rnk
+  FROM documents
+) WHERE rnk <= 25
+"""
+
+
 def q_hash_identify(spark, sf):
     """Exact content-digest identification (dbingest.identify_by_hash):
     the pattern DB's per-library hash lists
@@ -1911,6 +1975,9 @@ REGISTRY: dict[str, tuple] = {
     "quality": (q_quality, O_QUALITY),
     "mention_detect": (q_mention_detect, O_MENTION_DETECT),
     "hash_identify": (q_hash_identify, O_HASH_IDENTIFY),
+    "hash_sample": (q_hash_sample, O_HASH_SAMPLE),
+    "stratified_sample": (q_stratified_sample, O_STRATIFIED_SAMPLE),
+    "group_topk_sample": (q_group_topk_sample, O_GROUP_TOPK_SAMPLE),
 }
 
 
