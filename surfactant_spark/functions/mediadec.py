@@ -174,10 +174,101 @@ def resize_nearest(img: dict, out_w: int, out_h: int) -> dict:
             "rows": new_rows}
 
 
+Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def decode_y4m(b: bytes) -> dict | None:
+    """YUV4MPEG2 (.y4m) uncompressed video — a REAL public format
+    (mjpegtools stream spec): ASCII stream header ``YUV4MPEG2 W.. H..
+    F.. [C..]`` then per-frame ``FRAME...\\n`` markers followed by raw
+    YUV planes.  No codec involved, so this is the genuinely decodable
+    video case (compressed MP4/H.264 stays behind the documented stub
+    boundary).  C420 (default), C422, C444 and Cmono plane sizes are
+    understood; frames are indexed, not copied — sampling slices the
+    original buffer."""
+    if not b.startswith(Y4M_MAGIC):
+        return None
+    nl = b.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    cs = "420"
+    for p in b[len(Y4M_MAGIC):nl].split():
+        tag, val = p[:1], p[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"C":
+                cs = val.decode("ascii", "replace")
+        except ValueError:
+            return None
+    if not w or not h or w <= 0 or h <= 0:
+        return None
+    ysz = w * h
+    if cs.startswith("444"):
+        fsz = 3 * ysz
+    elif cs.startswith("422"):
+        fsz = 2 * ysz
+    elif cs.startswith("420"):
+        fsz = ysz + 2 * ((w // 2) * (h // 2))
+    elif cs.startswith("mono"):
+        fsz = ysz
+    else:
+        return None
+    offsets = []
+    pos = nl + 1
+    while pos < len(b) and len(offsets) < 100_000:
+        q = b.find(b"\n", pos)
+        if q < 0 or not b[pos:q].startswith(b"FRAME"):
+            break
+        start = q + 1
+        if start + fsz > len(b):
+            break  # truncated final frame: drop it, keep the rest
+        offsets.append(start)
+        pos = start + fsz
+    return {
+        "format": "y4m", "width": w, "height": h, "colorspace": cs,
+        "y_size": ysz, "frame_size": fsz, "frame_offsets": offsets,
+        "data": b,
+    }
+
+
+def sample_frames(vid: dict, k: int) -> list[tuple[int, bytes]]:
+    """Evenly-spaced frame sampling: up to ``k`` (index, Y-plane)
+    pairs, first frame always included — the frame-sample primitive of
+    a video feature pipeline.  Slices the original buffer; nothing is
+    re-encoded."""
+    n = len(vid["frame_offsets"])
+    if n == 0 or k <= 0:
+        return []
+    idxs = sorted({(i * n) // k for i in range(k)}) if k < n else list(range(n))
+    out = []
+    for i in idxs:
+        off = vid["frame_offsets"][i]
+        out.append((i, vid["data"][off:off + vid["y_size"]]))
+    return out
+
+
+def frame_luminance_grid(y_plane: bytes, w: int, h: int, k: int = 3) -> list[float]:
+    """k×k mean-free luminance grid straight from a Y plane (already
+    luma — no RGB conversion needed), same output contract as
+    :func:`luminance_grid`."""
+    vals = []
+    for gy in range(k):
+        y = min(h - 1, (2 * gy + 1) * h // (2 * k))
+        for gx in range(k):
+            x = min(w - 1, (2 * gx + 1) * w // (2 * k))
+            vals.append(y_plane[y * w + x] / 255.0)
+    mean = sum(vals) / len(vals)
+    return [round(v - mean, 6) for v in vals]
+
+
 def decode_media(b: bytes) -> dict | None:
     """First matching codec-free decoder; None when only a real codec
     could decode the blob (the caller's stub boundary)."""
-    for dec in (decode_bmp, decode_ppm, decode_wav):
+    for dec in (decode_bmp, decode_ppm, decode_wav, decode_y4m):
         try:
             out = dec(b)
         except Exception:

@@ -139,3 +139,69 @@ def test_media_stage_real_decode_path(spark):
     assert got["wav1"].width is None and len(got["wav1"].feature) == 8
     assert got["wav1"].feature[0] > 0.1  # real RMS from real samples
     assert not got["png1"].real_decode   # compressed → honest stub
+
+
+def _y4m_bytes(w=8, h=6, n_frames=5, cs=b"C420"):
+    """Deterministic YUV4MPEG2 stream: frame f's Y plane is a gradient
+    offset by 10*f; chroma planes are flat 128s."""
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n" % (w, h, cs))
+    for f in range(n_frames):
+        out += b"FRAME\n"
+        out += bytes(((x + y + 10 * f) % 256) for y in range(h) for x in range(w))
+        if cs == b"C420":
+            out += bytes([128]) * (2 * csz)
+        elif cs == b"C444":
+            out += bytes([128]) * (2 * ysz)
+    return bytes(out)
+
+
+def test_y4m_decode_and_frame_sample():
+    from surfactant_spark.functions.mediadec import (
+        decode_y4m,
+        frame_luminance_grid,
+        sample_frames,
+    )
+
+    b = _y4m_bytes(n_frames=5)
+    vid = decode_y4m(b)
+    assert vid and vid["width"] == 8 and vid["height"] == 6
+    assert len(vid["frame_offsets"]) == 5
+    # evenly-spaced sampling includes frame 0; k >= n returns all
+    assert [i for i, _ in sample_frames(vid, 2)] == [0, 2]
+    assert [i for i, _ in sample_frames(vid, 99)] == [0, 1, 2, 3, 4]
+    idx, y0 = sample_frames(vid, 1)[0]
+    assert idx == 0 and len(y0) == 48 and y0[0] == 0 and y0[-1] == (7 + 5) % 256
+    grid = frame_luminance_grid(y0, 8, 6)
+    assert len(grid) == 9 and abs(sum(grid)) < 1e-5  # mean-free up to rounding
+    # C444 plane size honored
+    assert len(decode_y4m(_y4m_bytes(cs=b"C444"))["frame_offsets"]) == 5
+    # hostile: truncated last frame dropped, garbage rejected
+    assert len(decode_y4m(b[:-10])["frame_offsets"]) == 4
+    assert decode_y4m(b"YUV4MPEG2 W0 H6\nFRAME\n") is None
+    assert decode_y4m(b"not a video") is None
+
+
+def test_sample_video_frames_operator(spark):
+    from surfactant_spark.operators.multimodal import (
+        extract_media_features,
+        sample_video_frames,
+    )
+
+    vids = spark.createDataFrame(
+        [
+            ("v1", "video", bytearray(_y4m_bytes(n_frames=6))),
+            ("v2", "video", bytearray(b"\x00\x00fake-mp4-ish")),
+        ],
+        "media_id string, media_type string, content binary",
+    )
+    got = sample_video_frames(vids, k=3).collect()
+    # only the REAL-decodable video contributes frames
+    assert {(r.media_id, r.frame_idx) for r in got} == {
+        ("v1", 0), ("v1", 2), ("v1", 4)
+    }
+    assert all(r.n_frames == 6 and r.width == 8 and len(r.feature) == 9 for r in got)
+    # the feature stage classifies the y4m as real-decoded video
+    feats = {r.media_id: r for r in extract_media_features(vids).collect()}
+    assert feats["v1"].media_type == "video" and feats["v1"].real_decode
+    assert not feats["v2"].real_decode
