@@ -41,6 +41,15 @@ AUDITS = {
     "simhash_groups": ["!CartesianProduct"],
     "archive_members": ["FlatMapGroupsInPandas"],
     "sidefile_attach": ["!CartesianProduct"],
+    # sampling must stay a pure predicate: no shuffle, no join, scan +
+    # codegen filter only (membership is an md5 expression, so the
+    # filter is not parquet-pushable — absence of Exchange is the claim)
+    "hash_sample": ["* Filter", "!Exchange", "!Join"],
+    "stratified_sample": ["* Filter", "!Exchange", "!Join"],
+    # exactly-k-per-group needs its one window shuffle and nothing else
+    "group_topk_sample": ["RunningWindowFunction", "!Join"],
+    # digest identification: broadcast the dictionary-sized hash list
+    "hash_identify": ["BroadcastHashJoin", "!CartesianProduct"],
 }
 
 
