@@ -89,3 +89,33 @@ class SnapshotCatalog:
 
     def snapshot_info(self, table: str) -> dict | None:
         return self._manifest().get(table)
+
+    def expire_snapshots(self, table: str | None = None, keep_last: int = 1) -> list[str]:
+        """Delete unreferenced snapshot directories — the Iceberg
+        ``expire_snapshots`` lifecycle step.  Every ``write`` leaves the
+        previous snapshot on disk (that is the crash-safety story: the
+        manifest flips only after the new data lands), so storage grows
+        one snapshot per stage per re-run until expired.
+
+        Keeps the manifest-committed snapshot unconditionally plus the
+        ``keep_last - 1`` newest others (time-travel margin); returns
+        the removed paths.  Safe to run any time: the committed snapshot
+        is never a candidate."""
+        import shutil
+
+        m = self._manifest()
+        removed: list[str] = []
+        for tbl, ent in m.items():
+            if table is not None and tbl != table:
+                continue
+            tdir = os.path.join(self.root, tbl)
+            if not os.path.isdir(tdir):
+                continue
+            committed = os.path.basename(ent["path"])
+            snaps = sorted(d for d in os.listdir(tdir) if d.startswith("snap-"))
+            candidates = [d for d in snaps if d != committed]
+            for d in candidates[: max(0, len(candidates) - (keep_last - 1))]:
+                p = os.path.join(tdir, d)
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        return removed

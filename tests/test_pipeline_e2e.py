@@ -87,3 +87,30 @@ def test_lineage_rows_emitted(spark, pipeline_run):
     # bytes metric: any stage that emitted rows must report payload bytes
     under = lin.where((F.col("output_rows") > 0) & (F.col("output_bytes") <= 0)).count()
     assert under == 0
+
+
+def test_expire_snapshots_keeps_committed_and_resume(spark, tmp_path):
+    """Iceberg expire_snapshots analog: old snapshot dirs are removed,
+    the committed one survives unconditionally, reads and resume work
+    unchanged afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    df = spark.range(10).select(F.col("id"))
+    for fp in ("fp1", "fp2", "fp3"):
+        cat.write(df, "t", fp)
+    tdir = str(tmp_path / "cat" / "t")
+    assert len([d for d in os.listdir(tdir) if d.startswith("snap-")]) == 3
+    removed = cat.expire_snapshots()
+    assert len(removed) == 2
+    left = [d for d in os.listdir(tdir) if d.startswith("snap-")]
+    assert left == ["snap-00002"]  # the committed (latest) snapshot
+    assert cat.has("t", "fp3") and cat.read(spark, "t").count() == 10
+    # keep_last=2 retains one extra newest snapshot as time-travel margin
+    cat.write(df, "t", "fp4")
+    cat.write(df, "t", "fp5")
+    assert len(cat.expire_snapshots(keep_last=2)) == 1  # drops only snap-00002
+    snaps = sorted(d for d in os.listdir(tdir) if d.startswith("snap-"))
+    assert snaps == ["snap-00003", "snap-00004"]

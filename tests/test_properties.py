@@ -172,3 +172,59 @@ def test_binary_parsers_total_on_junk(b):
     assert isinstance(archive_members(b), list)
     m = decode_media(b)
     assert m is None or isinstance(m, dict)
+
+
+@given(st.binary(min_size=0, max_size=5000))
+@settings(max_examples=60, deadline=None)
+def test_maybe_decompress_round_trips_every_codec(payload):
+    """compress→sniff→decompress is exact for gzip/bzip2/xz, and raw
+    payload bytes are returned untouched with codec=None (totality)."""
+    import bz2
+    import gzip
+    import lzma
+
+    from surfactant_spark.functions.archive import maybe_decompress
+
+    assert maybe_decompress(gzip.compress(payload, mtime=0)) == ("gzip", payload)
+    assert maybe_decompress(bz2.compress(payload)) == ("bzip2", payload)
+    assert maybe_decompress(lzma.compress(payload, format=lzma.FORMAT_XZ)) == (
+        "xz", payload,
+    )
+    # non-compressed inputs pass through (unless they start with a real
+    # magic, in which case they must still never raise)
+    codec, out = maybe_decompress(payload)
+    if codec is None:
+        assert out == payload
+
+
+@given(st.text(alphabet="abcdefgh0123456789-_", min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_sample_key_range_and_independent_restatement(key):
+    """The sampling hash lands in [0, 65536) and two independent
+    derivations agree: hex-prefix parse vs big-endian digest bytes —
+    membership is a pure function of (salt, key), nothing else."""
+    import hashlib
+
+    digest = hashlib.md5(f"s0|{key}".encode())
+    via_hex = int(digest.hexdigest()[:4], 16)
+    via_bytes = int.from_bytes(digest.digest()[:2], "big")
+    assert via_hex == via_bytes
+    assert 0 <= via_hex < (1 << 16)
+
+
+def test_sample_key_spark_python_parity(spark):
+    """Spark's sample_key column equals the pure-Python md5 derivation
+    for a batch of keys (the cross-engine determinism the sampling
+    oracles rely on)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from surfactant_spark.operators.sampling import sample_key
+
+    keys = [f"doc-{i}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id string")
+    got = {r.doc_id: r.sk for r in
+           df.select("doc_id", sample_key(F.col("doc_id")).alias("sk")).collect()}
+    for k in keys:
+        assert got[k] == int(hashlib.md5(f"s0|{k}".encode()).hexdigest()[:4], 16)
