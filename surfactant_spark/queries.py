@@ -1769,6 +1769,60 @@ FROM lineitem WHERE l_orderkey % 389 = 0
 """
 
 
+def q_stream_events(spark, sf):
+    """Structured Streaming IN the oracle harness (§2.8): the same
+    narrow transform under ``readStream`` — availableNow trigger,
+    checkpointed parquet sink, exactly-once append — must equal the
+    batch SQL bit-for-bit.  A narrow (stateless) transform is the
+    right gate shape: its streamed append equals the batch result for
+    ANY micro-batch layout, whereas watermark-closed windowed output
+    depends on batch boundaries (the windowed/stateful operators are
+    verified in tests/test_streaming.py where the layout is pinned)."""
+    import tempfile
+
+    schema = _t(spark, sf, "events").schema
+    out = tempfile.mkdtemp(prefix="sgraft_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="sgraft_stream_ckpt_")
+    # the sf tables are single parquet FILES; the streaming file source
+    # needs a directory basePath, so address the file through a glob
+    # (basePath = the sf dir, match = just events.parquet)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(f"{sf}/events.parque[t]")
+    )
+    xf = stream.where(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("value_x1000"),
+        _ts(F.col("ts")).alias("ts_s"),
+    )
+    q = (
+        xf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the sink dir must outlive the returned (lazy) DataFrame; the
+    # checkpoint is done with once the query terminates
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.schema(xf.schema).parquet(out)
+
+
+O_STREAM_EVENTS = """
+SELECT event_id, user_id,
+       floor(value * 1000 + 0.5)::BIGINT AS value_x1000,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events WHERE event_type = 'click'
+"""
+
+
 def q_hash_sample(spark, sf):
     """Deterministic ≈1/8 corpus sample (operators/sampling.hash_sample):
     md5-keyed predicate, so the identical sample replays in any engine
@@ -1978,6 +2032,7 @@ REGISTRY: dict[str, tuple] = {
     "hash_sample": (q_hash_sample, O_HASH_SAMPLE),
     "stratified_sample": (q_stratified_sample, O_STRATIFIED_SAMPLE),
     "group_topk_sample": (q_group_topk_sample, O_GROUP_TOPK_SAMPLE),
+    "stream_events": (q_stream_events, O_STREAM_EVENTS),
 }
 
 
