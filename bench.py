@@ -45,6 +45,9 @@ HEADLINE = [
     "dotnet_probe_uses",
     "archive_members",
     "simhash_groups",
+    "hash_sample",
+    "hash_identify",
+    "stream_events",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))
@@ -54,14 +57,22 @@ SCALE_PAGES_DIR = os.environ.get(
 )
 
 
-def _time_query(fn) -> float:
-    """Time plan CONSTRUCTION + execution together.  Several operators
-    run eager jobs while building the plan (connected-components
-    localCheckpoint rounds, lsh_near_pairs dup-rate/overflow probes);
-    timing only the final write would silently exclude that work."""
-    t0 = time.monotonic()
-    fn().write.format("noop").mode("overwrite").save()
-    return time.monotonic() - t0
+def _time_query(fn, reps: int = 2) -> float:
+    """Time plan CONSTRUCTION + execution together, best-of-``reps``.
+
+    Construction is timed because several operators run eager jobs
+    while building the plan (connected-components localCheckpoint
+    rounds, lsh_near_pairs dup-rate/overflow probes) — timing only the
+    final write would silently exclude that work.  Best-of-2 for the
+    same reason the kg measurement is: this host's intermittent steal
+    storms make single-shot numbers lie (SCALING.md), and min-of-2 is
+    the steady-state estimator used everywhere else in this harness."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fn().write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    return best
 
 
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
