@@ -492,6 +492,39 @@ def winnow_fingerprints(
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+def jaccard_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard_x1000: int = 600,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_id, group_id): connected components over the thresholded
+    n-gram Jaccard pair graph — the GROUPS face of
+    :func:`ngram_jaccard_pairs`, completing the pairs+groups symmetry
+    the MinHash and SimHash families already have.  Docs with no
+    qualifying pair are their own group; group id = min member id.
+    Pair generation inherits the inverted-index shape and the
+    ``max_df`` hot-shingle guard; CC picks its small-graph or
+    distributed path by edge count."""
+    from .canonicalize import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, n, min_jaccard_x1000, max_df
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return (
+        ids.join(
+            cc.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left"
+        )
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("group_id")
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

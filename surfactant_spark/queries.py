@@ -817,6 +817,39 @@ WHERE floor(i * 1000.0 / (sa.sz + sb.sz - i) + 0.5) >= 5
 """
 
 
+def q_jaccard_groups(spark, sf):
+    """n-gram Jaccard dup GROUPS (dedup.jaccard_dup_groups): CC over
+    the strongly-similar pair graph (threshold 0.6), singletons their
+    own group — proving seed-free pairwise CC against a recursive-CTE
+    reachability oracle, the jaccard face of simhash_groups."""
+    return dd.jaccard_dup_groups(
+        _t(spark, sf, "documents"), min_jaccard_x1000=600, max_df=5
+    )
+
+
+# the groups oracle reuses the pair CTEs verbatim (split before the
+# final SELECT), raises the threshold, and closes reachability
+_jacc_ctes = O_NGRAM_JACCARD.strip()[len("WITH "):].rsplit("SELECT id_a, id_b,", 1)[0].rstrip()
+
+O_JACCARD_GROUPS = f"""
+WITH RECURSIVE {_jacc_ctes}, pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE floor(i * 1000.0 / (sa.sz + sb.sz - i) + 0.5) >= 600
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS group_id FROM reach GROUP BY u
+)
+SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
 def q_embed_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return sim.brute_force_topk(emb.where(F.col("vec_id") < 8), emb, k=5).withColumnRenamed(
@@ -2021,6 +2054,7 @@ REGISTRY: dict[str, tuple] = {
     "order_revenue_topk": (q_order_revenue_topk, O_ORDER_REVENUE_TOPK),
     "local_supplier_volume": (q_local_supplier_volume, O_LOCAL_SUPPLIER),
     "ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
+    "jaccard_groups": (q_jaccard_groups, O_JACCARD_GROUPS),
     "embed_topk": (q_embed_topk, O_EMBED_TOPK),
     "ivf_topk": (q_ivf_topk, _ivf_sql),  # callable → lazily generated SQL
     "embed_neardup": (q_embed_neardup, O_EMBED_NEARDUP),

@@ -56,7 +56,9 @@ def column_stats(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct("_c", rsd=0.02).alias("d"),
     ).collect()[0]
-    out = (int(row["n"]), int(row["d"]))
+    # the sketch can overestimate distinct past the row count (rsd
+    # noise); clamp so consumers can rely on d ≤ n
+    out = (int(row["n"]), min(int(row["n"]), int(row["d"])))
     if cache_key is not None:
         _CACHE[cache_key] = out
     return out

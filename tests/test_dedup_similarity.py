@@ -298,3 +298,25 @@ def test_adaptive_lsh_bits_bounds_bucket_occupancy(spark):
         assert mean_occ <= 4 * target, (n, bits, mean_occ)
     assert adaptive_lsh_bits(10**9) >= 20
     assert adaptive_lsh_bits(100) == 4  # floor
+
+
+def test_jaccard_dup_groups_transitive_and_singletons(spark):
+    """Groups = CC over the thresholded pair graph: a↔b and b↔c chain
+    into one group even when a↔c alone misses the threshold; unpaired
+    docs are their own group."""
+    from surfactant_spark.operators.dedup import jaccard_dup_groups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " one extra"),
+            (2, base + " one other"),          # high overlap with 1
+            (3, base + " two other"),          # high overlap with 2
+            (4, "totally different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.group_id for r in
+           jaccard_dup_groups(docs, min_jaccard_x1000=400).collect()}
+    assert got[1] == got[2] == got[3] == 1  # one chained group, min id
+    assert got[4] == 4                      # singleton maps to itself
