@@ -244,6 +244,7 @@ def main() -> None:
         edges = build_edges(
             ext, mentions, emap,
             mentions_unique=dup_rate(cstats) >= CONTENT_DEDUP_THRESHOLD,
+            entity_map_injective=not any(a != b for a, b in alias_edges()),
         )
         edges.write.format("noop").mode("overwrite").save()
         stages["edges"] = round(time.monotonic() - t, 3)
@@ -303,7 +304,40 @@ def main() -> None:
         "scaling": scaling,
         "micro": micro,
     }
-    print(json.dumps(result))
+    # Driver contract: the final stdout line must fit the driver's
+    # 2000-char tail capture (r4's full blob overflowed it and the
+    # driver recorded parsed:null — VERDICT r4 item 1).  Full blob
+    # (run distributions, micro-bench tables) goes to BENCH_full.json;
+    # stdout gets a compact summary with the headline numbers.
+    with open(os.path.join(repo, "BENCH_full.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cores": cores,
+        "kg": {k: kg[k] for k in ("n_pages", "sec", "docs_per_sec")},
+        "full": "BENCH_full.json",
+    }
+    if scaling:
+        compact["scaling"] = {
+            "levels": scaling.get("levels"),
+            "speedup": scaling.get("speedup"),
+            "efficiency": scaling.get("efficiency"),
+            "efficiency_vs_hw": scaling.get("efficiency_vs_hw"),
+            "docs_per_sec": {
+                k: scaling[k]["docs_per_sec"]
+                for k in scaling
+                if k.startswith("local[")
+            },
+        }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never overflow the tail again
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
     with open(os.path.join(repo, "BENCH.md"), "w") as f:
         f.write("# BENCH — latest local run\n\n")

@@ -185,6 +185,7 @@ def build_edges(
     entity_map: DataFrame,
     hot_link_keys: list | None = None,
     mentions_unique: bool = False,
+    entity_map_injective: bool = False,
 ) -> DataFrame:
     """Union of the three edge families, each deduped SEPARATELY.
 
@@ -196,17 +197,24 @@ def build_edges(
     pages, VERDICT r3).  Families that are distinct by construction
     skip their shuffle entirely:
 
-    * Uses — when ``mentions_unique`` (the caller ran mention detection
-      over per-content rows, mentions.unique_content), each (content,
-      entity) appears once and the broadcast join is key-preserving, so
-      the family needs no dedup at all.
+    * Uses — skips its dedup shuffle only when BOTH ``mentions_unique``
+      (the caller ran mention detection over per-content rows,
+      mentions.unique_content — one row per (content, entity_key)) AND
+      ``entity_map_injective`` (no alias component collapses two
+      entity_keys onto one canonical_id).  Uniqueness per entity_key is
+      NOT enough: the broadcast join maps entity_key → canonical_id,
+      so a content mentioning two aliases of one entity would emit a
+      duplicate (subj, Uses, obj) edge — the r4 ADVICE regression.
+      Callers that know their alias-edge list is empty (driver-side
+      Python, free to check) pass injective=True and keep the
+      shuffle-free path.
     * Contains — deduped on the raw (host, content_sha256) projection:
       two short columns shuffle instead of built edge strings.
     * LinksTo — deduped post-join on (subj, pred, obj) as before (a
       re-crawled url legitimately maps to several page versions, so the
       join output is the first place the key exists)."""
     e1 = uses_edges(mentions, entity_map)
-    if not mentions_unique:
+    if not (mentions_unique and entity_map_injective):
         e1 = dedup_edges(e1)
     e2 = dedup_edges(links_to_edges(extracted, hot_keys=hot_link_keys))
     e3 = contains_edges(extracted, dedup=True)

@@ -281,9 +281,18 @@ def detect_mentions(
         import hashlib as _hl
 
         sc = content.sparkSession.sparkContext
+        # token covers the FULL pattern tuples, not just the regex
+        # strings: two dictionaries with identical regexes but
+        # different entity_key/kind/confidence must not collide in the
+        # worker memo (stale closure would mis-attribute mentions —
+        # r4 ADVICE)
         token = _hl.md5(
             f"{ac_threshold}|{windowed_confirm}|".encode()
-            + "|".join(p.pattern for p in compiled.patterns).encode()
+            + "|".join(
+                f"{p.entity_key}\x1f{p.kind}\x1f{p.pattern}\x1f{p.order}"
+                f"\x1f{p.confidence}"
+                for p in compiled.patterns
+            ).encode()
         ).hexdigest()
         bc = sc.broadcast(compiled)
         fn = _detect_via_broadcast(bc, token, ac_threshold, windowed_confirm)

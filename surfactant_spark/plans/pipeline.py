@@ -130,7 +130,15 @@ def run_pipeline(
     edges = stage(
         "edges",
         fp_edges,
-        lambda: build_edges(extracted, mentions, emap, mentions_unique=mentions_unique),
+        lambda: build_edges(
+            extracted, mentions, emap,
+            mentions_unique=mentions_unique,
+            # injective ⟺ no alias edge joins two distinct keys (free
+            # driver-side check on the dictionary-sized edge list);
+            # non-injective maps need the Uses dedup even over
+            # per-content mentions (two aliases → one canonical_id)
+            entity_map_injective=not any(a != b for a, b in edges_in),
+        ),
         partition_by=["lang"],
     )
 

@@ -9,6 +9,8 @@ DataFrame writes so they parallelize per partition.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -120,6 +122,8 @@ def _stream_json_array(df: DataFrame, sort_cols: list[str], obj: Column,
     import glob
     import shutil
 
+    import os
+
     try:
         (
             df.sort(*sort_cols)
@@ -127,6 +131,19 @@ def _stream_json_array(df: DataFrame, sort_cols: list[str], obj: Column,
             .write.mode("overwrite")
             .text(shard_dir)
         )
+        # Loud-failure guard (r4 ADVICE): the glob below reads the
+        # DRIVER-LOCAL filesystem.  If Spark's default FS is remote
+        # (any cluster deployment without an explicit file:// path),
+        # the write lands elsewhere and the glob would silently emit an
+        # empty array.  A successful local write always leaves a
+        # _SUCCESS marker — its absence means misconfiguration.
+        if not os.path.exists(os.path.join(shard_dir, "_SUCCESS")):
+            raise RuntimeError(
+                f"export shard dir {shard_dir!r} missing on the driver-local "
+                "filesystem after write — Spark's default filesystem is not "
+                "driver-local; pass an explicit file:// path or export via a "
+                "distributed sink instead"
+            )
         out.write("[")
         first = True
         for part in sorted(glob.glob(f"{shard_dir}/part-*")):
@@ -210,8 +227,9 @@ def write_spdx_json(nodes: DataFrame, edges: DataFrame, path: str,
         f.write(
             '{\n  "spdxVersion": "SPDX-2.3",\n  "dataLicense": "CC0-1.0",\n'
             '  "SPDXID": "SPDXRef-DOCUMENT",\n'
-            f'  "name": "{doc_name}",\n'
-            f'  "documentNamespace": "https://example.invalid/spdx/{doc_name}",\n'
+            f'  "name": {json.dumps(doc_name)},\n'
+            '  "documentNamespace": '
+            f'{json.dumps("https://example.invalid/spdx/" + doc_name)},\n'
             '  "packages": '
         )
         _stream_json_array(

@@ -73,6 +73,37 @@ def test_uses_and_full_build(spark):
     assert edges.count() == edges.select("subj", "pred", "obj").distinct().count()
 
 
+def test_uses_dedup_with_aliased_keys(spark):
+    """r4 ADVICE (high): per-entity_key-unique mentions are NOT unique
+    per canonical_id when the entity map collapses aliases — a content
+    mentioning both aliases of one entity must still yield ONE Uses
+    edge.  mentions_unique alone may no longer skip the dedup."""
+    mentions = spark.createDataFrame(
+        [("s1", "en", "libalpha", "1.0", 90, "content"),
+         ("s1", "en", "alphalib", None, 70, "name")],
+        ["content_sha256", "lang", "entity_key", "version", "confidence", "matched_via"],
+    )
+    emap = spark.createDataFrame(
+        [("libalpha", "e:A", ["alphalib", "libalpha"]),
+         ("alphalib", "e:A", ["alphalib", "libalpha"])],
+        ["entity_key", "canonical_id", "member_keys"],
+    )
+    ext = _extracted_df(spark)
+    edges = build_edges(ext, mentions, emap, mentions_unique=True)
+    uses = [(r.subj, r.obj) for r in
+            edges.where("pred = 'Uses'").select("subj", "obj").collect()]
+    assert uses == [("p:s1", "e:A")]  # exactly one, not two
+    # injective map + unique mentions: the skip path stays available
+    emap_inj = spark.createDataFrame(
+        [("libalpha", "e:A", ["libalpha"])],
+        ["entity_key", "canonical_id", "member_keys"],
+    )
+    m1 = mentions.where("entity_key = 'libalpha'")
+    e2 = build_edges(ext, m1, emap_inj, mentions_unique=True,
+                     entity_map_injective=True)
+    assert e2.where("pred = 'Uses'").count() == 1
+
+
 def test_elf_search_paths_dst_expansion():
     """DST semantics parity (elf_relationship.py:279-396): $ORIGIN
     substitution, $LIB 1→N branching, $PLATFORM drop, DF_1_NODEFLIB

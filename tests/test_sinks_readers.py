@@ -118,6 +118,20 @@ def test_spdx_export_shape(spark, tmp_path):
     }]
 
 
+def test_spdx_doc_name_escaped(spark, tmp_path):
+    """doc_name with quotes/backslashes must still yield valid JSON
+    (r4 ADVICE: raw f-string interpolation broke the envelope)."""
+    import json
+
+    from surfactant_spark.sources.sinks import write_spdx_json
+
+    nodes, edges = _graph(spark)
+    out = str(tmp_path / "weird.spdx.json")
+    write_spdx_json(nodes, edges, out, doc_name='my "graph" \\ v1')
+    doc = json.load(open(out))  # would raise on invalid JSON
+    assert doc["name"] == 'my "graph" \\ v1'
+
+
 def test_csv_round_trip_fixed_point(spark, tmp_path):
     """write → read → write is a fixed point at the CSV-row level
     (the reference's read-back-what-you-wrote contract)."""
