@@ -123,6 +123,154 @@ def hash_rows(rows) -> list[tuple[str, str]]:
     return [(r[2], r[0]) for r in rows if r[1] == "hash"]
 
 
+def filename_rows(rows) -> list[tuple[str, str]]:
+    """(library, pattern) pairs for the filename matcher, feed order
+    preserved (first-match-wins depends on it)."""
+    return [(r[0], r[2]) for r in rows if r[1] == "filename"]
+
+
+def url_basename(url_col):
+    """url → filename: query string / fragment stripped, last path
+    segment.  Pure codegen expression (split + element_at), no UDF."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(
+        F.split(F.regexp_replace(url_col, r"[?#].*$", ""), "/"), -1
+    )
+
+
+def _compile_filename_patterns(
+    pairs: list[tuple[str, str]],
+) -> list[tuple[str, list[str]]]:
+    """Driver-side compile: per library, the ordered pattern list with
+    §§version§§ substituted; invalid regexes skipped with a warning.
+
+    Zero-group patterns are dropped at compile time: the reference's
+    match loop (js_file.py:140-149) only appends AND breaks when the
+    regex defines ≥1 group — a zero-group match falls through to the
+    next pattern, i.e. it is observationally a no-op."""
+    ordered: dict[str, list[str]] = {}
+    for library, pat in pairs:
+        candidate = str(pat).replace(VERSION_PLACEHOLDER, r"\d+(?:\.\d+)*")
+        try:
+            rx = re.compile(candidate)
+        except re.error as rex:
+            logger.warning(
+                "skipping invalid filename regex for %s: %s (%s)", library, pat, rex
+            )
+            continue
+        if rx.groups == 0:
+            continue
+        ordered.setdefault(library, []).append(candidate)
+    return sorted(ordered.items())
+
+
+def identify_by_filename(urls, fname_pairs, url_col: str = "url"):
+    """RetireJS ``filename`` identification
+    (surfactant/infoextractors/js_file.py:112-125, 140-149):
+    per library, the FIRST filename pattern that matches wins and
+    yields version = group(1); later patterns of that library are
+    skipped; libraries are independent (a filename can identify
+    several libraries).  → (url, entity_key, version).
+
+    Distributed shape: basenames are computed as a codegen expression,
+    deduplicated (CDN corpora repeat the same asset names massively),
+    matched once per DISTINCT basename in a vectorized pandas stage
+    (``Series.str.contains`` + ``str.extract`` — C-speed per pattern,
+    dictionary-sized pattern count), then equi-joined back to urls.
+    No per-url regex work, no driver collect."""
+    from pyspark.sql import functions as F
+
+    lib_pats = _compile_filename_patterns(fname_pairs)
+    with_f = urls.select(F.col(url_col).alias("url"),
+                         url_basename(F.col(url_col)).alias("fname"))
+    if not lib_pats:
+        return with_f.select("url").limit(0).withColumn(
+            "entity_key", F.lit(None).cast("string")
+        ).withColumn("version", F.lit(None).cast("string"))
+    names = with_f.select("fname").distinct()
+
+    def match_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            s = pdf["fname"].astype(str)
+            outs = []
+            for lib, pats in lib_pats:
+                unmatched = pd.Series(True, index=s.index)
+                ver = pd.Series([None] * len(s), index=s.index, dtype=object)
+                got = pd.Series(False, index=s.index)
+                for pat in pats:
+                    if not unmatched.any():
+                        break
+                    sub = s[unmatched]
+                    # one vectorized pass: an outer group captures the
+                    # whole match (notna ⇔ matched), shifting the
+                    # pattern's own group(1) to column 1
+                    ext = sub.str.extract(f"({pat})")
+                    hit = ext.iloc[:, 0].notna()
+                    if not hit.any():
+                        continue
+                    idx = hit[hit].index
+                    ver.loc[idx] = ext.iloc[:, 1].loc[idx]
+                    got.loc[idx] = True
+                    unmatched.loc[idx] = False
+                if got.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "fname": s[got],
+                                "entity_key": lib,
+                                "version": ver[got].where(pd.notna(ver[got]), None),
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+            else:
+                yield pd.DataFrame(
+                    {"fname": pd.Series(dtype=str),
+                     "entity_key": pd.Series(dtype=str),
+                     "version": pd.Series(dtype=object)}
+                )
+
+    matched = names.mapInPandas(
+        match_batches, "fname string, entity_key string, version string"
+    )
+    return with_f.join(matched, "fname").select("url", "entity_key", "version")
+
+
+def identify_with_filename_precedence(
+    pages, filename_ids, content_ids, url_col: str = "url"
+):
+    """Filename-first precedence (js_file.py:112-133): a file whose
+    NAME matched any library takes its identifications from the
+    filename matcher alone; content identifications apply only to
+    files with zero filename matches — expressed as a left-anti join
+    on url (the per-file "if len(libs) > 0: return" early-exit).
+
+    ``pages``: (url, content_sha256).  ``filename_ids``: (url,
+    entity_key, version).  ``content_ids``: (content_sha256,
+    entity_key, version) — keyed per unique content, the engine's
+    detect-once-per-hash shape.  → (url, entity_key, version,
+    matched_via)."""
+    from pyspark.sql import functions as F
+
+    f = filename_ids.select(
+        F.col("url"), "entity_key", "version",
+        F.lit("filename").alias("matched_via"),
+    )
+    urls_with_f = filename_ids.select("url").distinct()
+    c = (
+        pages.select(F.col(url_col).alias("url"), "content_sha256")
+        .join(urls_with_f, "url", "left_anti")
+        .join(content_ids, "content_sha256")
+        .select("url", "entity_key", "version",
+                F.lit("content").alias("matched_via"))
+    )
+    return f.unionByName(c)
+
+
 def ingest_pattern_db(feed_path: str, state_dir: str, force: bool = False) -> IngestResult:
     """Parse ``feed_path`` into dictionary rows, skipping the re-parse
     when the feed's content hash matches the recorded one — the

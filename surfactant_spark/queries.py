@@ -1952,6 +1952,107 @@ FROM part WHERE p_partkey % 7 = 0
 """
 
 
+def q_filename_identify(spark, sf):
+    """RetireJS filename-first identification
+    (surfactant/infoextractors/js_file.py:112-133): filename patterns
+    are matched against url basenames FIRST; a file whose name matched
+    any library takes those identifications alone, content patterns
+    apply only to filename-miss files.  The fixture plants a
+    DISAGREEMENT — jslib-named files whose CONTENT matches othlib —
+    so a precedence bug flips rows.  Spark side: the real
+    dbingest.identify_by_filename (distinct-basename vectorized
+    matcher) + identify_with_filename_precedence (left-anti on url);
+    content ids are computed once per distinct content hash, the
+    engine's detect-per-unique-content shape."""
+    from .dbingest import identify_by_filename, identify_with_filename_precedence
+
+    part = _t(spark, sf, "part")
+    k = F.col("p_partkey")
+
+    def s(col):
+        return col.cast("string")
+
+    b = k % 4
+    fname = (
+        F.when(b == 0, F.concat(F.lit("jslib-1."), s(k % 7), F.lit(".min.js")))
+        .when(b == 1, F.concat(F.lit("app-"), s(k), F.lit(".js")))
+        .when(b == 2, F.concat(F.lit("othlib.2."), s(k % 5), F.lit(".js")))
+        .otherwise(F.lit("vendor.js"))
+    )
+    text = (
+        F.when(b == 0, F.lit("OthLib 9.9 bundle"))
+        .when(b == 1, F.concat(F.lit("JSLib v2."), s(k % 3)))
+        .otherwise(F.lit("no match here"))
+    )
+    pages = part.select(
+        F.concat(F.lit("http://cdn.test/js/"), fname, F.lit("?cb="), s(k)).alias("url"),
+        F.md5(text).alias("content_sha256"),
+        text.alias("text"),
+    )
+    fids = identify_by_filename(
+        pages,
+        [("jslib", r"jslib-(§§version§§)(?:\.min)?\.js"),
+         ("othlib", r"othlib[.-](§§version§§)\.js")],
+    )
+    content_pats = [("jslib", r"JSLib v(\d+(?:\.\d+)*)"),
+                    ("othlib", r"OthLib (\d+(?:\.\d+)*)")]
+    distinct = pages.select("content_sha256", "text").distinct()
+    cids = None
+    for lib, pat in content_pats:
+        frame = distinct.where(F.col("text").rlike(pat)).select(
+            "content_sha256",
+            F.lit(lib).alias("entity_key"),
+            F.regexp_extract("text", pat, 1).alias("version"),
+        )
+        cids = frame if cids is None else cids.unionByName(frame)
+    return identify_with_filename_precedence(
+        pages.select("url", "content_sha256"), fids, cids
+    )
+
+
+O_FILENAME_IDENTIFY = r"""
+WITH base AS (
+  SELECT p_partkey,
+    CASE p_partkey % 4
+      WHEN 0 THEN 'jslib-1.' || (p_partkey % 7) || '.min.js'
+      WHEN 1 THEN 'app-' || p_partkey || '.js'
+      WHEN 2 THEN 'othlib.2.' || (p_partkey % 5) || '.js'
+      ELSE 'vendor.js' END AS fname,
+    CASE p_partkey % 4
+      WHEN 0 THEN 'OthLib 9.9 bundle'
+      WHEN 1 THEN 'JSLib v2.' || (p_partkey % 3)
+      ELSE 'no match here' END AS text
+  FROM part),
+pages AS (
+  SELECT 'http://cdn.test/js/' || fname || '?cb=' || p_partkey AS url,
+         md5(text) AS content_sha256, text, fname
+  FROM base),
+fids AS (
+  SELECT url, 'jslib' AS entity_key,
+         regexp_extract(fname, 'jslib-(\d+(?:\.\d+)*)(?:\.min)?\.js', 1) AS version
+  FROM pages WHERE regexp_matches(fname, 'jslib-(\d+(?:\.\d+)*)(?:\.min)?\.js')
+  UNION ALL
+  SELECT url, 'othlib',
+         regexp_extract(fname, 'othlib[.-](\d+(?:\.\d+)*)\.js', 1)
+  FROM pages WHERE regexp_matches(fname, 'othlib[.-](\d+(?:\.\d+)*)\.js')),
+cids AS (
+  SELECT content_sha256, 'jslib' AS entity_key,
+         regexp_extract(text, 'JSLib v(\d+(?:\.\d+)*)', 1) AS version
+  FROM (SELECT DISTINCT content_sha256, text FROM pages)
+  WHERE regexp_matches(text, 'JSLib v(\d+(?:\.\d+)*)')
+  UNION ALL
+  SELECT content_sha256, 'othlib',
+         regexp_extract(text, 'OthLib (\d+(?:\.\d+)*)', 1)
+  FROM (SELECT DISTINCT content_sha256, text FROM pages)
+  WHERE regexp_matches(text, 'OthLib (\d+(?:\.\d+)*)'))
+SELECT url, entity_key, version, 'filename' AS matched_via FROM fids
+UNION ALL
+SELECT p.url, c.entity_key, c.version, 'content' AS matched_via
+FROM pages p JOIN cids c USING (content_sha256)
+WHERE p.url NOT IN (SELECT url FROM fids)
+"""
+
+
 def q_sidefile_attach(spark, sf):
     """PE side-file lookup (pe_file.py:337-343, :493-496): the on-disk
     `<binary>.manifest` / `<binary>.config` existence checks as
@@ -2063,6 +2164,7 @@ REGISTRY: dict[str, tuple] = {
     "quality": (q_quality, O_QUALITY),
     "mention_detect": (q_mention_detect, O_MENTION_DETECT),
     "hash_identify": (q_hash_identify, O_HASH_IDENTIFY),
+    "filename_identify": (q_filename_identify, O_FILENAME_IDENTIFY),
     "hash_sample": (q_hash_sample, O_HASH_SAMPLE),
     "stratified_sample": (q_stratified_sample, O_STRATIFIED_SAMPLE),
     "group_topk_sample": (q_group_topk_sample, O_GROUP_TOPK_SAMPLE),

@@ -122,3 +122,68 @@ def test_ingest_feed_with_bom_and_weird_bytes(tmp_path):
     # BOM breaks json.loads → parse yields {} but ingest stays total
     assert r.rows == [] or r.rows  # no exception is the contract
     assert r.feed_hash == hashlib.sha256(feed.read_bytes()).hexdigest()
+
+
+def test_identify_by_filename(spark):
+    """Reference filename semantics (js_file.py:112-125, 140-149):
+    first matching ≥1-group pattern per library wins, zero-group
+    patterns are observational no-ops, query strings don't confuse
+    the basename, libraries match independently."""
+    from surfactant_spark.dbingest import filename_rows, identify_by_filename
+
+    rows = retirejs_to_rows(parse_retirejs(json.dumps(FEED)))
+    pairs = filename_rows(rows) + [
+        # zero-group decoy FIRST: matches everything *.js but must
+        # neither emit nor block the later capturing pattern
+        ("gamma", r"\.js"),
+        ("gamma", r"gamma[.-](§§version§§)\.js"),
+        ("gamma", r"gamma-(§§version§§)-legacy\.js"),  # never reached for matches of the previous
+    ]
+    urls = spark.createDataFrame(
+        [("https://cdn.x/lib/alphalib-2.14.1.min.js?v=7",),
+         ("https://cdn.x/gamma.9.2.js",),
+         ("https://cdn.x/alphalib-3.0.js#frag",),
+         ("https://cdn.x/unrelated.js",)],
+        "url string",
+    )
+    got = {(r.url, r.entity_key, r.version)
+           for r in identify_by_filename(urls, pairs).collect()}
+    assert got == {
+        ("https://cdn.x/lib/alphalib-2.14.1.min.js?v=7", "alphalib", "2.14.1"),
+        ("https://cdn.x/alphalib-3.0.js#frag", "alphalib", "3.0"),
+        ("https://cdn.x/gamma.9.2.js", "gamma", "9.2"),
+    }
+    # empty pattern set → stable empty schema
+    empty = identify_by_filename(urls, [])
+    assert empty.columns == ["url", "entity_key", "version"] and empty.count() == 0
+
+
+def test_filename_precedence_over_content(spark):
+    """A file whose NAME matched takes filename identifications ONLY —
+    its content matches are discarded (js_file.py:112-133 early
+    return); content applies solely to filename-miss files."""
+    from surfactant_spark.dbingest import (
+        identify_by_filename,
+        identify_with_filename_precedence,
+    )
+
+    pages = spark.createDataFrame(
+        [("https://cdn.x/alphalib-2.0.js", "s1"),
+         ("https://cdn.x/bundle.js", "s2"),
+         ("https://cdn.x/plain.js", "s3")],
+        "url string, content_sha256 string",
+    )
+    fids = identify_by_filename(
+        pages, [("alphalib", r"alphalib-(§§version§§)\.js")]
+    )
+    content_ids = spark.createDataFrame(
+        [("s1", "betajs", "9.9"),   # must be suppressed: s1's url matched by name
+         ("s2", "betajs", "1.2")],
+        "content_sha256 string, entity_key string, version string",
+    )
+    got = {(r.url, r.entity_key, r.version, r.matched_via)
+           for r in identify_with_filename_precedence(pages, fids, content_ids).collect()}
+    assert got == {
+        ("https://cdn.x/alphalib-2.0.js", "alphalib", "2.0", "filename"),
+        ("https://cdn.x/bundle.js", "betajs", "1.2", "content"),
+    }
