@@ -271,15 +271,138 @@ def identify_with_filename_precedence(
     return f.unionByName(c)
 
 
-def ingest_pattern_db(feed_path: str, state_dir: str, force: bool = False) -> IngestResult:
+def parse_emba_cfg(raw: str) -> dict[str, dict[str, list[str]]]:
+    """EMBA native-lib cfg → {library: {filename/filecontent: [...]}}
+    (surfactant/infoextractors/native_lib_file.py:56-104).
+
+    Line format: ``lib;mode;_;filecontent;...`` with ``#`` comment
+    lines skipped.  mode ``strict`` registers the library NAME itself
+    as a filename literal (matched by containment, the reference's
+    Aho-Corasick automaton over filename patterns); mode ``""``
+    registers the filecontent regex (validated, invalid skipped); any
+    other mode is ignored.  The reference's quote stripping is
+    preserved exactly: ``"x""`` → ``x"``, ``x""`` → ``x"``, else
+    ``strip('"')``.  Malformed lines (fewer than 4 fields) are skipped
+    with a warning instead of the reference's IndexError."""
+    database: dict[str, dict[str, list[str]]] = {}
+    for line in raw.splitlines():
+        if line.startswith("#"):
+            continue
+        line = line.strip()
+        if not line:
+            continue
+        fields = line.split(";")
+        if len(fields) < 4:
+            logger.warning("skipping malformed EMBA cfg line: %r", line[:80])
+            continue
+        lib_name, mode = fields[0], fields[1]
+        if fields[3].startswith('"') and fields[3].endswith('""'):
+            filecontent = fields[3][1:-1]
+        elif fields[3].endswith('""'):
+            filecontent = fields[3][:-1]
+        else:
+            filecontent = fields[3].strip('"')
+        if mode == "strict":
+            entry = database.setdefault(
+                lib_name, {"filename": [], "filecontent": []}
+            )
+            if lib_name not in entry["filename"]:
+                entry["filename"].append(lib_name)
+        elif mode == "":
+            try:
+                re.compile(filecontent)
+            except re.error as rex:
+                logger.error(
+                    "error parsing EMBA filecontent regexp %s: %s", filecontent, rex
+                )
+                continue
+            entry = database.setdefault(
+                lib_name, {"filename": [], "filecontent": []}
+            )
+            entry["filecontent"].append(filecontent)
+    return database
+
+
+def emba_to_rows(
+    clean: dict[str, dict[str, list[str]]],
+) -> list[tuple[str, str, str, str | None]]:
+    """Parsed EMBA DB → dictionary rows.  ``filename`` entries are
+    LITERALS (containment match), not regexes — they get their own
+    ``filename_literal`` kind so the RetireJS regex filename matcher
+    never consumes them."""
+    rows: list[tuple[str, str, str, str | None]] = []
+    for library in sorted(clean):
+        for lit in clean[library].get("filename", []):
+            rows.append((library, "filename_literal", lit, None))
+        for pat in clean[library].get("filecontent", []):
+            rows.append((library, "content", pat, None))
+    return rows
+
+
+def filename_literal_rows(rows) -> list[tuple[str, str]]:
+    """(library, literal) pairs for the containment filename matcher."""
+    return [(r[0], r[2]) for r in rows if r[1] == "filename_literal"]
+
+
+def identify_by_filename_literal(urls, literal_pairs, url_col: str = "url"):
+    """EMBA strict-mode filename identification: library literals
+    matched by CONTAINMENT in the url basename — the reference's
+    Aho-Corasick automaton over filename patterns
+    (native_lib_file.py:105-131, utils/ahocorasick.py) → (url,
+    entity_key).  One automaton built driver-side, one scan per
+    DISTINCT basename, equi-join back to urls."""
+    from pyspark.sql import functions as F
+
+    lits = sorted({(lib, lit) for lib, lit in literal_pairs if lit})
+    with_f = urls.select(F.col(url_col).alias("url"),
+                         url_basename(F.col(url_col)).alias("fname"))
+    if not lits:
+        return with_f.select("url").limit(0).withColumn(
+            "entity_key", F.lit(None).cast("string")
+        )
+    from .functions.ahocorasick import AhoCorasick
+
+    ac = AhoCorasick([lit for _lib, lit in lits])
+    id_to_lib = [lib for lib, _lit in lits]
+    names = with_f.select("fname").distinct()
+
+    def match_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_f, out_k = [], []
+            for fname in pdf["fname"].astype(str):
+                for pid in sorted(ac.search_ids(fname)):
+                    out_f.append(fname)
+                    out_k.append(id_to_lib[pid])
+            yield pd.DataFrame({"fname": pd.Series(out_f, dtype=str),
+                                "entity_key": pd.Series(out_k, dtype=str)})
+
+    matched = names.mapInPandas(match_batches, "fname string, entity_key string")
+    return (
+        with_f.join(matched, "fname")
+        .select("url", "entity_key")
+        .dropDuplicates(["url", "entity_key"])
+    )
+
+
+def ingest_pattern_db(
+    feed_path: str, state_dir: str, force: bool = False, fmt: str = "retirejs"
+) -> IngestResult:
     """Parse ``feed_path`` into dictionary rows, skipping the re-parse
     when the feed's content hash matches the recorded one — the
     download_and_update_database freshness contract
     (database_utils.py:166-189) minus the network fetch.
 
+    ``fmt``: ``"retirejs"`` (JSON dump) or ``"emba"`` (the
+    ``;``-separated native-lib cfg, native_lib_file.py:56-104) — the
+    two feed families the reference's database managers handle.
+
     ``state_dir`` holds ``rows.json`` (the parsed DB, the reference's
     save_database analog) and ``version.json`` ({hash}); both are
     rewritten only on change."""
+    if fmt not in ("retirejs", "emba"):
+        raise ValueError(f"unknown pattern-DB format: {fmt!r}")
     with open(feed_path, "rb") as f:
         raw = f.read()
     feed_hash = hashlib.sha256(raw).hexdigest()
@@ -293,13 +416,18 @@ def ingest_pattern_db(feed_path: str, state_dir: str, force: bool = False) -> In
                 cached = json.load(f)
             rows = [tuple(r) for r in cached["rows"]]
             return IngestResult(rows, False, feed_hash, cached["n_libraries"])
-    clean = parse_retirejs(raw.decode("utf-8", "replace"))
-    rows = retirejs_to_rows(clean)
+    text = raw.decode("utf-8", "replace")
+    if fmt == "retirejs":
+        clean = parse_retirejs(text)
+        rows = retirejs_to_rows(clean)
+    else:
+        clean = parse_emba_cfg(text)
+        rows = emba_to_rows(clean)
     os.makedirs(state_dir, exist_ok=True)
     with open(rows_path, "w") as f:
         json.dump({"rows": rows, "n_libraries": len(clean)}, f)
     with open(meta_path, "w") as f:
-        json.dump({"hash": feed_hash, "key": "retirejs"}, f)
+        json.dump({"hash": feed_hash, "key": fmt}, f)
     return IngestResult(rows, True, feed_hash, len(clean))
 
 

@@ -187,3 +187,85 @@ def test_filename_precedence_over_content(spark):
         ("https://cdn.x/alphalib-2.0.js", "alphalib", "2.0", "filename"),
         ("https://cdn.x/bundle.js", "betajs", "1.2", "content"),
     }
+
+
+EMBA_CFG = """\
+# EMBA native-lib cfg fixture — comment lines skipped
+libcrypto;strict;;"";;
+libcrypto;strict;;"";;
+libssl;;;"OpenSSL (\\d+\\.\\d+\\.\\d+[a-z]?)";;
+libssl;;;"TLSv1";;
+zlib;;;"inflate (\\d+\\.\\d+\\.\\d+) Copyright"";;
+libweird;;;"unclosed[(";;
+libother;fuzzy;;"ignored-mode";;
+short;line
+"""
+
+
+def test_parse_emba_cfg():
+    from surfactant_spark.dbingest import emba_to_rows, parse_emba_cfg
+
+    db = parse_emba_cfg(EMBA_CFG)
+    # strict → lib name as filename literal, deduped across lines
+    assert db["libcrypto"]["filename"] == ["libcrypto"]
+    assert db["libcrypto"]["filecontent"] == []
+    # '' mode → filecontent regexes accumulate in order
+    assert db["libssl"]["filecontent"] == [
+        r"OpenSSL (\d+\.\d+\.\d+[a-z]?)", "TLSv1"]
+    # reference quote quirk: leading " + trailing "" strips ONE pair,
+    # preserving one trailing quote
+    assert db["zlib"]["filecontent"] == [r'inflate (\d+\.\d+\.\d+) Copyright"']
+    # invalid regex skipped; unknown mode ignored; short line skipped
+    assert "libweird" not in db and "libother" not in db and "short" not in db
+    rows = emba_to_rows(db)
+    assert ("libcrypto", "filename_literal", "libcrypto", None) in rows
+    assert ("libssl", "content", "TLSv1", None) in rows
+    # content rows flow into the text dictionary; literals don't
+    from surfactant_spark.dbingest import filename_literal_rows, text_rows
+    assert {r[1] for r in text_rows(rows)} == {"content"}
+    assert filename_literal_rows(rows) == [("libcrypto", "libcrypto")]
+
+
+def test_emba_ingest_freshness(tmp_path):
+    from surfactant_spark.dbingest import ingest_pattern_db
+
+    feed = tmp_path / "emba.cfg"
+    feed.write_text(EMBA_CFG)
+    state = str(tmp_path / "state")
+    r1 = ingest_pattern_db(str(feed), state, fmt="emba")
+    assert r1.updated and r1.n_libraries == 3
+    r2 = ingest_pattern_db(str(feed), state, fmt="emba")
+    assert not r2.updated and r2.rows == r1.rows
+    feed.write_text(EMBA_CFG + 'libnew;strict;;"";;\n')
+    r3 = ingest_pattern_db(str(feed), state, fmt="emba")
+    assert r3.updated and r3.n_libraries == 4
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ingest_pattern_db(str(feed), state, fmt="nope")
+
+
+def test_identify_by_filename_literal(spark):
+    from surfactant_spark.dbingest import (
+        emba_to_rows,
+        filename_literal_rows,
+        identify_by_filename_literal,
+        parse_emba_cfg,
+    )
+
+    pairs = filename_literal_rows(emba_to_rows(parse_emba_cfg(EMBA_CFG)))
+    pairs += [("ssl", "libssl")]
+    urls = spark.createDataFrame(
+        [("http://h/fw/libcrypto.so.3?dl=1",),     # containment hit
+         ("http://h/fw/libcrypto/readme.txt",),    # dir component, not basename
+         ("http://h/fw/libssl.so.3",),
+         ("http://h/fw/unrelated.bin",)],
+        "url string",
+    )
+    got = {(r.url, r.entity_key)
+           for r in identify_by_filename_literal(urls, pairs).collect()}
+    assert got == {
+        ("http://h/fw/libcrypto.so.3?dl=1", "libcrypto"),
+        ("http://h/fw/libssl.so.3", "ssl"),
+    }
+    empty = identify_by_filename_literal(urls, [])
+    assert empty.columns == ["url", "entity_key"] and empty.count() == 0
