@@ -1,14 +1,17 @@
 """Real media decoding for container-friendly formats.
 
-The container has no codec libraries (no PIL/librosa/ffmpeg), so
-compressed media (JPEG/PNG/MP3/H.264) stays behind the documented
-deterministic stub in operators/multimodal.py.  But several real
-formats need NO codec — they are plain structs over raw samples — and
-those are decoded for real here:
+The container has no codec libraries (no PIL/librosa/ffmpeg), so media
+needing a REAL codec (JPEG/MP3/H.264) stays behind the documented
+deterministic stub in operators/multimodal.py.  Everything decodable
+with the standard library alone is decoded for real here:
 
 * BMP  — BITMAPFILEHEADER + BITMAPINFOHEADER, uncompressed 24/32-bpp
   BI_RGB pixel grid (bottom-up or top-down), row stride padded to 4.
 * PPM  — P6 binary: ASCII header (with # comments), maxval ≤ 255 RGB.
+* PNG  — stdlib ``zlib``: IDAT inflate → scanline unfilter
+  (None/Sub/Up/Average/Paeth) → pixels; all five 8-bit color types.
+* GIF  — pure-Python LZW (87a/89a), global/local color tables,
+  interlaced row de-interleave; first frame.
 * WAV  — RIFF/WAVE chunk walk, PCM 16-bit LE samples.
 
 Each decoder is total (malformed → None) and returns plain dict/list
@@ -97,6 +100,234 @@ def decode_ppm(b: bytes) -> dict | None:
             for x in range(width)
         ])
     return {"format": "ppm", "width": width, "height": height, "rows": rows}
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, up: int, ul: int) -> int:
+    """Paeth predictor (PNG spec §9.4 / RFC 2083)."""
+    p = a + up - ul
+    pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return up
+    return ul
+
+
+def decode_png(b: bytes) -> dict | None:
+    """REAL PNG decode with stdlib ``zlib`` only — no codec library:
+    chunk walk → concatenated IDAT inflate → per-scanline unfilter
+    (None/Sub/Up/Average/Paeth) → pixel grid, same row structure as
+    :func:`decode_bmp`.
+
+    Covers 8-bit-depth non-interlaced images in all five color types
+    (gray, RGB, palette via PLTE, gray+alpha, RGBA; alpha dropped for
+    the RGB feature contract).  Interlaced (Adam7) or sub-byte depths
+    → None (the honest boundary, like every decoder here: total,
+    malformed → None)."""
+    if not b.startswith(PNG_SIG):
+        return None
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 8 - 4:pos + 8]
+        if ln > len(b) - pos - 12:
+            return None  # truncated chunk (length + type + data + crc)
+        data = b[pos + 8:pos + 8 + ln]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if comp != 0 or filt != 0 or interlace != 0 or depth != 8:
+        return None
+    if color not in (0, 2, 3, 4, 6) or not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    import zlib
+
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    prev = bytearray(stride)
+    out_rows = []
+    rpos = 0
+    for _y in range(h):
+        ft = raw[rpos]
+        line = bytearray(raw[rpos + 1:rpos + 1 + stride])
+        rpos += stride + 1
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            return None
+        if color == 0:
+            row = [(v, v, v) for v in line]
+        elif color == 2:
+            row = [(line[3 * x], line[3 * x + 1], line[3 * x + 2]) for x in range(w)]
+        elif color == 3:
+            if plte is None:
+                return None
+            row = []
+            for x in range(w):
+                j = 3 * line[x]
+                if j + 3 > len(plte):
+                    return None
+                row.append((plte[j], plte[j + 1], plte[j + 2]))
+        elif color == 4:
+            row = [(line[2 * x],) * 3 for x in range(w)]
+        else:
+            row = [(line[4 * x], line[4 * x + 1], line[4 * x + 2]) for x in range(w)]
+        out_rows.append(row)
+        prev = line
+    return {"format": "png", "width": w, "height": h, "rows": out_rows}
+
+
+def _gif_lzw(data: bytes, min_code_size: int, n_pixels: int) -> list[int] | None:
+    """GIF LZW decompression (GIF89a spec appendix F), pure Python:
+    LSB-first variable-width codes, CLEAR resets the table, EOI stops;
+    the deferred-clear growth cap at 12 bits is honored."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    width = min_code_size + 1
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out[:n_pixels] if len(out) >= n_pixels else None
+            if prev is None:
+                if code >= len(table) or not table[code]:
+                    return None
+                entry = table[code]
+            elif code < len(table) and (table[code] or code < clear):
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            elif code == len(table):
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    return out[:n_pixels] if len(out) >= n_pixels else None
+
+
+def decode_gif(b: bytes) -> dict | None:
+    """REAL GIF decode, pure-Python LZW (GIF87a/89a spec): logical
+    screen descriptor → global/local color table → first image frame's
+    sub-blocks → LZW → indexed pixels → RGB grid; Adam-free GIF
+    interlacing (4-pass row order) is de-interleaved.  Extensions are
+    skipped; only the first frame is decoded (the still-image feature
+    contract).  Total: malformed → None."""
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    packed = b[10]
+    gct = None
+    pos = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[pos:pos + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            w, h = struct.unpack_from("<HH", b, pos + 5)
+            ipacked = b[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = b[pos:pos + 3 * n]
+                if len(ct) < 3 * n:
+                    return None
+                pos += 3 * n
+            if ct is None or not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
+                return None
+            if pos >= len(b):
+                return None
+            min_code = b[pos]
+            pos += 1
+            if not (2 <= min_code <= 11):
+                return None
+            chunks = []
+            while pos < len(b) and b[pos] != 0:
+                sz = b[pos]
+                chunks.append(b[pos + 1:pos + 1 + sz])
+                pos += 1 + sz
+            idx = _gif_lzw(b"".join(chunks), min_code, w * h)
+            if idx is None:
+                return None
+            order = range(h)
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                order = [*range(0, h, 8), *range(4, h, 8),
+                         *range(2, h, 4), *range(1, h, 2)]
+            rows: list[list[tuple[int, int, int]] | None] = [None] * h
+            for src_y, y in enumerate(order):
+                base = src_y * w
+                row = []
+                for x in range(w):
+                    j = 3 * idx[base + x]
+                    if j + 3 > len(ct):
+                        return None
+                    row.append((ct[j], ct[j + 1], ct[j + 2]))
+                rows[y] = row
+            return {"format": "gif", "width": w, "height": h, "rows": rows}
+        elif blk == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
 
 
 def decode_wav(b: bytes) -> dict | None:
@@ -268,7 +499,8 @@ def frame_luminance_grid(y_plane: bytes, w: int, h: int, k: int = 3) -> list[flo
 def decode_media(b: bytes) -> dict | None:
     """First matching codec-free decoder; None when only a real codec
     could decode the blob (the caller's stub boundary)."""
-    for dec in (decode_bmp, decode_ppm, decode_wav, decode_y4m):
+    for dec in (decode_bmp, decode_ppm, decode_png, decode_gif,
+                decode_wav, decode_y4m):
         try:
             out = dec(b)
         except Exception:

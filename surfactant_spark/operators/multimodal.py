@@ -2,11 +2,12 @@
 
 The Spark-side plumbing is real and tested — schemas, batch iteration,
 partition sizing, magic-byte sniffing.  The decode step is REAL for
-codec-free formats (BMP / P6 PPM / 16-bit PCM WAV: struct-level pixel
-and sample decoding + luminance-grid / RMS-envelope features,
-functions/mediadec.py) and a deterministic stub ONLY for compressed
-media (JPEG/PNG/MP3/video), because no codec libraries ship in this
-container.  Swapping in a real codec means replacing `_fake_decode`
+every stdlib-decodable format (BMP / P6 PPM / PNG via zlib / GIF via
+pure-Python LZW / 16-bit PCM WAV / Y4M video: struct-level pixel and
+sample decoding + luminance-grid / RMS-envelope features,
+functions/mediadec.py) and a deterministic stub ONLY for media whose
+codec genuinely cannot exist here (JPEG/MP3/H.264), because no codec
+libraries ship in this container.  Swapping in a real codec means replacing `_fake_decode`
 inside the same mapInPandas signature; nothing upstream or downstream
 changes.  The `real_decode` output column says which path each row
 took — the stub is never silent.

@@ -205,3 +205,242 @@ def test_sample_video_frames_operator(spark):
     feats = {r.media_id: r for r in extract_media_features(vids).collect()}
     assert feats["v1"].media_type == "video" and feats["v1"].real_decode
     assert not feats["v2"].real_decode
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib-zlib real decode) — forward-filtered golden fixtures
+# ---------------------------------------------------------------------------
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib as _z
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth_ref(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+
+def make_png(rows, color=2, filters=None, plte=None, interlace=0):
+    """Forward-encode a PNG: apply the per-row filter (so decode must
+    invert it exactly), deflate, wrap in chunks.  rows are raw channel
+    bytes per pixel (tuples)."""
+    import zlib as _z
+
+    h, w = len(rows), len(rows[0])
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    filters = filters or [0] * h
+    stride = w * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, row in enumerate(rows):
+        line = bytes(v for px in row for v in (px if isinstance(px, tuple) else (px,)))
+        ft = filters[y]
+        enc = bytearray(line)
+        if ft == 1:
+            for i in range(stride - 1, ch - 1, -1):
+                enc[i] = (line[i] - line[i - ch]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                enc[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                enc[i] = (line[i] - _paeth_ref(a, prev[i], c)) & 0xFF
+        raw += bytes([ft]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(v for rgb in plte for v in rgb))
+    comp = _z.compress(bytes(raw))
+    # split IDAT to prove multi-chunk concatenation works
+    mid = len(comp) // 2
+    out += _png_chunk(b"IDAT", comp[:mid]) + _png_chunk(b"IDAT", comp[mid:])
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_decode_png_all_filters_rgb():
+    from surfactant_spark.functions.mediadec import decode_png
+
+    rows = [[((x * 37 + y * 11) % 256, (x * 5) % 256, (y * 7) % 256)
+             for x in range(5)] for y in range(5)]
+    png = make_png(rows, color=2, filters=[0, 1, 2, 3, 4])
+    dec = decode_png(png)
+    assert dec and dec["format"] == "png" and dec["width"] == 5
+    assert dec["rows"] == rows  # exact unfilter inverse for every type
+
+
+def test_decode_png_color_types():
+    from surfactant_spark.functions.mediadec import decode_png
+
+    gray = [[(v,) for v in (0, 64, 255)], [(v,) for v in (10, 20, 30)]]
+    d = decode_png(make_png(gray, color=0, filters=[4, 2]))
+    assert d["rows"][0] == [(0, 0, 0), (64, 64, 64), (255, 255, 255)]
+    rgba = [[(1, 2, 3, 255), (4, 5, 6, 0)]]
+    d = decode_png(make_png(rgba, color=6))
+    assert d["rows"] == [[(1, 2, 3), (4, 5, 6)]]  # alpha dropped
+    ga = [[(9, 255), (200, 0)]]
+    d = decode_png(make_png(ga, color=4, filters=[1]))
+    assert d["rows"] == [[(9, 9, 9), (200, 200, 200)]]
+    pal = [[(0,), (1,), (2,), (1,)]]
+    d = decode_png(make_png(pal, color=3, plte=[(255, 0, 0), (0, 255, 0), (0, 0, 255)]))
+    assert d["rows"] == [[(255, 0, 0), (0, 255, 0), (0, 0, 255), (0, 255, 0)]]
+
+
+def test_decode_png_hostile():
+    from surfactant_spark.functions.mediadec import decode_png
+
+    rows = [[(1, 2, 3)]]
+    good = make_png(rows)
+    assert decode_png(good)["rows"] == rows
+    assert decode_png(good[:20]) is None                     # truncated
+    assert decode_png(b"\x89PNG\r\n\x1a\n" + b"junk" * 8) is None
+    assert decode_png(make_png(rows, interlace=1)) is None   # Adam7 → honest None
+    # palette index out of range
+    bad_pal = make_png([[(7,)]], color=3, plte=[(1, 1, 1)])
+    assert decode_png(bad_pal) is None
+    # corrupt the zlib stream
+    corrupted = bytearray(good)
+    corrupted[60] ^= 0xFF
+    assert decode_png(bytes(corrupted)) in (None, decode_png(good))
+
+
+def test_decode_media_dispatches_png_real():
+    rows = [[(200, 10, 30), (5, 5, 5)], [(0, 0, 0), (255, 255, 255)]]
+    dec = decode_media(make_png(rows))
+    assert dec["format"] == "png"
+    assert len(luminance_grid(dec)) == 9
+
+
+# ---------------------------------------------------------------------------
+# GIF (pure-Python LZW) — hand-encoded golden fixtures
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Real LZW encoder (string-table variant) so the decoder is tested
+    against spec-shaped streams, not a degenerate clear-every-code one."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prefix = ()
+    for sym in indices:
+        cand = prefix + (sym,)
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        prefix = (sym,)
+    if prefix:
+        emit(table[prefix])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif(rows, palette, interlaced=False, version=b"89a"):
+    h, w = len(rows), len(rows[0])
+    n = max(2, len(palette))
+    size_field = max(1, (n - 1).bit_length()) - 1
+    ct = b"".join(bytes(rgb) for rgb in palette).ljust(3 * (2 << size_field), b"\x00")
+    out = bytearray(b"GIF" + version)
+    out += struct.pack("<HH", w, h) + bytes([0x80 | size_field, 0, 0]) + ct
+    if version == b"89a":
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+    ipacked = 0x40 if interlaced else 0
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
+    min_code = max(2, size_field + 1)
+    if interlaced:
+        order = [*range(0, h, 8), *range(4, h, 8), *range(2, h, 4), *range(1, h, 2)]
+        seq = [v for y in order for v in rows[y]]
+    else:
+        seq = [v for row in rows for v in row]
+    comp = _gif_lzw_encode(seq, min_code)
+    out += bytes([min_code])
+    for i in range(0, len(comp), 255):
+        blk = comp[i:i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+PAL4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+
+
+def test_decode_gif_golden():
+    from surfactant_spark.functions.mediadec import decode_gif
+
+    rows = [[(x * 31 + y * 17 + x * y) % 4 for x in range(9)] for y in range(7)]
+    dec = decode_gif(make_gif(rows, PAL4))
+    assert dec and dec["format"] == "gif" and (dec["width"], dec["height"]) == (9, 7)
+    assert dec["rows"] == [[PAL4[v] for v in row] for row in rows]
+    # 87a without extension block decodes too
+    assert decode_gif(make_gif(rows, PAL4, version=b"87a"))["rows"] == dec["rows"]
+
+
+def test_decode_gif_interlaced_and_growth():
+    from surfactant_spark.functions.mediadec import decode_gif
+
+    # big enough that the LZW table grows past a width boundary
+    rows = [[(x + y) % 4 for x in range(16)] for y in range(16)]
+    plain = decode_gif(make_gif(rows, PAL4))
+    inter = decode_gif(make_gif(rows, PAL4, interlaced=True))
+    assert plain["rows"] == inter["rows"] == [[PAL4[v] for v in row] for row in rows]
+
+
+def test_decode_gif_hostile():
+    from surfactant_spark.functions.mediadec import decode_gif
+
+    good = make_gif([[0, 1], [2, 3]], PAL4)
+    assert decode_gif(good) is not None
+    assert decode_gif(good[:15]) is None
+    assert decode_gif(b"GIF89a" + b"\x00" * 5) is None
+    assert decode_gif(b"NOTGIF" + good[6:]) is None
+    # truncated LZW data → None, not an exception
+    assert decode_gif(good[:-6]) in (None, decode_gif(good))
+
+
+def test_media_stage_png_gif_real(spark):
+    from surfactant_spark.operators.multimodal import extract_media_features
+
+    rows2 = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (1, 2, 3)]]
+    items = [
+        ("png_ok", None, bytearray(make_png(rows2)), {}),
+        ("gif_ok", None, bytearray(make_gif([[0, 1], [2, 3]], PAL4)), {}),
+        ("png_bad", None, bytearray(b"\x89PNG\r\n\x1a\n" + b"x" * 64), {}),
+    ]
+    df = spark.createDataFrame(
+        items,
+        "media_id string, media_type string, content binary, "
+        "meta map<string,string>",
+    )
+    got = {r.media_id: r for r in extract_media_features(df).collect()}
+    assert got["png_ok"].real_decode and got["png_ok"].width == 2
+    assert got["gif_ok"].real_decode and got["gif_ok"].media_type == "image"
+    assert not got["png_bad"].real_decode  # malformed stays stubbed
