@@ -51,22 +51,32 @@ class SnapshotCatalog:
         table: str,
         fingerprint: str,
         partition_by: list[str] | None = None,
-        mode: str = "append_snapshot",
+        mode: str = "overwrite",
     ) -> str:
         """Write df as a new snapshot of ``table`` and commit it to the
         manifest.  The data write and the manifest update are separate
         steps with the manifest last — a crash mid-write leaves the old
-        snapshot committed (the resume guarantee)."""
+        snapshot committed (the resume guarantee).
+
+        ``mode="append"`` is the Iceberg append-snapshot analog: ``df``
+        (the DELTA rows only) lands in a fresh snapshot directory and
+        the committed entry's ``paths`` list GROWS — readers see base ∪
+        delta, but only delta bytes were written.  This is what makes
+        incremental corpus updates O(Δ) for the per-document stages at
+        100 TB: the base extraction is never rewritten."""
         m = self._manifest()
-        snap = int(m.get(table, {}).get("snapshot", -1)) + 1
+        prev = m.get(table, {})
+        snap = int(prev.get("snapshot", -1)) + 1
         path = os.path.join(self.root, table, f"snap-{snap:05d}")
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
+        prev_paths = prev.get("paths", [prev["path"]] if prev else [])
         m[table] = {
             "snapshot": snap,
             "path": path,
+            "paths": (prev_paths + [path]) if mode == "append" else [path],
             "fingerprint": fingerprint,
             "committed_at": time.time(),
             # schema travels with the snapshot so empty tables (or
@@ -85,7 +95,14 @@ class SnapshotCatalog:
         reader = spark.read
         if ent.get("schema"):
             reader = reader.schema(StructType.fromJson(json.loads(ent["schema"])))
-        return reader.parquet(ent["path"])
+        paths = ent.get("paths", [ent["path"]])
+        # one read per snapshot root, unioned: appended snapshots are
+        # separate partitioned directory trees, and Spark's partition
+        # discovery requires a single basePath per tree
+        out = reader.parquet(paths[0])
+        for p in paths[1:]:
+            out = out.unionByName(reader.parquet(p))
+        return out
 
     def snapshot_info(self, table: str) -> dict | None:
         return self._manifest().get(table)
@@ -111,9 +128,11 @@ class SnapshotCatalog:
             tdir = os.path.join(self.root, tbl)
             if not os.path.isdir(tdir):
                 continue
-            committed = os.path.basename(ent["path"])
+            committed = {
+                os.path.basename(p) for p in ent.get("paths", [ent["path"]])
+            }
             snaps = sorted(d for d in os.listdir(tdir) if d.startswith("snap-"))
-            candidates = [d for d in snaps if d != committed]
+            candidates = [d for d in snaps if d not in committed]
             for d in candidates[: max(0, len(candidates) - (keep_last - 1))]:
                 p = os.path.join(tdir, d)
                 shutil.rmtree(p, ignore_errors=True)

@@ -155,3 +155,113 @@ def run_pipeline(
         stages_skipped=stages_skipped,
         stage_seconds=stage_seconds,
     )
+
+
+def run_pipeline_incremental(
+    spark: SparkSession,
+    delta_pages: DataFrame,
+    catalog: SnapshotCatalog,
+    run_id: str = "run-inc",
+    delta_fingerprint: str = "delta-0",
+    dict_rows=None,
+    extra_alias_edges=None,
+) -> PipelineResult:
+    """Incremental corpus update — the reference's incremental-SBOM
+    input path (surfactant/cmd/generate.py:308-314: start from an
+    existing SBOM, add new specimens) and the Iceberg MERGE INTO /
+    append-snapshot shape the north rule names, at pipeline level.
+
+    Cost model at 100 TB: the per-DOCUMENT stages (extract, mention
+    detection — the UDF-heavy, byte-touching work) run ONLY on the
+    delta and land as APPEND snapshots (catalog ``mode="append"``:
+    delta bytes written, base never rewritten).  Mention detection is
+    further trimmed to delta contents whose hash was never seen in the
+    base — an anti-join against the base's distinct hashes — so
+    re-crawled duplicates cost nothing.  The graph-construction JOINS
+    (nodes, edges) recompute over base ∪ delta: LinksTo is corpus-wide
+    (a delta page may be the target of a base page's link), so edge
+    recomputation is semantically required; these are the cheap,
+    shuffle-bound stages (SCALING.md: sub-linear, no Python).
+
+    Equivalence contract (tested): nodes/edges equal a from-scratch
+    ``run_pipeline`` on base ∪ delta, row-for-row.
+
+    Requires a prior ``run_pipeline`` (or incremental run) to have
+    committed ``extracted`` and ``mentions`` snapshots in ``catalog``."""
+    compiled = compile_dictionary(dict_rows)
+    edges_in = alias_edges(dict_rows, extra_alias_edges)
+    dict_fp = _fingerprint([p.pattern for p in compiled.patterns], edges_in)
+    lineage = LineageCollector(spark, run_id)
+    stages_run: list[str] = []
+
+    base_ext_info = catalog.snapshot_info("extracted")
+    if base_ext_info is None or catalog.snapshot_info("mentions") is None:
+        raise ValueError(
+            "incremental update needs committed 'extracted' and 'mentions' "
+            "snapshots — run run_pipeline on the base corpus first"
+        )
+    base_extracted = catalog.read(spark, "extracted")
+
+    # extract: delta only, appended
+    fp_extract = _fingerprint(
+        __version__, "extract+", base_ext_info["fingerprint"], delta_fingerprint
+    )
+    delta_ext = lineage.wrap(extract_pages(delta_pages), "extract_delta")
+    catalog.write(delta_ext, "extracted", fp_extract,
+                  partition_by=["lang"], mode="append")
+    stages_run.append("extract_delta")
+    extracted = catalog.read(spark, "extracted")
+
+    # mentions: only delta contents never seen in the base.  The
+    # anti-join key is the content hash — two short columns against the
+    # base's distinct-hash projection, no text shuffled.
+    from ..operators.mentions import unique_content
+
+    new_content = unique_content(delta_ext).join(
+        base_extracted.select("content_sha256").distinct(),
+        "content_sha256",
+        "left_anti",
+    )
+    fp_mentions = _fingerprint(__version__, "mentions+", fp_extract, dict_fp)
+    delta_mentions = lineage.wrap(
+        detect_mentions(new_content, compiled), "mentions_delta"
+    )
+    catalog.write(delta_mentions, "mentions", fp_mentions, mode="append")
+    stages_run.append("mentions_delta")
+    mentions = catalog.read(spark, "mentions")
+
+    # entity map: dictionary-scoped, rebuilt (dictionary-sized work)
+    fp_emap = _fingerprint(__version__, "entity_map", dict_fp)
+    emap = entity_canonical_map(
+        spark, sorted({p.entity_key for p in compiled.patterns}), edges_in
+    )
+    catalog.write(emap, "entity_map", fp_emap)
+    emap = catalog.read(spark, "entity_map")
+
+    # graph joins: corpus-wide recompute over base ∪ delta.  The base
+    # mentions snapshot may hold per-row (non-unique) mentions while the
+    # delta holds per-content rows, so the Uses family always dedups
+    # (mentions_unique=False).
+    fp_nodes = _fingerprint(__version__, "nodes", fp_extract, fp_mentions, fp_emap)
+    nodes_df = lineage.wrap(build_nodes(extracted, mentions, emap), "nodes")
+    catalog.write(nodes_df, "nodes", fp_nodes, partition_by=["lang"])
+    stages_run.append("nodes")
+    nodes = catalog.read(spark, "nodes")
+
+    fp_edges = _fingerprint(__version__, "edges", fp_extract, fp_mentions, fp_emap)
+    edges_df = lineage.wrap(
+        build_edges(extracted, mentions, emap, mentions_unique=False), "edges"
+    )
+    catalog.write(edges_df, "edges", fp_edges, partition_by=["lang"])
+    stages_run.append("edges")
+    edges = catalog.read(spark, "edges")
+
+    lin_df = lineage.to_df()
+    catalog.write(lin_df, "lineage", _fingerprint(run_id, stages_run))
+    return PipelineResult(
+        nodes=nodes,
+        edges=edges,
+        lineage=lin_df,
+        stages_run=stages_run,
+        stages_skipped=[],
+    )

@@ -1,0 +1,122 @@
+"""Incremental corpus update ≡ from-scratch rebuild.
+
+The reference's incremental-SBOM semantics (an existing SBOM plus new
+specimens, surfactant/cmd/generate.py:308-314) at pipeline level:
+``run_pipeline_incremental`` appends delta-only extract/mention
+snapshots (the Iceberg append-snapshot analog in SnapshotCatalog) and
+recomputes the corpus-wide graph joins — the result must equal
+``run_pipeline`` from scratch on base ∪ delta, row for row.
+
+Fixture note (FIXTURES.md): page content depends on the corpus size
+(link targets are mod n_pages), so base and delta are ROW-SUBSETS of
+one materialized corpus — never two independently-sized syntheses.
+"""
+
+import pytest
+
+from surfactant_spark.plans.catalog import SnapshotCatalog
+from surfactant_spark.plans.pipeline import run_pipeline, run_pipeline_incremental
+from surfactant_spark.sources.pages import write_pages_parquet
+
+
+def _canon_nodes(df):
+    return sorted(
+        (
+            r.canonical_id,
+            r.node_type,
+            r.sha256,
+            tuple(r.names or []),
+            tuple(r.urls or []),
+            r.lang,
+            tuple(sorted((r.attrs or {}).items())),
+        )
+        for r in df.collect()
+    )
+
+
+def _canon_edges(df):
+    return sorted((r.subj, r.pred, r.obj, r.lang) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("inc") / "pages")
+    write_pages_parquet(spark, 600, path)
+    full = spark.read.parquet(path)
+    # deterministic split with content overlap: the synthetic corpus
+    # repeats content hashes across urls, so the delta re-crawls some
+    # base content (exercising the seen-hash anti-join) and adds new
+    base = full.where("crc32(url) % 4 != 0")
+    delta = full.where("crc32(url) % 4 = 0")
+    assert 0 < delta.count() < full.count()
+    return full, base, delta
+
+
+def test_incremental_equals_scratch(spark, corpus, tmp_path):
+    full, base, delta = corpus
+    scratch_cat = SnapshotCatalog(str(tmp_path / "scratch"))
+    inc_cat = SnapshotCatalog(str(tmp_path / "inc"))
+
+    scratch = run_pipeline(
+        spark, full, scratch_cat, corpus_fingerprint="full-600"
+    )
+    run_pipeline(spark, base, inc_cat, corpus_fingerprint="base-600")
+    inc = run_pipeline_incremental(
+        spark, delta, inc_cat, delta_fingerprint="delta-600"
+    )
+
+    assert _canon_nodes(inc.nodes) == _canon_nodes(scratch.nodes)
+    assert _canon_edges(inc.edges) == _canon_edges(scratch.edges)
+    assert inc.stages_run == [
+        "extract_delta", "mentions_delta", "nodes", "edges"
+    ]
+
+    # the per-document tables were APPENDED, not rewritten: two
+    # committed data paths, both surviving snapshot expiry
+    ext_info = inc_cat.snapshot_info("extracted")
+    assert len(ext_info["paths"]) == 2
+    removed = inc_cat.expire_snapshots()
+    import os
+
+    assert all(os.path.exists(p) for p in ext_info["paths"])
+    assert not any("extracted" in p for p in removed)
+
+    # delta mention detection skipped every already-seen content hash:
+    # appended mentions cover exactly the delta-new contents
+    base_hashes = {
+        r.content_sha256
+        for r in spark.read.parquet(ext_info["paths"][0])
+        .select("content_sha256").distinct().collect()
+    }
+    delta_mention_hashes = {
+        r.content_sha256
+        for r in spark.read.parquet(
+            inc_cat.snapshot_info("mentions")["paths"][1]
+        ).select("content_sha256").distinct().collect()
+    }
+    assert not (delta_mention_hashes & base_hashes)
+
+
+def test_incremental_requires_base(spark, corpus, tmp_path):
+    _full, _base, delta = corpus
+    empty_cat = SnapshotCatalog(str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="run_pipeline on the base"):
+        run_pipeline_incremental(spark, delta, empty_cat)
+
+
+def test_incremental_chains(spark, corpus, tmp_path):
+    """Two successive increments == one scratch run (the append chain
+    keeps composing)."""
+    full, _base, _delta = corpus
+    a = full.where("crc32(url) % 3 = 0")
+    b = full.where("crc32(url) % 3 = 1")
+    c = full.where("crc32(url) % 3 = 2")
+    cat = SnapshotCatalog(str(tmp_path / "chain"))
+    run_pipeline(spark, a, cat, corpus_fingerprint="a")
+    run_pipeline_incremental(spark, b, cat, delta_fingerprint="b")
+    inc = run_pipeline_incremental(spark, c, cat, delta_fingerprint="c")
+    scratch_cat = SnapshotCatalog(str(tmp_path / "chain-scratch"))
+    scratch = run_pipeline(spark, full, scratch_cat, corpus_fingerprint="full")
+    assert _canon_nodes(inc.nodes) == _canon_nodes(scratch.nodes)
+    assert _canon_edges(inc.edges) == _canon_edges(scratch.edges)
+    assert len(cat.snapshot_info("extracted")["paths"]) == 3
