@@ -10,12 +10,15 @@ has two parts:
 2. dictionary entities — aliases form an arbitrary graph, so canonical
    IDs need **connected components**.  Spark has no CC primitive; this
    implements min-label propagation with pointer jumping (hash-to-min):
-   each iteration (a) takes the min label over the 1-hop neighborhood,
-   (b) compresses paths by joining labels onto themselves.  Converges in
-   O(log n) iterations; every iteration is checkpointed so lineage stays
-   flat — executor-local by default, or a reliable ``checkpoint`` when
+   each iteration (a) takes the min label over the 2-hop neighborhood
+   (two chained propagate+min steps), (b) compresses paths by joining
+   labels onto themselves twice.  Converges in O(log n) iterations;
+   every iteration is checkpointed so lineage stays flat —
+   executor-local by default, or a reliable ``checkpoint`` when
    ``checkpoint_dir`` points at cluster storage.  The convergence probe
-   (an extra Spark job per round) can be batched via ``check_every``.
+   is FUSED into each round's materializing action (lazy checkpoint +
+   full-scan changed-count agg): one Spark job per round, where r4 paid
+   an eager checkpoint plus a separate probe join.
 
 Canonical ID election is deterministic: the minimum sha256 over the
 component's member keys (FIXTURES.md §4), the analog of Surfactant's
@@ -102,7 +105,6 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 25,
-    check_every: int = 1,
     checkpoint_dir: str | None = None,
     small_threshold: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
@@ -119,59 +121,95 @@ def connected_components(
         small = _small_graph_labels(edges, src, dst, small_threshold)
         if small is not None:
             return small
+    # the symmetric edge list is probed by EVERY round's propagation
+    # join — checkpoint it once so the union+distinct shuffle doesn't
+    # re-execute per iteration (it did until r5: each round silently
+    # re-ran the distinct over the full edge set).  LAZY checkpoint:
+    # the init-labels job below is its first action and materializes
+    # the blocks, so setup costs one job, not two.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    if checkpoint_dir is not None:
+        sc = sym.sparkSession.sparkContext
+        if sc.getCheckpointDir() != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
+        sym = sym.checkpoint(eager=False)
+    else:
+        sym = sym.localCheckpoint(eager=False)
+    # init folds the FIRST propagation round in: label₀(u) = min(u,
+    # neighbors(u)) comes out of the same groupBy shuffle that a plain
+    # distinct-nodes init would pay, one round cheaper
     labels = _round_checkpoint(
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node")),
+        sym.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("label"))
+        .select(F.col("u").alias("node"), "label"),
         checkpoint_dir,
     )
     converged = False
     for it in range(max_iter):
-        # (a) min label over neighborhood
-        prop = (
-            sym.join(labels, sym["v"] == labels["node"], "inner")
-            .select(F.col("u").alias("node"), "label")
-        )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # (b) pointer jumping: label ← label(label)
-        lab2 = new_labels.select(
-            F.col("node").alias("pnode"), F.col("label").alias("plabel")
-        )
-        jumped = _round_checkpoint(
-            new_labels.join(lab2, new_labels["label"] == lab2["pnode"], "left")
-            .select(
-                "node",
-                F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
-            ),
-            checkpoint_dir,
-        )
-        # batching the convergence probe every ``check_every`` rounds
-        # halves (or better) the driver-side actions per iteration —
-        # each probe is its own Spark job, and on a busy cluster job
-        # launch latency dominates small-graph rounds
-        if (it + 1) % check_every == 0 or it == max_iter - 1:
-            changed = (
-                jumped.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
+        # (a) min label over the 2-hop neighborhood: two chained
+        # propagate+min steps per round double the hop distance the
+        # component min travels per (checkpoint, probe) cycle — rounds
+        # are the expensive unit (one job each), shuffles within a
+        # round pipeline through AQE
+        new_labels = labels
+        for _p in range(2):
+            prop = (
+                sym.join(new_labels, sym["v"] == new_labels["node"], "inner")
+                .select(F.col("u").alias("node"), "label")
             )
-            if changed == 0:
-                labels = jumped
-                converged = True
-                break
-        labels = jumped
+            new_labels = (
+                new_labels.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+        # (b) pointer jumping: label ← label(label), applied twice —
+        # doubling the hop count per round halves the rounds for deep
+        # label chains at the cost of one extra join on the compact
+        # (node, label) frame
+        jumped = new_labels
+        for _hop in range(2):
+            lab2 = jumped.select(
+                F.col("node").alias("pnode"), F.col("label").alias("plabel")
+            )
+            jumped = (
+                jumped.join(lab2, jumped["label"] == lab2["pnode"], "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
+                )
+            )
+        # FUSED convergence probe: carry the previous label alongside,
+        # checkpoint LAZILY, and let the full-scan changed-count agg be
+        # the action that materializes the checkpoint blocks — one
+        # Spark job per round where r4 paid two (eager checkpoint +
+        # separate probe join; job launch dominates fixpoint rounds).
+        # The agg is a full scan on purpose: a limit-style probe could
+        # short-circuit and leave checkpoint partitions unmaterialized
+        # for the next round to recompute.
+        flagged = jumped.join(
+            labels.select("node", F.col("label").alias("_prev")), "node", "left"
+        )
+        if checkpoint_dir is not None:
+            sc = flagged.sparkSession.sparkContext
+            if sc.getCheckpointDir() != checkpoint_dir:
+                sc.setCheckpointDir(checkpoint_dir)
+            flagged = flagged.checkpoint(eager=False)
+        else:
+            flagged = flagged.localCheckpoint(eager=False)
+        (changed,) = flagged.agg(
+            F.sum(
+                (~F.col("label").eqNullSafe(F.col("_prev"))).cast("long")
+            ).alias("c")
+        ).collect()[0]
+        labels = flagged.select("node", "label")
+        if not changed:
+            converged = True
+            break
     if not converged:
         warnings.warn(
             f"connected_components: no convergence within max_iter={max_iter}; "
@@ -187,7 +225,6 @@ def connected_components_star(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 25,
-    check_every: int = 1,
     checkpoint_dir: str | None = None,
     small_threshold: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
@@ -248,14 +285,39 @@ def connected_components_star(
         )
         return canon(out)
 
-    cur = _round_checkpoint(
-        canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))),
-        checkpoint_dir,
+    def _lazy_checkpoint(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            sc = df.sparkSession.sparkContext
+            if sc.getCheckpointDir() != checkpoint_dir:
+                sc.setCheckpointDir(checkpoint_dir)
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+
+    def _fingerprint_of(df: DataFrame) -> tuple[int, int]:
+        """(row count, order-independent xxhash64 xor) in ONE job that
+        also materializes the frame's lazy-checkpoint blocks — the
+        full scan is deliberate, a short-circuiting probe would leave
+        partitions unmaterialized for the next round to recompute."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
+        ).collect()[0]
+        return (int(row["n"]), int(row["h"] or 0))
+
+    cur = _lazy_checkpoint(
+        canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     )
+    fp = _fingerprint_of(cur)
     converged = False
-    for it in range(max_iter):
-        nxt = _round_checkpoint(small_star(large_star(cur)), checkpoint_dir)
-        if (it + 1) % check_every == 0 or it == max_iter - 1:
+    for _it in range(max_iter):
+        nxt = _lazy_checkpoint(small_star(large_star(cur)))
+        nfp = _fingerprint_of(nxt)
+        # fingerprint equality is the cheap stability signal (one job
+        # per round instead of r4's eager checkpoint + two exceptAll
+        # probes); the exact symmetric-difference check runs only on
+        # the rare candidate-convergence round, so a hash collision
+        # can never produce a wrong result — only one wasted confirm
+        if nfp == fp:
             changed = (
                 nxt.exceptAll(cur).limit(1).count()
                 + cur.exceptAll(nxt).limit(1).count()
@@ -264,7 +326,7 @@ def connected_components_star(
                 cur = nxt
                 converged = True
                 break
-        cur = nxt
+        cur, fp = nxt, nfp
     if not converged:
         warnings.warn(
             f"connected_components_star: no convergence within max_iter={max_iter}; "

@@ -26,26 +26,49 @@ from pyspark.sql import functions as F
 def find_hot_keys(
     df: DataFrame,
     key: str,
-    sample_fraction: float = 0.05,
     hot_share: float = 0.01,
     max_keys: int = 64,
 ) -> list:
-    """Sampled heavy-hitter sketch: keys holding more than ``hot_share``
-    of sampled rows.  One cheap job over a small sample; at production
-    scale replace with a sketch accumulated during the previous stage."""
-    sample = df.select(key).sample(fraction=sample_fraction, seed=42)
-    total = sample.count()
-    if total == 0:
+    """Heavy-hitter detection over the FULL column, no row sample.
+
+    Pass 1: ``df.stat.freqItems`` — Spark's frequent-items sketch
+    (the Karp/Shenker/Papadimitriou one-pass algorithm): bounded
+    per-partition state (≤ 1/hot_share counters), merged without a
+    shuffle, with the superset guarantee that every key of share >
+    ``hot_share`` is among the candidates (false positives possible,
+    false negatives not).  Pass 2: one conditional groupBy that folds
+    every non-candidate row into a single NULL group — map-side
+    combine leaves ≤ |candidates|+1 rows per partition on the wire —
+    yielding exact candidate counts and the total in the same job, so
+    false positives drop and survivors rank by true frequency.
+
+    Row-sampled probes were purged from the tree in r4/r5 (stats.py
+    documents the bias: sampling at fraction f sees a k-duplicated
+    value ~(kf)²/2, so borderline-hot keys vanish); this is the
+    ``column_stats``-style full-column replacement the same lesson
+    demands for skew detection."""
+    support = max(hot_share, 1e-4)  # freqItems' documented lower bound
+    (cands_row,) = df.stat.freqItems([key], support=support).collect()
+    cands = [c for c in (cands_row[0] or []) if c is not None]
+    if not cands:
         return []
-    rows = (
-        sample.groupBy(key)
+    counted = (
+        df.select(
+            F.when(F.col(key).isin(cands), F.col(key)).alias("_k")
+        )
+        .groupBy("_k")
         .count()
-        .where(F.col("count") > total * hot_share)
-        .orderBy(F.desc("count"))
-        .limit(max_keys)
         .collect()
     )
-    return [r[key] for r in rows]
+    total = sum(r["count"] for r in counted)
+    if total == 0:
+        return []
+    hot = [
+        (r["count"], r["_k"])
+        for r in counted
+        if r["_k"] is not None and r["count"] > total * hot_share
+    ]
+    return [k for _c, k in sorted(hot, reverse=True)[:max_keys]]
 
 
 def skew_aware_join(

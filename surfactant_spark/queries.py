@@ -361,10 +361,7 @@ def q_cc_components(spark, sf):
         F.concat(F.lit("n:"), F.col("n_nationkey")).alias("a"),
         F.concat(F.lit("r:"), F.col("n_regionkey")).alias("b"),
     )
-    # check_every=2 halves the per-round convergence-probe jobs (each
-    # probe is a full Spark job; results are identical — the fixpoint
-    # just checks stability every other round)
-    return connected_components(e1.unionByName(e2), small_threshold=0, check_every=2)
+    return connected_components(e1.unionByName(e2), small_threshold=0)
 
 
 def q_cc_star(spark, sf):

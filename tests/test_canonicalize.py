@@ -80,23 +80,24 @@ def test_entity_canonical_map_min_sha_election(spark):
     assert rows["solo"] == ("e:" + _sha("solo"), ("solo",))
 
 
-def test_cc_batched_convergence_check_same_result(spark):
-    # check_every=3 probes convergence only every third round; result
-    # must be identical to per-round probing on a chain (worst case for
-    # early exit) — the production CC hardening contract
+def test_cc_deep_chain_all_paths_agree(spark):
+    # a 25-node chain is the worst case for label propagation (deep
+    # diameter); the driver fast path, the distributed min-label
+    # fixpoint (fused convergence probe), and large-star/small-star
+    # must produce identical components
     rows = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(24)]
     edges = spark.createDataFrame(rows, ["a", "b"])
     a = {(r.node, r.component) for r in connected_components(edges).collect()}
     b = {
         (r.node, r.component)
-        for r in connected_components(edges, check_every=3).collect()
+        for r in connected_components(edges, small_threshold=0).collect()
     }
     assert a == b
     from surfactant_spark.operators.canonicalize import connected_components_star
 
     c = {
         (r.node, r.component)
-        for r in connected_components_star(edges, check_every=3).collect()
+        for r in connected_components_star(edges, small_threshold=0).collect()
     }
     assert a == c
 

@@ -24,8 +24,27 @@ def _skewed_dfs(spark):
 
 def test_find_hot_keys(spark):
     probe, _ = _skewed_dfs(spark)
-    hot = find_hot_keys(probe, "k", sample_fraction=0.5, hot_share=0.2)
+    hot = find_hot_keys(probe, "k", hot_share=0.2)
     assert hot == ["hot"]
+
+
+def test_find_hot_keys_exact_no_sampling(spark):
+    """The full-column sketch finds BORDERLINE hot keys a row sample
+    can miss, ranks by true frequency, drops freqItems false
+    positives, and respects max_keys."""
+    rows = (
+        [("h1",)] * 400 + [("h2",)] * 300 + [("h3",)] * 250
+        + [(f"c{i}",) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    assert find_hot_keys(df, "k", hot_share=0.2) == ["h1", "h2", "h3"]
+    assert find_hot_keys(df, "k", hot_share=0.2, max_keys=2) == ["h1", "h2"]
+    # share just above every cold key but below the hot ones
+    assert find_hot_keys(df, "k", hot_share=0.35) == ["h1"]
+    # no hot keys at all → empty, and empty frame → empty
+    flat = spark.createDataFrame([(f"u{i}",) for i in range(200)], "k string")
+    assert find_hot_keys(flat, "k", hot_share=0.05) == []
+    assert find_hot_keys(flat.limit(0), "k") == []
 
 
 def test_skew_aware_join_matches_plain(spark):
