@@ -47,6 +47,7 @@ HEADLINE = [
     "simhash_groups",
     "hash_sample",
     "hash_identify",
+    "filename_identify",
     "stream_events",
 ]
 

@@ -73,7 +73,7 @@ class SnapshotCatalog:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
         prev_paths = prev.get("paths", [prev["path"]] if prev else [])
-        m[table] = {
+        ent = {
             "snapshot": snap,
             "path": path,
             "paths": (prev_paths + [path]) if mode == "append" else [path],
@@ -83,19 +83,53 @@ class SnapshotCatalog:
             # partition-pruned reads) reconstruct exactly
             "schema": df.schema.json(),
         }
+        # snapshot log — the Iceberg metadata history analog: every
+        # commit is recorded with the paths visible AT that commit, so
+        # time-travel reads resolve any unexpired snapshot id
+        ent["history"] = prev.get("history", []) + [
+            {
+                "snapshot": snap,
+                "paths": ent["paths"],
+                "fingerprint": fingerprint,
+                "committed_at": ent["committed_at"],
+                "schema": ent["schema"],
+            }
+        ]
+        m[table] = ent
         self._save_manifest(m)
         return path
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
+    def read(
+        self, spark: SparkSession, table: str, snapshot: int | None = None
+    ) -> DataFrame:
+        """Read the committed snapshot of ``table`` — or, with
+        ``snapshot=<id>``, TIME-TRAVEL to that earlier commit (the
+        Iceberg ``VERSION AS OF`` analog): the snapshot log records the
+        paths visible at each commit, so any unexpired snapshot id
+        reconstructs exactly, schema included."""
         from pyspark.sql.types import StructType
 
         ent = self._manifest().get(table)
         if not ent:
             raise KeyError(f"no committed snapshot for table {table!r}")
+        if snapshot is not None:
+            hist = {h["snapshot"]: h for h in ent.get("history", [])}
+            if snapshot not in hist:
+                raise KeyError(
+                    f"table {table!r} has no snapshot {snapshot} in its log "
+                    f"(known: {sorted(hist)})"
+                )
+            ent = hist[snapshot]
+            missing = [p for p in ent["paths"] if not os.path.exists(p)]
+            if missing:
+                raise KeyError(
+                    f"snapshot {snapshot} of table {table!r} was expired — "
+                    f"missing data dirs: {missing}"
+                )
         reader = spark.read
         if ent.get("schema"):
             reader = reader.schema(StructType.fromJson(json.loads(ent["schema"])))
-        paths = ent.get("paths", [ent["path"]])
+        paths = ent["paths"] if "paths" in ent else [ent["path"]]
         # one read per snapshot root, unioned: appended snapshots are
         # separate partitioned directory trees, and Spark's partition
         # discovery requires a single basePath per tree
@@ -107,6 +141,18 @@ class SnapshotCatalog:
     def snapshot_info(self, table: str) -> dict | None:
         return self._manifest().get(table)
 
+    def history(self, table: str) -> list[dict]:
+        """The snapshot log, oldest first — (snapshot, fingerprint,
+        committed_at, paths) per commit; the Iceberg table-history
+        analog.  Empty list for unknown tables."""
+        ent = self._manifest().get(table)
+        if not ent:
+            return []
+        return [
+            {k: h[k] for k in ("snapshot", "fingerprint", "committed_at", "paths")}
+            for h in ent.get("history", [])
+        ]
+
     def expire_snapshots(self, table: str | None = None, keep_last: int = 1) -> list[str]:
         """Delete unreferenced snapshot directories — the Iceberg
         ``expire_snapshots`` lifecycle step.  Every ``write`` leaves the
@@ -114,10 +160,11 @@ class SnapshotCatalog:
         manifest flips only after the new data lands), so storage grows
         one snapshot per stage per re-run until expired.
 
-        Keeps the manifest-committed snapshot unconditionally plus the
-        ``keep_last - 1`` newest others (time-travel margin); returns
-        the removed paths.  Safe to run any time: the committed snapshot
-        is never a candidate."""
+        Keeps every directory referenced by the committed snapshot
+        unconditionally, plus everything the last ``keep_last`` log
+        entries reference (the time-travel margin); returns the removed
+        paths and prunes expired entries from the snapshot log.  Safe to
+        run any time: the committed snapshot is never a candidate."""
         import shutil
 
         m = self._manifest()
@@ -128,13 +175,20 @@ class SnapshotCatalog:
             tdir = os.path.join(self.root, tbl)
             if not os.path.isdir(tdir):
                 continue
-            committed = {
-                os.path.basename(p) for p in ent.get("paths", [ent["path"]])
-            }
+            keep = {os.path.basename(p) for p in ent.get("paths", [ent["path"]])}
+            for h in ent.get("history", [])[-max(1, keep_last):]:
+                keep.update(os.path.basename(p) for p in h["paths"])
             snaps = sorted(d for d in os.listdir(tdir) if d.startswith("snap-"))
-            candidates = [d for d in snaps if d not in committed]
-            for d in candidates[: max(0, len(candidates) - (keep_last - 1))]:
+            for d in snaps:
+                if d in keep:
+                    continue
                 p = os.path.join(tdir, d)
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(p)
+            if ent.get("history"):
+                ent["history"] = [
+                    h for h in ent["history"]
+                    if all(os.path.exists(p) for p in h["paths"])
+                ]
+        self._save_manifest(m)
         return removed

@@ -114,3 +114,36 @@ def test_expire_snapshots_keeps_committed_and_resume(spark, tmp_path):
     assert len(cat.expire_snapshots(keep_last=2)) == 1  # drops only snap-00002
     snaps = sorted(d for d in os.listdir(tdir) if d.startswith("snap-"))
     assert snaps == ["snap-00003", "snap-00004"]
+
+
+def test_catalog_time_travel(spark, tmp_path):
+    """Iceberg VERSION AS OF analog: any unexpired snapshot id reads
+    back exactly (incl. append commits, which see base ∪ delta as of
+    that commit); expired ids fail loudly; history lists the log."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    cat = SnapshotCatalog(str(tmp_path / "tt"))
+    cat.write(spark.range(5).select(F.col("id")), "t", "fp0")
+    cat.write(spark.range(7).select(F.col("id")), "t", "fp1")
+    cat.write(spark.range(3).select(F.col("id")), "t", "fp2", mode="append")
+    # current = append commit: 7 + 3 rows; snapshot 0/1 = as-of reads
+    assert cat.read(spark, "t").count() == 10
+    assert cat.read(spark, "t", snapshot=0).count() == 5
+    assert cat.read(spark, "t", snapshot=1).count() == 7
+    assert cat.read(spark, "t", snapshot=2).count() == 10
+    hist = cat.history("t")
+    assert [h["snapshot"] for h in hist] == [0, 1, 2]
+    assert [h["fingerprint"] for h in hist] == ["fp0", "fp1", "fp2"]
+    assert len(hist[2]["paths"]) == 2  # append references base + delta
+    with _pt.raises(KeyError, match="no snapshot 9"):
+        cat.read(spark, "t", snapshot=9)
+    # expire with keep_last=1 drops snapshot 0; its id now fails loudly
+    cat.expire_snapshots(keep_last=1)
+    with _pt.raises(KeyError):
+        cat.read(spark, "t", snapshot=0)
+    # the append chain keeps snapshot 1's dir alive (it is part of the
+    # committed snapshot-2 paths), so BOTH ids still read exactly
+    assert cat.read(spark, "t", snapshot=1).count() == 7
+    assert cat.read(spark, "t", snapshot=2).count() == 10
+    assert [h["snapshot"] for h in cat.history("t")] == [1, 2]
