@@ -343,6 +343,13 @@ def main() -> None:
     with open(os.path.join(repo, "BENCH.md"), "w") as f:
         f.write("# BENCH — latest local run\n\n")
         f.write(f"sf={sf}, local[{cores}], shuffle={max(2*cores,8)}\n\n")
+        f.write(
+            "Timing semantics (since r4): best-of-2 including plan\n"
+            "CONSTRUCTION (eager probe/checkpoint jobs are billed) — not\n"
+            "comparable to r3-and-earlier per-query numbers, which timed\n"
+            "only the final action.  Full run distributions and\n"
+            "micro-benches: BENCH_full.json.\n\n"
+        )
         f.write("| query | sec |\n|---|---|\n")
         for k, v in times.items():
             f.write(f"| {k} | {v} |\n")

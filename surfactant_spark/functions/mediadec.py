@@ -1,9 +1,9 @@
 """Real media decoding for container-friendly formats.
 
 The container has no codec libraries (no PIL/librosa/ffmpeg), so media
-needing a REAL codec (JPEG/MP3/H.264) stays behind the documented
-deterministic stub in operators/multimodal.py.  Everything decodable
-with the standard library alone is decoded for real here:
+needing DSP this repo doesn't implement (MP3/H.264, progressive JPEG)
+stays behind the documented deterministic stub in
+operators/multimodal.py.  Everything else is decoded for real here:
 
 * BMP  — BITMAPFILEHEADER + BITMAPINFOHEADER, uncompressed 24/32-bpp
   BI_RGB pixel grid (bottom-up or top-down), row stride padded to 4.
@@ -12,6 +12,9 @@ with the standard library alone is decoded for real here:
   (None/Sub/Up/Average/Paeth) → pixels; all five 8-bit color types.
 * GIF  — pure-Python LZW (87a/89a), global/local color tables,
   interlaced row de-interleave; first frame.
+* JPEG — baseline sequential DCT from scratch (functions/jpegdec.py):
+  Huffman + dequant + IDCT + chroma upsample + YCbCr→RGB, restart
+  markers included; progressive/arithmetic return None.
 * WAV  — RIFF/WAVE chunk walk, PCM 16-bit LE samples.
 
 Each decoder is total (malformed → None) and returns plain dict/list
@@ -499,8 +502,10 @@ def frame_luminance_grid(y_plane: bytes, w: int, h: int, k: int = 3) -> list[flo
 def decode_media(b: bytes) -> dict | None:
     """First matching codec-free decoder; None when only a real codec
     could decode the blob (the caller's stub boundary)."""
+    from .jpegdec import decode_jpeg
+
     for dec in (decode_bmp, decode_ppm, decode_png, decode_gif,
-                decode_wav, decode_y4m):
+                decode_jpeg, decode_wav, decode_y4m):
         try:
             out = dec(b)
         except Exception:

@@ -2,12 +2,13 @@
 
 The Spark-side plumbing is real and tested — schemas, batch iteration,
 partition sizing, magic-byte sniffing.  The decode step is REAL for
-every stdlib-decodable format (BMP / P6 PPM / PNG via zlib / GIF via
-pure-Python LZW / 16-bit PCM WAV / Y4M video: struct-level pixel and
-sample decoding + luminance-grid / RMS-envelope features,
-functions/mediadec.py) and a deterministic stub ONLY for media whose
-codec genuinely cannot exist here (JPEG/MP3/H.264), because no codec
-libraries ship in this container.  Swapping in a real codec means replacing `_fake_decode`
+BMP / P6 PPM / PNG (zlib) / GIF (pure-Python LZW) / baseline JPEG
+(from-scratch Huffman+IDCT, functions/jpegdec.py) / 16-bit PCM WAV /
+Y4M video — struct-level pixel and sample decoding + luminance-grid /
+RMS-envelope features (functions/mediadec.py) — and a deterministic
+stub ONLY for formats needing DSP this repo doesn't implement
+(MP3/H.264, progressive JPEG), because no codec libraries ship in
+this container.  Swapping in a real codec means replacing `_fake_decode`
 inside the same mapInPandas signature; nothing upstream or downstream
 changes.  The `real_decode` output column says which path each row
 took — the stub is never silent.
