@@ -46,10 +46,20 @@ AUDITS = {
     # filter is not parquet-pushable — absence of Exchange is the claim)
     "hash_sample": ["* Filter", "!Exchange", "!Join"],
     "stratified_sample": ["* Filter", "!Exchange", "!Join"],
-    # exactly-k-per-group needs its one window shuffle and nothing else
-    "group_topk_sample": ["RunningWindowFunction", "!Join"],
+    # exactly-k-per-group needs its one window shuffle and nothing
+    # else; WindowGroupLimit BELOW the Exchange = map-side partial
+    # top-k (each task keeps k rows per group before shuffling)
+    "group_topk_sample": ["WindowGroupLimit", "!Join"],
     # digest identification: broadcast the dictionary-sized hash list
     "hash_identify": ["BroadcastHashJoin", "!CartesianProduct"],
+    # filename identification: vectorized matching over DISTINCT
+    # basenames (one Arrow stage), equi-joined back — never a regex
+    # per url row, never a nested-loop join
+    "filename_identify": ["MapInPandas", "HashAggregate",
+                          "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # cc fixpoint gate: the eager rounds run at construction, the
+    # returned frame must still be join/scan shaped, not a cartesian
+    "cc_components": ["!CartesianProduct"],
 }
 
 
@@ -72,7 +82,9 @@ def main() -> None:
         "minhash_lsh", "window_rank", "roots_antijoin", "embed_topk",
         "embed_neardup", "simhash_pairs", "ngram_jaccard", "lsh_dup_groups",
         "installs_hash_join", "dotnet_probe_uses", "simhash_groups",
-        "archive_members", "sidefile_attach",
+        "archive_members", "sidefile_attach", "hash_sample",
+        "stratified_sample", "group_topk_sample", "hash_identify",
+        "filename_identify", "cc_components",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
