@@ -48,6 +48,8 @@ HEADLINE = [
     "hash_sample",
     "hash_identify",
     "filename_identify",
+    "pii_scrub",
+    "contamination",
     "stream_events",
 ]
 

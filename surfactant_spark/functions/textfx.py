@@ -106,3 +106,36 @@ def content_fingerprint(col: str | Column = "text") -> Column:
     document analog of the reference's content hashing
     (surfactant/fileinfo.py:47-78)."""
     return F.md5(F.concat_ws(" ", tokens(col)))
+
+
+# --- PII scrubbing (training-data hygiene) ---------------------------------
+# Patterns chosen for cross-engine determinism: RE2 (DuckDB) and Java
+# regex (Spark) agree on these exactly — character classes + bounded
+# repetition + \b only, no lookarounds, no backrefs.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{2}-\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(col: str | Column = "text") -> Column:
+    """Replace emails, dotted-quad IPs, and TPC-H-style phone numbers
+    with typed placeholder tokens — the standard pre-training scrub
+    pass, as a pure chained ``regexp_replace`` column expression
+    (whole-stage codegen; no UDF, no shuffle; order fixed so an email's
+    host part is consumed before the IP pattern can see it)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_hits(col: str | Column = "text") -> Column:
+    """How many PII placeholders a scrub of ``col`` would insert —
+    cheap audit metric (count the replacements, not the rows)."""
+    src = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for pat, _rep in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(src, F.lit(pat), F.lit(0)))
+    return total.cast("long")

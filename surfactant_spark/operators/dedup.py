@@ -581,3 +581,47 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", jac.alias("jaccard_x1000"))
         .where(F.col("jaccard_x1000") >= min_jaccard_x1000)
     )
+
+
+def ngram_contamination(
+    docs,
+    bench,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+):
+    """Benchmark decontamination: corpus documents sharing any word
+    n-gram with a benchmark/eval set → (doc_id, n_hits = distinct
+    shared n-grams).  The GPT-3-style 13-gram overlap check as a
+    Spark-shaped asymmetric join:
+
+    * the benchmark side is KBs-to-MBs against a 100-TB corpus, so its
+      distinct n-gram hash set BROADCASTS — the corpus never shuffles;
+    * the corpus side tokenizes once per row and explodes distinct
+      n-gram hashes (md5 of the space-joined gram, engine-portable);
+    * the inner broadcast join + per-doc count is map-side work
+      followed by one small aggregation keyed on contaminated doc ids
+      only (hits are rare by construction — that's the point of the
+      check).
+    """
+    def grams_expr(text_column):
+        return F.expr(
+            f"transform(sequence(1, greatest(size(_toks_)-{n - 1}, 0)), "
+            f"i -> md5(array_join(slice(_toks_, i, {n}), ' ')))".replace(
+                "_toks_", f"regexp_extract_all(lower({text_column}), '[a-z0-9]+', 0)"
+            )
+        )
+
+    bench_grams = (
+        bench.select(F.explode(grams_expr(bench_text_col)).alias("g")).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(grams_expr(text_col))).alias("g"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )

@@ -1949,6 +1949,97 @@ FROM part WHERE p_partkey % 7 = 0
 """
 
 
+def q_pii_scrub(spark, sf):
+    """Training-data PII scrub: emails / dotted-quad IPs / TPC-H phone
+    numbers → typed placeholders, as one chained regexp_replace
+    codegen expression (functions/textfx.scrub_pii) plus the
+    replacement-count audit metric.  Fixture plants all three PII
+    kinds from customer columns so a missed pattern flips rows."""
+    cust = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+
+    def s(col):
+        return col.cast("string")
+
+    phone = F.concat(
+        s((k % 90) + 10), F.lit("-"), F.lpad(s((k * 3) % 1000), 3, "0"),
+        F.lit("-"), F.lpad(s((k * 7) % 1000), 3, "0"),
+        F.lit("-"), F.lpad(s((k * 9) % 10000), 4, "0"),
+    )
+    text = F.concat(
+        F.lit("contact user"), s(k), F.lit("@example.com or "),
+        phone, F.lit(" from 10."), s(k % 256), F.lit("."),
+        s((k * 7) % 256), F.lit(".4 re order "), s(k % 1000),
+    )
+    src = cust.select("c_custkey", text.alias("text"))
+    return src.select(
+        "c_custkey",
+        textfx.scrub_pii("text").alias("scrubbed"),
+        textfx.pii_hits("text").alias("n_pii"),
+    )
+
+
+O_PII_SCRUB = r"""
+WITH src AS (
+  SELECT c_custkey,
+         'contact user' || c_custkey || '@example.com or ' ||
+         ((c_custkey % 90) + 10) || '-' ||
+         lpad((c_custkey * 3 % 1000)::VARCHAR, 3, '0') || '-' ||
+         lpad((c_custkey * 7 % 1000)::VARCHAR, 3, '0') || '-' ||
+         lpad((c_custkey * 9 % 10000)::VARCHAR, 4, '0') ||
+         ' from 10.' || (c_custkey % 256) || '.' || ((c_custkey * 7) % 256) ||
+         '.4 re order ' || (c_custkey % 1000) AS text
+  FROM customer)
+SELECT c_custkey,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+   + len(regexp_extract_all(text, '\b\d{2}-\d{3}-\d{3}-\d{4}\b')))::BIGINT AS n_pii
+FROM src
+"""
+
+
+def q_contamination(spark, sf):
+    """Benchmark decontamination (dedup.ngram_contamination): docs
+    sharing any word 5-gram with a benchmark set.  The benchmark is
+    derived from the corpus itself in BOTH engines (first 5 tokens of
+    every 97th doc), so contaminated rows are fully determined: the
+    source docs, their content-duplicates, and any doc that happens to
+    repeat the phrase."""
+    from .operators.dedup import ngram_contamination
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.expr(
+            "array_join(slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0),"
+            " 1, 5), ' ')"
+        ).alias("text")
+    )
+    return ngram_contamination(docs, bench, n=5)
+
+
+O_CONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents),
+bench AS (
+  SELECT DISTINCT md5(array_to_string(t[1:5], ' ')) AS g
+  FROM toks WHERE doc_id % 97 = 0 AND len(t) >= 5),
+doc_grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5)
+SELECT doc_id, count(*)::BIGINT AS n_hits
+FROM doc_grams JOIN bench USING (g)
+GROUP BY doc_id
+"""
+
+
 def q_filename_identify(spark, sf):
     """RetireJS filename-first identification
     (surfactant/infoextractors/js_file.py:112-133): filename patterns
@@ -2162,6 +2253,8 @@ REGISTRY: dict[str, tuple] = {
     "mention_detect": (q_mention_detect, O_MENTION_DETECT),
     "hash_identify": (q_hash_identify, O_HASH_IDENTIFY),
     "filename_identify": (q_filename_identify, O_FILENAME_IDENTIFY),
+    "pii_scrub": (q_pii_scrub, O_PII_SCRUB),
+    "contamination": (q_contamination, O_CONTAMINATION),
     "hash_sample": (q_hash_sample, O_HASH_SAMPLE),
     "stratified_sample": (q_stratified_sample, O_STRATIFIED_SAMPLE),
     "group_topk_sample": (q_group_topk_sample, O_GROUP_TOPK_SAMPLE),

@@ -320,3 +320,46 @@ def test_jaccard_dup_groups_transitive_and_singletons(spark):
            jaccard_dup_groups(docs, min_jaccard_x1000=400).collect()}
     assert got[1] == got[2] == got[3] == 1  # one chained group, min id
     assert got[4] == 4                      # singleton maps to itself
+
+
+def test_scrub_pii_and_hits(spark):
+    from surfactant_spark.functions import textfx
+
+    df = spark.createDataFrame(
+        [("a", "mail bob.smith+x@corp-mail.co.uk now"),
+         ("b", "server at 192.168.0.1 and 10.0.0.255, version 1.2"),
+         ("c", "call 25-989-741-2988 twice: 25-989-741-2988"),
+         ("d", "nothing sensitive 1.2.3 here v2.0")],
+        "id string, text string",
+    )
+    got = {r.id: (r.s, r.n) for r in df.select(
+        "id", textfx.scrub_pii("text").alias("s"),
+        textfx.pii_hits("text").alias("n")).collect()}
+    assert got["a"] == ("mail <EMAIL> now", 1)
+    assert got["b"] == ("server at <IP> and <IP>, version 1.2", 2)
+    assert got["c"] == ("call <PHONE> twice: <PHONE>", 2)
+    assert got["d"] == ("nothing sensitive 1.2.3 here v2.0", 0)
+
+
+def test_ngram_contamination(spark):
+    from surfactant_spark.operators.dedup import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a quick brown fox jumps over fences daily"),   # shares 4-gram only
+         (3, "THE QUICK BROWN FOX JUMPS again and again"),   # case-folded hit
+         (4, "totally unrelated text about spark pipelines"),
+         (5, "the quick brown fox jumps over the quick brown fox jumps wall")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps",)], "text string"
+    )
+    got = {r.doc_id: r.n_hits for r in
+           ngram_contamination(docs, bench, n=5).collect()}
+    # doc 2 misses (only 4 shared tokens in a row); doc 5 repeats the
+    # gram but distinct-hash counting reports it once
+    assert got == {1: 1, 3: 1, 5: 1}
+    # empty benchmark → no contamination, stable schema
+    empty = ngram_contamination(docs, bench.limit(0), n=5)
+    assert empty.columns == ["doc_id", "n_hits"] and empty.count() == 0

@@ -60,6 +60,13 @@ AUDITS = {
     # cc fixpoint gate: the eager rounds run at construction, the
     # returned frame must still be join/scan shaped, not a cartesian
     "cc_components": ["!CartesianProduct"],
+    # PII scrub is a pure projection: chained regexp_replace inside
+    # codegen, nothing moves
+    "pii_scrub": ["* Project", "!Exchange", "!Join"],
+    # decontamination: benchmark n-gram set broadcasts, corpus side
+    # never nested-loops
+    "contamination": ["BroadcastHashJoin", "!CartesianProduct",
+                      "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -84,7 +91,7 @@ def main() -> None:
         "installs_hash_join", "dotnet_probe_uses", "simhash_groups",
         "archive_members", "sidefile_attach", "hash_sample",
         "stratified_sample", "group_topk_sample", "hash_identify",
-        "filename_identify", "cc_components",
+        "filename_identify", "cc_components", "pii_scrub", "contamination",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
