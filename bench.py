@@ -185,7 +185,11 @@ def main() -> None:
     from surfactant_spark.dictionary import alias_edges, compile_dictionary
     from surfactant_spark.operators.canonicalize import entity_canonical_map
     from surfactant_spark.operators.extract import extract_pages
-    from surfactant_spark.operators.linking import build_edges, build_nodes
+    from surfactant_spark.operators.linking import (
+        aliased_entity_keys,
+        build_edges,
+        build_nodes,
+    )
     from surfactant_spark.operators.mentions import (
         CONTENT_DEDUP_THRESHOLD,
         content_for_detection,
@@ -248,6 +252,7 @@ def main() -> None:
             ext, mentions, emap,
             mentions_unique=dup_rate(cstats) >= CONTENT_DEDUP_THRESHOLD,
             entity_map_injective=not any(a != b for a, b in alias_edges()),
+            aliased_keys=aliased_entity_keys(alias_edges()),
         )
         edges.write.format("noop").mode("overwrite").save()
         stages["edges"] = round(time.monotonic() - t, 3)

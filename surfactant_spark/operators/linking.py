@@ -179,6 +179,19 @@ def dedup_edges(edges: DataFrame) -> DataFrame:
     return edges.groupBy("subj", "pred", "obj").agg(F.min("lang").alias("lang"))
 
 
+def aliased_entity_keys(alias_edge_rows) -> list[str]:
+    """Entity keys in any multi-member alias component — exactly the
+    keys touching an a≠b alias edge (a component has ≥2 members iff
+    some non-self edge reaches it).  Pure driver-side Python over the
+    dictionary-sized edge list; feeds ``build_edges(aliased_keys=…)``."""
+    keys: set[str] = set()
+    for a, b in alias_edge_rows or []:
+        if a != b:
+            keys.add(a)
+            keys.add(b)
+    return sorted(keys)
+
+
 def build_edges(
     extracted: DataFrame,
     mentions: DataFrame,
@@ -186,6 +199,7 @@ def build_edges(
     hot_link_keys: list | None = None,
     mentions_unique: bool = False,
     entity_map_injective: bool = False,
+    aliased_keys: list | None = None,
 ) -> DataFrame:
     """Union of the three edge families, each deduped SEPARATELY.
 
@@ -207,15 +221,30 @@ def build_edges(
       duplicate (subj, Uses, obj) edge — the r4 ADVICE regression.
       Callers that know their alias-edge list is empty (driver-side
       Python, free to check) pass injective=True and keep the
-      shuffle-free path.
+      shuffle-free path.  Non-injective callers can pass
+      ``aliased_keys`` (``aliased_entity_keys`` — any key touching an
+      a≠b alias edge) to shrink the dedup shuffle to just the aliased
+      sliver of mentions: the rest of the corpus stays shuffle-free.
     * Contains — deduped on the raw (host, content_sha256) projection:
       two short columns shuffle instead of built edge strings.
     * LinksTo — deduped post-join on (subj, pred, obj) as before (a
       re-crawled url legitimately maps to several page versions, so the
       join output is the first place the key exists)."""
-    e1 = uses_edges(mentions, entity_map)
-    if not (mentions_unique and entity_map_injective):
-        e1 = dedup_edges(e1)
+    if mentions_unique and not entity_map_injective and aliased_keys:
+        # Split dedup: duplicate Uses edges can ONLY arise from
+        # mentions of ALIASED entity keys (two keys → one canonical
+        # id), and that key set is dictionary-sized and driver-known.
+        # The non-aliased slice — virtually the whole corpus — keeps
+        # the shuffle-free path; only the aliased sliver pays the
+        # dedup groupBy.
+        is_aliased = F.col("entity_key").isin(list(aliased_keys))
+        e1 = uses_edges(mentions.where(~is_aliased), entity_map).unionByName(
+            dedup_edges(uses_edges(mentions.where(is_aliased), entity_map))
+        )
+    else:
+        e1 = uses_edges(mentions, entity_map)
+        if not (mentions_unique and entity_map_injective):
+            e1 = dedup_edges(e1)
     e2 = dedup_edges(links_to_edges(extracted, hot_keys=hot_link_keys))
     e3 = contains_edges(extracted, dedup=True)
     return e1.unionByName(e2).unionByName(e3)

@@ -31,7 +31,7 @@ from .. import __version__
 from ..dictionary import alias_edges, compile_dictionary
 from ..operators.canonicalize import entity_canonical_map
 from ..operators.extract import extract_pages
-from ..operators.linking import build_edges, build_nodes
+from ..operators.linking import aliased_entity_keys, build_edges, build_nodes
 from ..operators.mentions import content_for_detection, detect_mentions
 from .catalog import SnapshotCatalog
 from .lineage import LineageCollector
@@ -136,8 +136,11 @@ def run_pipeline(
             # injective ⟺ no alias edge joins two distinct keys (free
             # driver-side check on the dictionary-sized edge list);
             # non-injective maps need the Uses dedup even over
-            # per-content mentions (two aliases → one canonical_id)
+            # per-content mentions (two aliases → one canonical_id) —
+            # but only for mentions of the aliased keys, so the dedup
+            # shuffle shrinks to that sliver
             entity_map_injective=not any(a != b for a, b in edges_in),
+            aliased_keys=aliased_entity_keys(edges_in),
         ),
         partition_by=["lang"],
     )
