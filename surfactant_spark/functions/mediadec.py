@@ -513,3 +513,138 @@ def decode_media(b: bytes) -> dict | None:
         if out is not None:
             return out
     return None
+
+
+# ---------------------------------------------------------------------------
+# Compressed-container METADATA (real struct walks, no DSP): even where
+# sample decoding needs a codec, the container metadata is a public
+# binary format — the same per-format header parsing binmeta.py does
+# for executables.  These feed typed metadata columns; sample-level
+# features for these formats remain behind the stub boundary.
+# ---------------------------------------------------------------------------
+
+_MP3_BITRATE = {  # kbps, MPEG1 Layer III column of the ISO 11172-3 table
+    1: 32, 2: 40, 3: 48, 4: 56, 5: 64, 6: 80, 7: 96, 8: 112,
+    9: 128, 10: 160, 11: 192, 12: 224, 13: 256, 14: 320,
+}
+_MP3_RATES = {0: 44100, 1: 48000, 2: 32000}
+
+
+def probe_mp3(b: bytes) -> dict | None:
+    """MPEG-1 Layer III stream metadata: skip ID3v2, walk frame
+    headers (sync + bitrate/samplerate/padding → frame length),
+    estimate duration from the frame count.  No sample decoding.
+    → {format, sample_rate, bitrate_kbps, channels, n_frames,
+    duration_ms_est} or None."""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        # syncsafe 28-bit size
+        size = (
+            (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+            | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
+        )
+        pos = 10 + size
+    n_frames = 0
+    rate = channels = None
+    kbps_sum = 0
+    while pos + 4 <= len(b) and n_frames < 1_000_000:
+        h = b[pos:pos + 4]
+        if not (h[0] == 0xFF and (h[1] & 0xE0) == 0xE0):
+            break
+        version = (h[1] >> 3) & 3   # 3 = MPEG1
+        layer = (h[1] >> 1) & 3     # 1 = Layer III
+        if version != 3 or layer != 1:
+            return None  # only MPEG-1 Layer III walked here
+        br_idx = (h[2] >> 4) & 0xF
+        sr_idx = (h[2] >> 2) & 3
+        padding = (h[2] >> 1) & 1
+        if br_idx not in _MP3_BITRATE or sr_idx not in _MP3_RATES:
+            return None
+        kbps = _MP3_BITRATE[br_idx]
+        rate = _MP3_RATES[sr_idx]
+        channels = 1 if ((h[3] >> 6) & 3) == 3 else 2
+        frame_len = 144 * kbps * 1000 // rate + padding
+        if frame_len <= 4:
+            return None
+        kbps_sum += kbps
+        n_frames += 1
+        pos += frame_len
+    if n_frames == 0 or rate is None:
+        return None
+    return {
+        "format": "mp3", "sample_rate": rate,
+        "bitrate_kbps": kbps_sum // n_frames, "channels": channels,
+        "n_frames": n_frames,
+        # 1152 samples per MPEG-1 Layer III frame
+        "duration_ms_est": n_frames * 1152 * 1000 // rate,
+    }
+
+
+def probe_mp4(b: bytes) -> dict | None:
+    """ISO BMFF (MP4/MOV) box walk: ftyp brand, mvhd timescale +
+    duration, per-trak handler types.  No codec work — pure
+    length-prefixed box recursion (ISO 14496-12).
+    → {format, brand, duration_ms, n_tracks, track_types} or None."""
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return None
+    brand = b[8:12].decode("ascii", "replace")
+    out = {"format": "mp4", "brand": brand, "duration_ms": None,
+           "n_tracks": 0, "track_types": []}
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        pos = lo
+        while pos + 8 <= hi and depth < 8:
+            (size,) = struct.unpack_from(">I", b, pos)
+            btype = b[pos + 4:pos + 8]
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    return
+                (size,) = struct.unpack_from(">Q", b, pos + 8)
+                body = pos + 16
+            elif size == 0:  # to end of enclosing box
+                size = hi - pos
+                body = pos + 8
+            else:
+                body = pos + 8
+            if size < 8 or pos + size > hi:
+                return
+            if btype in (b"moov", b"trak", b"mdia"):
+                walk(body, pos + size, depth + 1)
+                if btype == b"trak":
+                    out["n_tracks"] += 1
+            elif btype == b"mvhd" and body + 4 <= hi:
+                ver = b[body]
+                if ver == 1 and body + 28 <= hi:
+                    (tscale,) = struct.unpack_from(">I", b, body + 20)
+                    (dur,) = struct.unpack_from(">Q", b, body + 24)
+                elif body + 20 <= hi:
+                    (tscale,) = struct.unpack_from(">I", b, body + 12)
+                    (dur,) = struct.unpack_from(">I", b, body + 16)
+                else:
+                    tscale = 0
+                if tscale:
+                    out["duration_ms"] = dur * 1000 // tscale
+            elif btype == b"hdlr" and body + 12 <= hi:
+                out["track_types"].append(
+                    b[body + 8:body + 12].decode("ascii", "replace")
+                )
+            pos += size
+
+    walk(0, len(b), 0)
+    if out["duration_ms"] is None and out["n_tracks"] == 0:
+        return None
+    out["track_types"] = sorted(out["track_types"])
+    return out
+
+
+def probe_media_metadata(b: bytes) -> dict | None:
+    """Container metadata for formats whose SAMPLES need a real codec —
+    the honest middle ground between full decode and the stub."""
+    for probe in (probe_mp3, probe_mp4):
+        try:
+            out = probe(b)
+        except Exception:
+            out = None
+        if out is not None:
+            return out
+    return None

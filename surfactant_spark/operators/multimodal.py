@@ -275,3 +275,56 @@ def synth_media(spark, n: int, partitions: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "content", "meta"])
 
     return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+CONTAINER_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("brand", T.StringType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("bitrate_kbps", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("n_tracks", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("track_types", T.ArrayType(T.StringType()), True),
+])
+
+
+def extract_container_metadata(df: DataFrame) -> DataFrame:
+    """Typed container metadata for codec-bound media — MP3 frame-header
+    walk (bitrate/rate/channels/duration estimate) and MP4/ISO-BMFF box
+    walk (brand, mvhd duration, per-trak handlers), real struct parsing
+    with no DSP (functions/mediadec.probe_media_metadata).  Rows whose
+    bytes match neither probe are dropped (join back on media_id to
+    flag unprobed media).  Same Arrow-stage shape as
+    extract_media_features."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mediadec import probe_media_metadata
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                meta = probe_media_metadata(b)
+                if meta is None:
+                    continue
+                rows.append((
+                    mid,
+                    meta.get("format"),
+                    meta.get("brand"),
+                    meta.get("sample_rate"),
+                    meta.get("bitrate_kbps"),
+                    meta.get("channels"),
+                    meta.get("n_tracks"),
+                    meta.get("duration_ms", meta.get("duration_ms_est")),
+                    meta.get("track_types"),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in CONTAINER_META_SCHEMA.fields],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        fn, schema=CONTAINER_META_SCHEMA
+    )

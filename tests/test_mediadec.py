@@ -444,3 +444,102 @@ def test_media_stage_png_gif_real(spark):
     assert got["png_ok"].real_decode and got["png_ok"].width == 2
     assert got["gif_ok"].real_decode and got["gif_ok"].media_type == "image"
     assert not got["png_bad"].real_decode  # malformed stays stubbed
+
+
+# ---------------------------------------------------------------------------
+# MP3 / MP4 container metadata probes (struct walks, no DSP)
+# ---------------------------------------------------------------------------
+
+def make_mp3(n_frames=10, kbps_idx=9, sr_idx=0, mono=False, id3_size=0):
+    """MPEG-1 Layer III frame chain; frame bodies are filler bytes."""
+    from surfactant_spark.functions.mediadec import _MP3_BITRATE, _MP3_RATES
+
+    out = bytearray()
+    if id3_size:
+        out += b"ID3\x04\x00\x00" + bytes([
+            (id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+            (id3_size >> 7) & 0x7F, id3_size & 0x7F,
+        ]) + b"\x00" * id3_size
+    kbps, rate = _MP3_BITRATE[kbps_idx], _MP3_RATES[sr_idx]
+    for i in range(n_frames):
+        pad = i % 2  # alternate padding bit to exercise frame-length math
+        h = bytes([
+            0xFF,
+            0xFB,  # MPEG1 Layer III, no CRC
+            (kbps_idx << 4) | (sr_idx << 2) | (pad << 1),
+            0xC0 if mono else 0x00,
+        ])
+        flen = 144 * kbps * 1000 // rate + pad
+        out += h + b"\xAA" * (flen - 4)
+    return bytes(out)
+
+
+def test_probe_mp3():
+    from surfactant_spark.functions.mediadec import probe_mp3
+
+    m = probe_mp3(make_mp3(n_frames=20, id3_size=64))
+    assert m["format"] == "mp3" and m["n_frames"] == 20
+    assert m["sample_rate"] == 44100 and m["bitrate_kbps"] == 128
+    assert m["channels"] == 2
+    assert m["duration_ms_est"] == 20 * 1152 * 1000 // 44100
+    assert probe_mp3(make_mp3(mono=True))["channels"] == 1
+    # truncated final frame: the walked prefix still counts
+    cut = make_mp3(n_frames=5)[:-30]
+    assert probe_mp3(cut)["n_frames"] in (4, 5)
+    assert probe_mp3(b"\x00" * 40) is None
+    assert probe_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x05hello") is None
+
+
+def _box(btype, payload):
+    import struct as _s
+    return _s.pack(">I", len(payload) + 8) + btype + payload
+
+
+def make_mp4(duration=90_000, timescale=1000, tracks=("vide", "soun")):
+    import struct as _s
+    mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 + _s.pack(
+        ">II", timescale, duration) + b"\x00" * 80
+    traks = b""
+    for t in tracks:
+        hdlr = _box(b"hdlr", b"\x00" * 8 + t.encode() + b"\x00" * 13)
+        traks += _box(b"trak", _box(b"mdia", hdlr))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + traks)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_probe_mp4():
+    from surfactant_spark.functions.mediadec import probe_mp4
+
+    m = probe_mp4(make_mp4())
+    assert m["format"] == "mp4" and m["brand"] == "isom"
+    assert m["duration_ms"] == 90_000 and m["n_tracks"] == 2
+    assert m["track_types"] == ["soun", "vide"]
+    assert probe_mp4(b"\x00\x00\x00\x08free") is None  # no ftyp
+    assert probe_mp4(make_mp4()[:12]) is None
+    # 64-bit mvhd version-1 path
+    import struct as _s
+    mvhd1 = bytes([1, 0, 0, 0]) + b"\x00" * 16 + _s.pack(
+        ">IQ", 600, 3600 * 600) + b"\x00" * 80
+    b = _box(b"ftyp", b"mp42\x00\x00\x00\x00") + _box(
+        b"moov", _box(b"mvhd", mvhd1))
+    assert probe_mp4(b)["duration_ms"] == 3600_000
+
+
+def test_container_metadata_stage(spark):
+    from surfactant_spark.operators.multimodal import extract_container_metadata
+
+    rows = [
+        ("mp3a", None, bytearray(make_mp3(n_frames=8)), {}),
+        ("mp4a", None, bytearray(make_mp4(duration=5000)), {}),
+        ("junk", None, bytearray(b"\x00" * 64), {}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id string, media_type string, content binary, "
+        "meta map<string,string>",
+    )
+    got = {r.media_id: r for r in extract_container_metadata(df).collect()}
+    assert set(got) == {"mp3a", "mp4a"}  # junk dropped
+    assert got["mp3a"].format == "mp3" and got["mp3a"].sample_rate == 44100
+    assert got["mp4a"].format == "mp4" and got["mp4a"].duration_ms == 5000
+    assert got["mp4a"].track_types == ["soun", "vide"]
