@@ -228,3 +228,87 @@ def test_sample_key_spark_python_parity(spark):
            df.select("doc_id", sample_key(F.col("doc_id")).alias("sk")).collect()}
     for k in keys:
         assert got[k] == int(hashlib.md5(f"s0|{k}".encode()).hexdigest()[:4], 16)
+
+
+# ---------------------------------------------------------------------------
+# Decoder properties: encode-with-random-content → decode must invert
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 6), st.integers(1, 6),
+    st.lists(st.integers(0, 4), min_size=6, max_size=6),
+    st.integers(0, 4),
+    st.data(),
+)
+def test_png_roundtrip_random(w, h, filters, color_pick, data):
+    """Any pixel content × any per-row filter type × any color type
+    round-trips exactly through the PNG encoder/decoder pair."""
+    from surfactant_spark.functions.mediadec import decode_png
+    from tests.test_mediadec import make_png
+
+    color = [0, 2, 3, 4, 6][color_pick]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    plte = None
+    if color == 3:
+        plte = [(i * 17 % 256, i * 29 % 256, i * 43 % 256) for i in range(8)]
+        rows = [
+            tuple(
+                (data.draw(st.integers(0, 7)),) for _x in range(w)
+            )
+            for _y in range(h)
+        ]
+    else:
+        rows = [
+            tuple(
+                tuple(data.draw(st.integers(0, 255)) for _c in range(ch))
+                for _x in range(w)
+            )
+            for _y in range(h)
+        ]
+    dec = decode_png(make_png([list(r) for r in rows], color=color,
+                              filters=filters[:h], plte=plte))
+    assert dec is not None and (dec["width"], dec["height"]) == (w, h)
+    # expected RGB projection
+    for y in range(h):
+        for x in range(w):
+            px = rows[y][x]
+            if color == 0:
+                want = (px[0],) * 3
+            elif color == 2:
+                want = px
+            elif color == 3:
+                want = plte[px[0]]
+            elif color == 4:
+                want = (px[0],) * 3
+            else:
+                want = px[:3]
+            assert dec["rows"][y][x] == tuple(want), (color, x, y)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3), st.data())
+def test_gif_roundtrip_random(bw, bh, data):
+    from surfactant_spark.functions.mediadec import decode_gif
+    from tests.test_mediadec import PAL4, make_gif
+
+    w, h = bw * 3, bh * 2
+    rows = [[data.draw(st.integers(0, 3)) for _ in range(w)] for _ in range(h)]
+    dec = decode_gif(make_gif(rows, PAL4))
+    assert dec is not None
+    assert dec["rows"] == [[PAL4[v] for v in row] for row in rows]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_jpeg_gray_roundtrip_random(data):
+    """Random 8×8 luma content survives the full entropy+DCT round trip
+    within integer-rounding error (flat quant tables)."""
+    from surfactant_spark.functions.jpegdec import decode_jpeg
+    from tests.test_jpegdec import encode_gray
+
+    pix = [data.draw(st.integers(0, 255)) for _ in range(64)]
+    dec = decode_jpeg(encode_gray(pix, 8, 8))
+    assert dec is not None
+    got = [dec["rows"][y][x][0] for y in range(8) for x in range(8)]
+    assert max(abs(a - b) for a, b in zip(got, pix)) <= 2
