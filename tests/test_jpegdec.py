@@ -311,3 +311,47 @@ def test_jpeg_in_decode_media():
     dec = decode_media(encode_color(rows))
     assert dec is not None and dec["format"] == "jpeg"
     assert len(luminance_grid(dec)) == 9
+
+
+def encode_color_422(rows):
+    """4:2:2: Y at (2,1), chroma downsampled horizontally only; dims
+    multiples of 16 wide, 8 tall."""
+    h, w = len(rows), len(rows[0])
+    yp = [0] * (w * h)
+    cbp = [0] * (w * h)
+    crp = [0] * (w * h)
+    for y in range(h):
+        for x in range(w):
+            yy, cb, cr = _rgb_to_ycc(*rows[y][x])
+            yp[y * w + x], cbp[y * w + x], crp[y * w + x] = yy, cb, cr
+    cw = w // 2
+    cbs = [0] * (cw * h)
+    crs = [0] * (cw * h)
+    for y in range(h):
+        for x in range(cw):
+            for plane, sub in ((cbp, cbs), (crp, crs)):
+                sub[y * cw + x] = int(round(
+                    (plane[y * w + 2 * x] + plane[y * w + 2 * x + 1]) / 2.0))
+    out = bytearray(_headers(w, h, [(2, 1), (1, 1), (1, 1)]))
+    bw = _BW()
+    preds = [0, 0, 0]
+    for my in range(h // 8):
+        for mx in range(w // 16):
+            for bx in range(2):
+                preds[0] = _enc_block(
+                    bw, _block_at(yp, w, (mx * 2 + bx) * 8, my * 8), preds[0])
+            preds[1] = _enc_block(bw, _block_at(cbs, cw, mx * 8, my * 8), preds[1])
+            preds[2] = _enc_block(bw, _block_at(crs, cw, mx * 8, my * 8), preds[2])
+    bw.pad()
+    return bytes(out) + bw.buf + b"\xff\xd9"
+
+
+def test_jpeg_422_subsampled():
+    w, h = 32, 8
+    left, right = (220, 30, 30), (30, 220, 30)
+    rows = [[left if x < 16 else right for x in range(w)] for y in range(h)]
+    dec = decode_jpeg(encode_color_422(rows))
+    assert dec and (dec["width"], dec["height"]) == (w, h)
+    for x, want in ((5, left), (26, right)):
+        got = dec["rows"][4][x]
+        assert all(abs(g - t) <= 5 for g, t in zip(got, want)), (got, want)
