@@ -50,6 +50,8 @@ HEADLINE = [
     "filename_identify",
     "pii_scrub",
     "contamination",
+    "passage_dedup",
+    "gopher_repetition",
     "stream_events",
 ]
 

@@ -101,6 +101,36 @@ def quality_bucket(col: str | Column = "text") -> Column:
     )
 
 
+def ngram_strings(col: str | Column = "text", n: int = 3) -> Column:
+    """All consecutive token n-grams of a document as space-joined
+    strings (array<string>); empty array when the doc has < n tokens.
+    JVM-side (sequence → transform → slice); the Gopher-style
+    repetition signals are aggregations over this array's explode."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    # sequence(1, k) with k < 1 counts DOWN — guard short docs explicitly
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def passage_strings(col: str | Column = "text", chunk: int = 10) -> Column:
+    """Non-overlapping ``chunk``-token passages of a document as
+    space-joined strings (the C4-style paragraph analog for
+    single-line text; last passage may be shorter).  Empty array for
+    zero-token docs."""
+    t = tokens(col)
+    n_chunks = F.ceil(F.size(t) / F.lit(chunk)).cast("int")
+    ps = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i * chunk + F.lit(1), chunk)),
+    )
+    return F.when(F.size(t) > 0, ps).otherwise(F.array().cast("array<string>"))
+
+
 def content_fingerprint(col: str | Column = "text") -> Column:
     """Normalized-content fingerprint: md5 over the token join — the
     document analog of the reference's content hashing

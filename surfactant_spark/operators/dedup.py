@@ -40,6 +40,67 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 10,
+) -> DataFrame:
+    """C4-style corpus-level passage dedup: split every document into
+    non-overlapping ``chunk``-token passages, keep only the FIRST
+    occurrence of each distinct passage corpus-wide (first = smallest
+    (doc_id, passage_idx)), and report per document how much survives
+    plus a fingerprint of the surviving text.
+
+    Output: (id_col, n_passages, n_kept, kept_frac_x1000, kept_fp) —
+    kept_fp is md5 of the kept passages re-joined in document order
+    (NULL when nothing survives), so downstream exact dedup of the
+    cleaned corpus is a plain groupBy on kept_fp.
+
+    100-TB shape: passages explode to ~n_tokens/chunk rows per doc;
+    first-occurrence resolution is a groupBy(min) on the passage hash
+    (map-side partial min, so a boilerplate passage repeated 10^9×
+    combines locally and ships one row per partition — no hot-key
+    window sort), then an equi-join back on the hash (AQE skew-join
+    handles residual hot hashes).  Two corpus passes total; no window
+    over the full corpus, no driver state.
+    """
+    from ..functions.textfx import passage_strings
+
+    key = (F.col(id_col).cast("long") * 1_000_000 + F.col("p_idx")).alias("okey")
+    p = df.select(
+        id_col, F.posexplode(passage_strings(text_col, chunk)).alias("p_idx", "p_txt")
+    ).select(id_col, "p_idx", "p_txt", F.md5("p_txt").alias("p_h"), key)
+    keepers = p.groupBy("p_h").agg(F.min("okey").alias("keep_key"))
+    flagged = p.join(keepers, "p_h").withColumn(
+        "kept", F.col("okey") == F.col("keep_key")
+    )
+    stats = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("p_idx", "p_txt"))
+                    )
+                ),
+                lambda s: s["p_txt"],
+            ),
+        ).alias("_kept_text"),
+    )
+    out = df.select(id_col).join(stats, id_col, "left")
+    n = F.col("n_passages")
+    return out.select(
+        id_col,
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_passages"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.when(n > 0, scaled(F.col("n_kept") / n)).alias("kept_frac_x1000"),
+        F.when(F.col("n_kept") > 0, F.md5(F.col("_kept_text"))).alias("kept_fp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

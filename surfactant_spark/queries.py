@@ -1154,6 +1154,109 @@ FROM documents
 O_QUALITY = _quality_sql()
 
 
+def q_passage_dedup(spark, sf):
+    """C4-style corpus-level passage dedup (dedup.passage_dedup):
+    10-token passages, first occurrence corpus-wide wins; per-doc
+    survival stats + fingerprint of the cleaned text."""
+    return dd.passage_dedup(_t(spark, sf, "documents"))
+
+
+O_PASSAGE_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+p AS (
+  SELECT doc_id, i AS p_idx,
+         array_to_string(t[(i*10+1):(i*10+10)], ' ') AS p_txt
+  FROM toks, UNNEST(range(0, ceil(len(t)/10.0)::INT)) AS u(i)
+),
+k AS (
+  SELECT md5(p_txt) AS p_h, min(doc_id*1000000 + p_idx) AS keep_key
+  FROM p GROUP BY 1
+),
+p2 AS (
+  SELECT p.*, (doc_id*1000000 + p_idx) = keep_key AS kept
+  FROM p JOIN k ON md5(p.p_txt) = k.p_h
+),
+s AS (
+  SELECT doc_id, count(*) AS n_passages, sum(kept::INT) AS n_kept,
+         md5(string_agg(p_txt, ' ' ORDER BY p_idx) FILTER (WHERE kept)) AS kept_fp
+  FROM p2 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_passages, 0)::BIGINT AS n_passages,
+       coalesce(s.n_kept, 0)::BIGINT AS n_kept,
+       CASE WHEN s.n_passages > 0
+            THEN floor(s.n_kept * 1000.0 / s.n_passages + 0.5)::BIGINT END
+         AS kept_frac_x1000,
+       s.kept_fp
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+def q_gopher_repetition(spark, sf):
+    """Gopher-style repetition signals per document: duplicate-3-gram
+    fraction and most-frequent-3-gram coverage, plus a coarse bucket.
+    Shape: explode 3-grams → two-level groupBy (both stages partial-agg
+    map-side; the per-(doc, gram) counts never leave the doc's hash
+    partition between the two groupBys under AQE coalescing)."""
+    docs = _t(spark, sf, "documents")
+    g = docs.select(
+        "doc_id", F.explode(textfx.ngram_strings("text", 3)).alias("g")
+    )
+    per = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    out = docs.select("doc_id").join(agg, "doc_id", "left")
+    n = F.col("n_grams")
+    dup = textfx.scaled((n - F.col("n_distinct")) / n)
+    top = textfx.scaled(F.col("top_count") / n)
+    return out.select(
+        "doc_id",
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_grams"),
+        F.when(n > 0, dup).alias("dup_gram_frac_x1000"),
+        F.when(n > 0, top).alias("top_gram_frac_x1000"),
+        F.when(n.isNull() | (n < 1), F.lit("too_short"))
+        .when(dup > 300, F.lit("repetitive"))
+        .when(top > 100, F.lit("dominated"))
+        .otherwise(F.lit("ok"))
+        .alias("bucket"),
+    )
+
+
+O_GOPHER_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)
+  WHERE len(t) >= 3
+),
+per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct, max(c) AS top_count
+  FROM per GROUP BY 1
+)
+SELECT d.doc_id,
+  coalesce(n_grams, 0)::BIGINT AS n_grams,
+  CASE WHEN n_grams > 0
+       THEN floor((n_grams - n_distinct) * 1000.0 / n_grams + 0.5)::BIGINT END
+    AS dup_gram_frac_x1000,
+  CASE WHEN n_grams > 0
+       THEN floor(top_count * 1000.0 / n_grams + 0.5)::BIGINT END
+    AS top_gram_frac_x1000,
+  CASE WHEN n_grams IS NULL OR n_grams < 1 THEN 'too_short'
+       WHEN floor((n_grams - n_distinct) * 1000.0 / n_grams + 0.5) > 300 THEN 'repetitive'
+       WHEN floor(top_count * 1000.0 / n_grams + 0.5) > 100 THEN 'dominated'
+       ELSE 'ok' END AS bucket
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_mention_detect(spark, sf):
     """E3 mention detection analog on the documents table: broadcast
     term dictionary, token-exact containment."""
@@ -2251,6 +2354,8 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, O_LANG_ID),
     "quality": (q_quality, O_QUALITY),
     "mention_detect": (q_mention_detect, O_MENTION_DETECT),
+    "passage_dedup": (q_passage_dedup, O_PASSAGE_DEDUP),
+    "gopher_repetition": (q_gopher_repetition, O_GOPHER_REPETITION),
     "hash_identify": (q_hash_identify, O_HASH_IDENTIFY),
     "filename_identify": (q_filename_identify, O_FILENAME_IDENTIFY),
     "pii_scrub": (q_pii_scrub, O_PII_SCRUB),

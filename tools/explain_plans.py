@@ -67,6 +67,15 @@ AUDITS = {
     # never nested-loops
     "contamination": ["BroadcastHashJoin", "!CartesianProduct",
                       "!BroadcastNestedLoopJoin"],
+    # passage dedup: first-occurrence resolution is groupBy(min) +
+    # equi-join on the passage hash — partial agg map-side, no window
+    # sort over the corpus, no nested loop
+    "passage_dedup": ["HashAggregate", "!Window", "!CartesianProduct",
+                      "!BroadcastNestedLoopJoin"],
+    # repetition signals: two-level groupBy, both with partial agg;
+    # nothing joins except the final left join back to doc ids
+    "gopher_repetition": ["HashAggregate", "!CartesianProduct",
+                          "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -92,6 +101,7 @@ def main() -> None:
         "archive_members", "sidefile_attach", "hash_sample",
         "stratified_sample", "group_topk_sample", "hash_identify",
         "filename_identify", "cc_components", "pii_scrub", "contamination",
+        "passage_dedup", "gopher_repetition",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
