@@ -52,6 +52,8 @@ HEADLINE = [
     "contamination",
     "passage_dedup",
     "gopher_repetition",
+    "pagerank",
+    "hashed_quality",
     "stream_events",
 ]
 

@@ -169,3 +169,36 @@ def pii_hits(col: str | Column = "text") -> Column:
     for pat, _rep in PII_PATTERNS:
         total = total + F.size(F.regexp_extract_all(src, F.lit(pat), F.lit(0)))
     return total.cast("long")
+
+
+def hashed_feature_weights(col: str | Column = "text", mod: int = 2001) -> Column:
+    """Feature-hashed per-token weights (array<long>): each token maps
+    to a bucket via the first 4 hex chars of ``md5('w|' || token)``
+    (the engine-portable hash idiom shared with the sampling family),
+    then to a non-negative weight ``bucket % mod`` in [0, mod).
+
+    This is the fastText-style linear-classifier kernel with a
+    deterministic weight table — the hashing-trick plumbing (tokenize →
+    hash → lookup → aggregate) is the real thing; a trained model just
+    swaps the weight expression for a broadcast array lookup.  Pure
+    codegen projection: no UDF, no shuffle.
+    """
+    return F.transform(
+        tokens(col),
+        lambda tok: F.conv(
+            F.substring(F.md5(F.concat(F.lit("w|"), tok)), 1, 4), 16, 10
+        ).cast("long")
+        % mod,
+    )
+
+
+def hashed_quality_score(col: str | Column = "text", mod: int = 2001) -> Column:
+    """Mean hashed-feature weight ×1000: ``floor(sum(w) * 1000 /
+    n_tokens)``.  Weights are non-negative integers and the quotient's
+    denominator is far from double-rounding range, so floor of the
+    double division equals exact integer floor division — bit-identical
+    to the oracle's ``(sum * 1000) // n``.  NULL for zero-token docs."""
+    w = hashed_feature_weights(col, mod)
+    total = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n = F.size(w)
+    return F.when(n > 0, F.floor(total * 1000 / n).cast("long"))

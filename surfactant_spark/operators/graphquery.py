@@ -122,3 +122,65 @@ def add_installpath(nodes: DataFrame, container_prefix: str, install_prefix: str
     return nodes.withColumn(
         "urls", F.array_sort(F.array_distinct(F.concat(F.col("urls"), rewritten)))
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_x100: int = 85,
+    r0: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-exact PageRank (fixed iteration count) over a directed
+    edge list — the graph-centrality analog of the reference's
+    stat/graph diagnostics, reformulated for engine-portable parity.
+
+    Variant definition (documented, deterministic): ranks are BIGINT
+    micro-units starting at ``r0``; each iteration a node with
+    out-degree d contributes ``rank div d`` (integral division) along
+    every out-edge, and ``rank'(v) = base + (damping_x100 * S(v)) div
+    100`` with ``base = (r0 * (100 - damping_x100)) div 100`` and S(v)
+    the sum of inbound contributions.  Dangling-node mass is dropped
+    (not redistributed).  All arithmetic is non-negative integer, so
+    results are bit-identical across engines, partition counts, and
+    aggregation orders — no float sum-order sensitivity.
+
+    100-TB shape: per iteration one shuffle to group contributions by
+    ``dst`` (map-side partial sum) and one equi-join back to the node
+    set; out-degrees are attached to the edge list ONCE before the
+    loop.  For long runs, checkpoint ranks every few iterations to
+    truncate lineage (the CC operator's pattern, canonicalize.py); at
+    cluster scale pre-partition edges and ranks by node key so the
+    per-iteration join co-locates.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e2 = e.join(outdeg, "src")  # every src has outdeg >= 1 by construction
+    base = (r0 * (100 - damping_x100)) // 100
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
+    for _ in range(iterations):
+        s = (
+            e2.join(ranks, e2["src"] == ranks["node"])
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(s, nodes["node"] == s["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_x100} * coalesce(s, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks

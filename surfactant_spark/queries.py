@@ -1257,6 +1257,95 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_pagerank(spark, sf):
+    """Integer-exact 3-iteration PageRank (graphquery.pagerank_int)
+    over a deterministic functional graph derived from orders:
+    src = o_custkey, dst = (o_custkey*31 + o_orderkey%7) % 1500.
+    All-BIGINT arithmetic (div = integral division) so ranks hash-match
+    DuckDB exactly — no float sum-order sensitivity."""
+    from .operators.graphquery import pagerank_int
+
+    o = _t(spark, sf, "orders")
+    e = o.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_custkey") * 31 + F.col("o_orderkey") % 7) % 1500).alias("dst"),
+    )
+    r = pagerank_int(e, iterations=3)
+    return r.select(F.col("node").cast("long").alias("node"),
+                    F.col("rank").alias("rank_u"))
+
+
+def _pagerank_sql() -> str:
+    head = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src,
+         (o_custkey*31 + o_orderkey % 7) % 1500 AS dst
+  FROM orders
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+e2 AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    iters = []
+    for i in range(1, 4):
+        iters.append(f"""
+s{i} AS (
+  SELECT dst, sum(rank // outdeg) AS s
+  FROM e2 JOIN r{i-1} ON e2.src = r{i-1}.node GROUP BY 1
+),
+r{i} AS (
+  SELECT node,
+         CAST(150000 + ((85 * coalesce(s, 0)) // 100) AS BIGINT) AS rank
+  FROM nodes LEFT JOIN s{i} ON node = dst
+)""")
+    return head + "," + ",".join(iters) + "\nSELECT node, rank AS rank_u FROM r3"
+
+
+O_PAGERANK = _pagerank_sql()
+
+
+def q_hashed_quality(spark, sf):
+    """fastText-style feature-hashed linear scorer
+    (textfx.hashed_feature_weights): token → md5 hash bucket →
+    deterministic weight, mean weight ×1000 + keep/drop label.  Pure
+    codegen projection — no UDF, no shuffle; a trained model swaps the
+    weight expression for a broadcast array lookup."""
+    docs = _t(spark, sf, "documents")
+    n = textfx.token_count("text")
+    score = textfx.hashed_quality_score("text")
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        score.alias("mean_w_x1000"),
+        F.when(n == 0, F.lit("empty"))
+        .when(score >= 1_000_000, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )
+
+
+O_HASHED_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+w AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN len(t) > 0 THEN
+           (list_sum(list_transform(t,
+              tok -> ('0x' || substr(md5('w|' || tok), 1, 4))::BIGINT % 2001
+            )) * 1000) // len(t)
+         END AS mean_w_x1000
+  FROM toks
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       mean_w_x1000::BIGINT AS mean_w_x1000,
+       CASE WHEN n_tokens = 0 THEN 'empty'
+            WHEN mean_w_x1000 >= 1000000 THEN 'keep'
+            ELSE 'drop' END AS label
+FROM w
+"""
+
+
 def q_mention_detect(spark, sf):
     """E3 mention detection analog on the documents table: broadcast
     term dictionary, token-exact containment."""
@@ -2356,6 +2445,8 @@ REGISTRY: dict[str, tuple] = {
     "mention_detect": (q_mention_detect, O_MENTION_DETECT),
     "passage_dedup": (q_passage_dedup, O_PASSAGE_DEDUP),
     "gopher_repetition": (q_gopher_repetition, O_GOPHER_REPETITION),
+    "pagerank": (q_pagerank, O_PAGERANK),
+    "hashed_quality": (q_hashed_quality, O_HASHED_QUALITY),
     "hash_identify": (q_hash_identify, O_HASH_IDENTIFY),
     "filename_identify": (q_filename_identify, O_FILENAME_IDENTIFY),
     "pii_scrub": (q_pii_scrub, O_PII_SCRUB),

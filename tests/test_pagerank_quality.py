@@ -1,0 +1,58 @@
+"""Hand-computed fixtures for the integer-exact PageRank operator and
+the feature-hashed quality scorer."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from surfactant_spark.functions.textfx import hashed_quality_score, token_count
+from surfactant_spark.operators.graphquery import pagerank_int
+
+
+def test_pagerank_int_hand_computed(spark):
+    # a -> b, b -> a, a -> c   (c is dangling)
+    e = spark.createDataFrame([("a", "b"), ("b", "a"), ("a", "c")], ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank_int(e, iterations=3).collect()}
+    # iter1: S(a)=1000000, S(b)=S(c)=500000
+    #   r = base + (85*S) div 100, base = 150000
+    # iter2: r(a)=638750, r(b)=r(c)=575000
+    # iter3: r(b)=r(c)=150000 + (85*(638750 div 2)) div 100 = 421468
+    assert got == {"a": 638750, "b": 421468, "c": 421468}
+
+
+def test_pagerank_int_dedups_edges_and_is_deterministic(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a")], ["src", "dst"]
+    )
+    one = {r.node: r.rank for r in pagerank_int(e, iterations=2).collect()}
+    two = {
+        r.node: r.rank
+        for r in pagerank_int(e.repartition(7), iterations=2).collect()
+    }
+    assert one == two
+    # duplicate a->b must count once: outdeg(a) == 1
+    assert one["b"] == 150000 + (85 * 1_000_000) // 100
+
+
+def _weight(tok: str) -> int:
+    return int(hashlib.md5(f"w|{tok}".encode()).hexdigest()[:4], 16) % 2001
+
+
+def test_hashed_quality_score_matches_python(spark):
+    df = spark.createDataFrame(
+        [(0, "spark join scan"), (1, ""), (2, "Spark SPARK spark")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("n"),
+            hashed_quality_score("text").alias("s"),
+        ).collect()
+    }
+    w = [_weight(t) for t in ("spark", "join", "scan")]
+    assert rows[0].s == (sum(w) * 1000) // 3
+    assert rows[1].s is None and rows[1].n == 0
+    # case-folded: three identical tokens -> mean == single weight * 1000
+    assert rows[2].s == _weight("spark") * 1000

@@ -76,6 +76,13 @@ AUDITS = {
     # nothing joins except the final left join back to doc ids
     "gopher_repetition": ["HashAggregate", "!CartesianProduct",
                           "!BroadcastNestedLoopJoin"],
+    # iterative pagerank: per-iteration equi-join + partial-agg sum,
+    # never a nested loop
+    "pagerank": ["HashAggregate", "!CartesianProduct",
+                 "!BroadcastNestedLoopJoin"],
+    # feature-hashed scorer: ONE codegen projection over the scan —
+    # no shuffle, no join anywhere in the plan
+    "hashed_quality": ["!Exchange", "!Join", "!CartesianProduct"],
 }
 
 
@@ -101,7 +108,7 @@ def main() -> None:
         "archive_members", "sidefile_attach", "hash_sample",
         "stratified_sample", "group_topk_sample", "hash_identify",
         "filename_identify", "cc_components", "pii_scrub", "contamination",
-        "passage_dedup", "gopher_repetition",
+        "passage_dedup", "gopher_repetition", "pagerank", "hashed_quality",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
