@@ -54,6 +54,9 @@ HEADLINE = [
     "gopher_repetition",
     "pagerank",
     "hashed_quality",
+    "asof_join",
+    "range_bin_join",
+    "time_rollup",
     "stream_events",
 ]
 

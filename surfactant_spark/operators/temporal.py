@@ -1,0 +1,150 @@
+"""Temporal / interval operators Spark lacks as built-ins — as-of
+join, binned range join, multi-resolution time rollup — each expressed
+as a composition of DataFrame ops (no UDF, no nested-loop join).
+
+These generalize the reference's event-ordered diagnostics (capture
+windows, session grouping) to the operators a training-data pipeline
+needs over event streams; the reference has no native analogs, so the
+designs are Spark-first (SURVEY.md §2.8 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    payload: list[str],
+    right_ts_alias: str = "asof_ts",
+) -> DataFrame:
+    """As-of join: for every left row, the single most recent right row
+    with ``right.ts <= left.ts`` in the same ``on`` group (inclusive
+    backward match; NULL payload when no prior right row exists).
+
+    Implementation is the union-tag-window formulation, NOT a join:
+    tag right rows 0 and left rows 1, union, then one window per
+    ``on`` group ordered by (ts, tag) carrying
+    ``last(payload, ignorenulls)`` over an unbounded-preceding frame.
+    Exactly ONE shuffle (by the group key) and a per-partition sort —
+    the same cost as a groupBy — where a naive inequality join is a
+    per-group cross product.  At equal timestamps the right row sorts
+    first, making the match inclusive and deterministic.
+
+    Right rows must be unique per (on, ts) — pre-dedup with a groupBy
+    picking a deterministic representative, or ties are resolved
+    arbitrarily.  100-TB shape: the window never materializes a
+    group in memory (running ``last`` is streaming within the sorted
+    partition); skewed groups can be range-repartitioned by (on, ts)
+    since the frame is unbounded-preceding only.
+    """
+    lcols = left.columns
+    r = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_tag"),
+        F.col(ts).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+    l = left.select(
+        *lcols,
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(r.schema["_r_ts"].dataType).alias("_r_ts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in payload
+        ],
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *lcols,
+        F.col("_tag"),
+        F.last("_r_ts", ignorenulls=True).over(w).alias(right_ts_alias),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in payload
+        ],
+    )
+    return filled.where(F.col("_tag") == 1).drop("_tag")
+
+
+def range_bin_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    value: str,
+    lo: str,
+    hi: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval containment join (point ∈ [lo, hi], integer units)
+    without a nested loop: explode each interval onto the integer bins
+    it overlaps (``sequence(lo div W, hi div W)``), equi-join on the
+    point's bin, then apply the exact containment predicate.
+
+    Catalyst turns a raw ``lo <= v AND v <= hi`` join into
+    BroadcastNestedLoopJoin / CartesianProduct — O(n·m) and a plan
+    killer at scale.  The binned form is a plain shuffled equi-join:
+    cost O(n + m·(span/W)) with full partial-agg/AQE support
+    (plan-audited !CartesianProduct !BroadcastNestedLoopJoin).  Pick
+    ``bin_width`` near the typical interval span so each interval
+    lands on ~1-2 bins; skewed bins fall out of AQE skew-join
+    handling like any hot join key.
+    """
+    pts = points.withColumn("_bin", (F.col(value) / bin_width).cast("long"))
+    ivs = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col(lo) / bin_width).cast("long"),
+                (F.col(hi) / bin_width).cast("long"),
+            )
+        ),
+    )
+    return (
+        pts.join(ivs, "_bin")
+        .where((F.col(value) >= F.col(lo)) & (F.col(value) <= F.col(hi)))
+        .drop("_bin")
+    )
+
+
+def time_rollup(
+    events: DataFrame,
+    ts: str,
+    keys: list[str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: aggregate to hour
+    buckets from the raw events, then derive the day level FROM THE
+    HOUR AGGREGATE (sums of sums), never rescanning the raw table —
+    the continuous-aggregate pattern: each coarser resolution is a
+    cheap re-agg of the finer one, so a 100-TB raw table is read once.
+
+    ``aggs`` maps output column name → aggregate over the raw frame;
+    every aggregate must be re-aggregable by SUM (counts and sums are;
+    pass distinct-ish metrics as HLL sketches if needed).  Output:
+    (level, bucket, *keys, *aggs) with bucket formatted
+    'yyyy-MM-dd HH:mm:ss'.
+    """
+    hour = events.groupBy(
+        F.date_trunc("hour", F.col(ts)).alias("_b"), *keys
+    ).agg(*[a.alias(name) for name, a in aggs.items()])
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("_b")).alias("_b"), *keys
+    ).agg(*[F.sum(name).cast("long").alias(name) for name in aggs])
+    fmt = lambda df, lvl: df.select(  # noqa: E731
+        F.lit(lvl).alias("level"),
+        F.date_format("_b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        *keys,
+        *aggs,
+    )
+    return fmt(hour, "hour").unionByName(fmt(day, "day"))

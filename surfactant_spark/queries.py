@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from .functions import textfx
 from .operators import dedup as dd
+from .operators import temporal
 from .operators import similarity as sim
 from .operators.canonicalize import connected_components
 from .schema import PAGES_SCHEMA  # noqa: F401  (re-export convenience)
@@ -1346,6 +1347,142 @@ FROM w
 """
 
 
+def q_asof_join(spark, sf):
+    """As-of join (temporal.asof_join): every click event matched to
+    the most recent prior-or-equal error event of the same user, via
+    union-tag-window (ONE shuffle; a naive inequality join would be a
+    per-user cross product).  Errors pre-deduped per (user, ts) to the
+    max-event_id representative; oracle uses DuckDB's native ASOF
+    LEFT JOIN."""
+    ev = _t(spark, sf, "events")
+    errors = (
+        ev.where("event_type = 'error'")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("m"))
+        .select(
+            "user_id", "ts",
+            F.col("m.event_id").alias("err_id"),
+            F.col("m.value").alias("err_value"),
+        )
+    )
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    out = temporal.asof_join(
+        clicks, errors, on="user_id", ts="ts", payload=["err_id", "err_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _ts("ts").alias("ts_s"),
+        F.col("asof_err_id").alias("err_id"),
+        textfx.scaled(F.col("asof_err_value"), 100).alias("err_value_c"),
+    )
+
+
+O_ASOF_JOIN = """
+WITH err AS (
+  SELECT user_id, ts, max(event_id) AS err_id,
+         arg_max(value, event_id) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+),
+clk AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       e.err_id,
+       CAST(floor(e.err_value * 100 + 0.5) AS BIGINT) AS err_value_c
+FROM clk c ASOF LEFT JOIN err e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+def q_range_bin_join(spark, sf):
+    """Binned range join (temporal.range_bin_join): customers whose
+    account balance falls inside a per-part price interval
+    [price - w, price + w] (integer cents; w = (p_partkey%10+1)*10,
+    interval side = every 5th part).
+    Intervals explode onto $10 bins and equi-join the point's bin —
+    a plain shuffled join where the naive inequality join is a
+    BroadcastNestedLoopJoin."""
+    part = _t(spark, sf, "part").where("p_partkey % 5 = 0").select(
+        "p_partkey",
+        textfx.scaled(F.col("p_retailprice"), 100).alias("pc"),
+        ((F.col("p_partkey") % 10 + 1) * 10).alias("w"),
+    )
+    iv = part.select(
+        "p_partkey",
+        (F.col("pc") - F.col("w")).alias("lo_c"),
+        (F.col("pc") + F.col("w")).alias("hi_c"),
+    )
+    # map balances into the part-price band [900, 1000) dollars so the
+    # gate is non-trivial at every sf (exact bigint modulo, both engines)
+    acct = (textfx.scaled(F.col("c_acctbal"), 100) % 10000 + 10000) % 10000
+    pt = _t(spark, sf, "customer").select(
+        "c_custkey", (acct + 90000).alias("acct_c")
+    )
+    out = temporal.range_bin_join(
+        pt, iv, value="acct_c", lo="lo_c", hi="hi_c", bin_width=1000
+    )
+    return out.select("p_partkey", "c_custkey", "lo_c", "hi_c", "acct_c")
+
+
+O_RANGE_BIN_JOIN = """
+WITH iv AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+           - (p_partkey % 10 + 1) * 10 AS lo_c,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+           + (p_partkey % 10 + 1) * 10 AS hi_c
+  FROM part WHERE p_partkey % 5 = 0
+),
+pt AS (
+  SELECT c_custkey,
+         (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) % 10000 + 10000)
+           % 10000 + 90000 AS acct_c
+  FROM customer
+)
+SELECT p_partkey, c_custkey, lo_c, hi_c, acct_c
+FROM iv JOIN pt ON acct_c BETWEEN lo_c AND hi_c
+"""
+
+
+def q_time_rollup(spark, sf):
+    """Hypertable-style multi-resolution rollup (temporal.time_rollup):
+    hour buckets aggregated from raw events, day buckets re-aggregated
+    FROM the hour frame (sums of sums — raw table read once)."""
+    ev = _t(spark, sf, "events")
+    out = temporal.time_rollup(
+        ev,
+        ts="ts",
+        keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)).cast("long"),
+            "value_c": F.sum(textfx.scaled(F.col("value"), 100)).cast("long"),
+        },
+    )
+    return out
+
+
+O_TIME_ROLLUP = """
+WITH hour AS (
+  SELECT date_trunc('hour', ts) AS b, event_type,
+         count(*)::BIGINT AS n_events,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS value_c
+  FROM events GROUP BY 1, 2
+),
+day AS (
+  SELECT date_trunc('day', b) AS b, event_type,
+         sum(n_events)::BIGINT AS n_events, sum(value_c)::BIGINT AS value_c
+  FROM hour GROUP BY 1, 2
+)
+SELECT 'hour' AS level, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type, n_events, value_c FROM hour
+UNION ALL
+SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type, n_events, value_c
+FROM day
+"""
+
+
 def q_mention_detect(spark, sf):
     """E3 mention detection analog on the documents table: broadcast
     term dictionary, token-exact containment."""
@@ -2447,6 +2584,9 @@ REGISTRY: dict[str, tuple] = {
     "gopher_repetition": (q_gopher_repetition, O_GOPHER_REPETITION),
     "pagerank": (q_pagerank, O_PAGERANK),
     "hashed_quality": (q_hashed_quality, O_HASHED_QUALITY),
+    "asof_join": (q_asof_join, O_ASOF_JOIN),
+    "range_bin_join": (q_range_bin_join, O_RANGE_BIN_JOIN),
+    "time_rollup": (q_time_rollup, O_TIME_ROLLUP),
     "hash_identify": (q_hash_identify, O_HASH_IDENTIFY),
     "filename_identify": (q_filename_identify, O_FILENAME_IDENTIFY),
     "pii_scrub": (q_pii_scrub, O_PII_SCRUB),

@@ -1,0 +1,93 @@
+"""Hand-computed fixtures for the temporal operators: as-of join,
+binned range join, multi-resolution time rollup."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from surfactant_spark.operators.temporal import (
+    asof_join,
+    range_bin_join,
+    time_rollup,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 00:00:05")),  # after r at :03 -> 100
+            (2, 10, _ts("2024-01-01 00:00:03")),  # EQUAL ts -> inclusive match
+            (3, 10, _ts("2024-01-01 00:00:01")),  # before any right row -> NULL
+            (4, 20, _ts("2024-01-01 00:00:09")),  # other group -> 300
+        ],
+        ["id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:03"), 100),
+            (10, _ts("2024-01-01 00:00:04"), 200),
+            (20, _ts("2024-01-01 00:00:02"), 300),
+        ],
+        ["user_id", "ts", "val"],
+    )
+    out = {
+        r.id: r.asof_val
+        for r in asof_join(left, right, on="user_id", ts="ts", payload=["val"]).collect()
+    }
+    assert out == {1: 200, 2: 100, 3: None, 4: 300}
+
+
+def test_asof_join_picks_latest_not_first(spark):
+    left = spark.createDataFrame([(1, 5, _ts("2024-01-01 01:00:00"))],
+                                 ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [(5, _ts("2024-01-01 00:00:01"), "old"), (5, _ts("2024-01-01 00:59:59"), "new")],
+        ["k", "ts", "tag"],
+    )
+    [row] = asof_join(left, right, on="k", ts="ts", payload=["tag"]).collect()
+    assert row.asof_tag == "new" and row.asof_ts == _ts("2024-01-01 00:59:59")
+
+
+def test_range_bin_join_boundaries_and_multi_bin(spark):
+    # interval [95, 210] spans bins 9,10,...,21 at width 10
+    iv = spark.createDataFrame([("A", 95, 210), ("B", 0, 4)], ["name", "lo", "hi"])
+    pts = spark.createDataFrame(
+        [(1, 95), (2, 210), (3, 94), (4, 211), (5, 150), (6, 4), (7, 5)],
+        ["pid", "v"],
+    )
+    got = {
+        (r.name, r.pid)
+        for r in range_bin_join(pts, iv, value="v", lo="lo", hi="hi", bin_width=10).collect()
+    }
+    # inclusive on both endpoints, exclusive just outside
+    assert got == {("A", 1), ("A", 2), ("A", 5), ("B", 6)}
+
+
+def test_time_rollup_day_is_sum_of_hours(spark):
+    ev = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 00:10:00"), "x", 1),
+            (_ts("2024-01-01 00:50:00"), "x", 2),
+            (_ts("2024-01-01 13:00:00"), "x", 4),
+            (_ts("2024-01-02 00:00:00"), "x", 8),
+            (_ts("2024-01-01 05:00:00"), "y", 16),
+        ],
+        ["ts", "typ", "v"],
+    )
+    out = time_rollup(
+        ev, ts="ts", keys=["typ"],
+        aggs={"n": F.count(F.lit(1)).cast("long"),
+              "s": F.sum("v").cast("long")},
+    )
+    rows = {(r.level, r.bucket, r.typ): (r.n, r.s) for r in out.collect()}
+    assert rows[("hour", "2024-01-01 00:00:00", "x")] == (2, 3)
+    assert rows[("hour", "2024-01-01 13:00:00", "x")] == (1, 4)
+    assert rows[("day", "2024-01-01 00:00:00", "x")] == (3, 7)
+    assert rows[("day", "2024-01-02 00:00:00", "x")] == (1, 8)
+    assert rows[("day", "2024-01-01 00:00:00", "y")] == (1, 16)
+    # 4 hour rows (the two 00:xx x-events share a bucket) + 3 day rows
+    assert len(rows) == 7

@@ -83,6 +83,13 @@ AUDITS = {
     # feature-hashed scorer: ONE codegen projection over the scan —
     # no shuffle, no join anywhere in the plan
     "hashed_quality": ["!Exchange", "!Join", "!CartesianProduct"],
+    # as-of join is union-tag-window: NO join operator of any kind
+    "asof_join": ["Window", "!Join", "!CartesianProduct"],
+    # binned range join: plain equi-join on the bin key — the naive
+    # inequality join would be a nested loop
+    "range_bin_join": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # multi-resolution rollup: two partial-agg groupBys, no join
+    "time_rollup": ["HashAggregate", "!Join", "!CartesianProduct"],
 }
 
 
@@ -109,6 +116,7 @@ def main() -> None:
         "stratified_sample", "group_topk_sample", "hash_identify",
         "filename_identify", "cc_components", "pii_scrub", "contamination",
         "passage_dedup", "gopher_repetition", "pagerank", "hashed_quality",
+        "asof_join", "range_bin_join", "time_rollup",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
