@@ -58,6 +58,10 @@ HEADLINE = [
     "range_bin_join",
     "time_rollup",
     "stream_events",
+    "triangle_count",
+    "tfidf_topk",
+    "quality_percentile",
+    "bloom_join",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

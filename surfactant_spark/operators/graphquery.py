@@ -184,3 +184,78 @@ def pagerank_int(
             )
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph —
+    the community-density diagnostic for the entity graph (spam/link-farm
+    detection in a web corpus; cluster cohesion in the KG).
+
+    Scale-correct formulation: **degree-ordered edge orientation**
+    (each undirected edge points from its lower-(degree, id) endpoint
+    to the higher one), so every triangle is enumerated exactly once as
+    a wedge (a→b, a→c) closed by the oriented edge (b→c), and — the
+    reason this survives 100 TB — the out-degree of every node in the
+    oriented graph is O(sqrt(m)), so the wedge join cannot blow up on a
+    celebrity node the way a raw neighbor self-join does.  Two
+    equi-joins, no CartesianProduct; the per-node attribution is one
+    explode + groupBy.
+
+    Output: (node, n_tri) for every node incident to >= 1 edge,
+    including zero counts — deterministic, engine-portable (pure
+    integer arithmetic).
+    """
+    # canonical undirected simple edges (lo < hi)
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionByName(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: lower (deg, node) endpoint -> higher (deg, node) endpoint
+    dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("dhi"))
+    oriented = (
+        und.join(dl, "lo")
+        .join(dh, "hi")
+        .select(
+            F.when(
+                (F.col("dlo") < F.col("dhi"))
+                | ((F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))),
+                F.col("lo"),
+            ).otherwise(F.col("hi")).alias("a"),
+            F.when(
+                (F.col("dlo") < F.col("dhi"))
+                | ((F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))),
+                F.col("hi"),
+            ).otherwise(F.col("lo")).alias("b"),
+        )
+    )
+    e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "x").where(F.col("y") < F.col("z"))
+    # close the wedge: oriented edge between y and z, either direction
+    closer = oriented.select(
+        F.least("a", "b").alias("y"), F.greatest("a", "b").alias("z")
+    )
+    tris = wedges.join(closer, ["y", "z"]).select(
+        F.array("x", "y", "z").alias("members")
+    )
+    per_node = (
+        tris.select(F.explode("members").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri")
+    )

@@ -122,3 +122,52 @@ def salted_groupby_sets(
             ).alias(out_col)
         )
     )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    m: int = 4096,
+    seeds: tuple[int, ...] = (11, 23, 37),
+) -> DataFrame:
+    """Semi-join of a huge probe table against a small key set with a
+    **Bloom-filter pre-filter** — the runtime-filter / DPP pattern made
+    explicit (Spark's own InjectRuntimeFilter does this for some plans;
+    at 100 TB you want it guaranteed, not heuristic).
+
+    Build side: the small table's keys are hashed into an m-bit Bloom
+    bitmap on the driver (the collected frame is ≤ m distinct bit
+    positions, never the raw keys).  Probe side: the bitmap travels to
+    executors as ONE parsed SQL literal (py4j-cheap, r4 lesson), and
+    rows whose k positions aren't all set are dropped INSIDE the scan's
+    codegen stage — before any shuffle.  Bloom filters have no false
+    negatives, so a final exact broadcast left-semi join yields a
+    result identical to the plain semi-join (the oracle), while the
+    shuffle/exchange volume is cut to the false-positive rate.
+    """
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(small_key), F.lit(s)), F.lit(m)).cast("int")
+        for s in seeds
+    ]
+    positions = sorted(
+        r[0]
+        for r in small.select(
+            F.explode(F.array(*pos_cols)).alias("p")
+        ).distinct().collect()
+    )
+    bits = ["0"] * m
+    for p in positions:
+        bits[p] = "1"
+    bitmap = F.expr("array(" + ",".join(bits) + ")")
+    checks = [
+        F.element_at(bitmap, F.pmod(F.xxhash64(F.col(big_key), F.lit(s)), F.lit(m)).cast("int") + 1) == 1
+        for s in seeds
+    ]
+    pred = checks[0]
+    for c in checks[1:]:
+        pred = pred & c
+    candidates = big.where(pred)
+    keys = small.select(F.col(small_key).alias(big_key)).distinct()
+    return candidates.join(F.broadcast(keys), big_key, "left_semi")

@@ -2528,6 +2528,201 @@ FROM bins b
 """
 
 
+def q_triangle_count(spark, sf):
+    """Per-node triangle counts (graphquery.triangle_counts) over a
+    dense deterministic graph derived from orders: edges
+    (o_custkey % 300, (o_custkey*7 + o_orderkey) % 300).  The operator
+    uses degree-ordered edge orientation so the wedge join's fan-out is
+    O(sqrt(m)) per node — the formulation that survives celebrity
+    nodes at 100 TB."""
+    from .operators.graphquery import triangle_counts
+
+    o = _t(spark, sf, "orders")
+    e = o.select(
+        (F.col("o_custkey") % 300).alias("src"),
+        ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 300).alias("dst"),
+    )
+    return triangle_counts(e).select(
+        F.col("node").cast("long").alias("node"), "n_tri"
+    )
+
+
+O_TRIANGLE_COUNT = """
+WITH raw AS (
+  SELECT o_custkey % 300 AS s, (o_custkey*7 + o_orderkey) % 300 AS d
+  FROM orders
+),
+und AS (
+  SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+  FROM raw WHERE s <> d
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT lo AS node FROM und UNION ALL SELECT hi FROM und) t
+  GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND lo < hi)
+              THEN lo ELSE hi END AS a,
+         CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND lo < hi)
+              THEN hi ELSE lo END AS b
+  FROM und
+  JOIN deg dl ON dl.node = und.lo
+  JOIN deg dh ON dh.node = und.hi
+),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM o e1
+  JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN o e3 ON least(e3.a, e3.b) = e1.b AND greatest(e3.a, e3.b) = e2.b
+),
+pn AS (
+  SELECT node, count(*) AS c FROM (
+    SELECT x AS node FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris) t
+  GROUP BY 1
+)
+SELECT deg.node::BIGINT AS node, coalesce(pn.c, 0)::BIGINT AS n_tri
+FROM deg LEFT JOIN pn USING (node)
+"""
+
+
+def q_tfidf_topk(spark, sf):
+    """Top-3 most-characteristic terms per document by an integer-exact
+    tf-idf-style score: ``score = (tf * N * 1e6) div df`` (single floor
+    division — no log, no float, bit-identical across engines).  The
+    shape is the real tf-idf pipeline: explode tokens → per-(doc,term)
+    tf → per-term df (shuffle on term, map-side combine) → score join →
+    per-doc top-k window.  N is a driver scalar (one count job — at
+    cluster scale this is table-metadata, not a scan)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(textfx.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.count()
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.expr(f"(tf * {n}L * 1000000L) div df").alias("score_u"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_u"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("score_u").cast("long").alias("score_u"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+O_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, (tf * n.n * 1000000) // df.df AS score_u
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_u DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, score_u::BIGINT AS score_u, rn::BIGINT AS rn
+FROM rk WHERE rn <= 3
+"""
+
+
+def q_quality_percentile(spark, sf):
+    """Keep the top decile of documents by quality score — WITHOUT a
+    global sort.  The scale-correct percentile pattern: aggregate to
+    the compact distinct-score frame, run the cumulative window over
+    THAT (thousands of rows, not billions), and broadcast-join the
+    per-score strictly-above count back to the docs.  ``keep`` is
+    tie-inclusive (every doc whose strictly-better count < ceil(n/10))
+    so the result is deterministic under any partitioning."""
+    docs = _t(spark, sf, "documents")
+    sc = docs.select(
+        "doc_id", textfx.hashed_quality_score("text").alias("score_u")
+    ).where(F.col("score_u").isNotNull())
+    dist = sc.groupBy("score_u").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.orderBy(F.desc("score_u"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = dist.select(
+        "score_u", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("n_gt")
+    )
+    n = sc.count()
+    k = (n + 9) // 10
+    return sc.join(F.broadcast(cum), "score_u").select(
+        "doc_id",
+        F.col("score_u"),
+        F.col("n_gt").cast("long").alias("n_gt"),
+        (F.col("n_gt") < F.lit(k)).alias("keep"),
+    )
+
+
+O_QUALITY_PERCENTILE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sc AS (
+  SELECT doc_id,
+         (list_sum(list_transform(t,
+            tok -> ('0x' || substr(md5('w|' || tok), 1, 4))::BIGINT % 2001
+          )) * 1000) // len(t) AS score_u
+  FROM toks WHERE len(t) > 0
+),
+dist AS (SELECT score_u, count(*) AS c FROM sc GROUP BY 1),
+cum AS (
+  SELECT score_u, coalesce(sum(c) OVER (
+    ORDER BY score_u DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0) AS n_gt FROM dist
+),
+n AS (SELECT count(*) AS n FROM sc)
+SELECT doc_id, sc.score_u::BIGINT AS score_u, n_gt::BIGINT AS n_gt,
+       n_gt < ((n.n + 9) // 10) AS keep
+FROM sc JOIN cum USING (score_u) CROSS JOIN n
+"""
+
+
+def q_bloom_join(spark, sf):
+    """Bloom-prefiltered semi-join (skew.bloom_semi_join): lineitem
+    rows for suppliers of one nation.  The Bloom bitmap drops
+    non-matching rows inside the scan's codegen stage before any
+    shuffle; no false negatives, and the trailing exact broadcast
+    semi-join makes the result identical to the plain semi-join the
+    oracle runs."""
+    from .operators.skew import bloom_semi_join
+
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier").where(F.col("s_nationkey") % 5 == 2)
+    hit = bloom_semi_join(li, supp, "l_suppkey", "s_suppkey")
+    return hit.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+O_BLOOM_JOIN = """
+SELECT l_suppkey, count(*)::BIGINT AS n_items,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey % 5 = 2)
+GROUP BY 1
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -2595,6 +2790,10 @@ REGISTRY: dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, O_STRATIFIED_SAMPLE),
     "group_topk_sample": (q_group_topk_sample, O_GROUP_TOPK_SAMPLE),
     "stream_events": (q_stream_events, O_STREAM_EVENTS),
+    "triangle_count": (q_triangle_count, O_TRIANGLE_COUNT),
+    "tfidf_topk": (q_tfidf_topk, O_TFIDF_TOPK),
+    "quality_percentile": (q_quality_percentile, O_QUALITY_PERCENTILE),
+    "bloom_join": (q_bloom_join, O_BLOOM_JOIN),
 }
 
 
