@@ -62,6 +62,8 @@ HEADLINE = [
     "tfidf_topk",
     "quality_percentile",
     "bloom_join",
+    "boilerplate_strip",
+    "kcore",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

@@ -686,3 +686,76 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
+
+
+def remove_boilerplate_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """C4-style boilerplate removal at corpus level: split every
+    document into fixed-width token chunks (the newline-free analog of
+    C4's "lines"), count the number of DISTINCT documents each chunk
+    occurs in, and strip every chunk that appears in >= ``min_doc_freq``
+    documents — navigation bars, cookie banners, license footers.
+    Unlike first-occurrence passage dedup (``passage_dedup_first``),
+    boilerplate chunks are removed from ALL documents including the
+    first.
+
+    Reference parity: Surfactant's dictionary-driven noise filtering
+    (skip-rules over pattern hits) plays this role for file contents;
+    the C4 line rule is the webtext equivalent.
+
+    100-TB shape: one explode + two hash aggregations (chunk doc-freq
+    with map-side partial agg; per-doc reassembly), one equi-join on
+    the chunk key.  No window over the corpus, no nested loop.  Order
+    is restored per document with an in-group ``array_sort`` over
+    (pos, chunk) structs — never a global sort.
+
+    Output: (id, clean_text, n_kept) for every input document, empty
+    string when every chunk was boilerplate.
+    """
+    toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("t"))
+    chunked = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("t") / F.lit(chunk_tokens)).cast("int") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice("t", i * chunk_tokens + 1, F.lit(chunk_tokens)), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    freq = chunked.groupBy("chunk").agg(
+        F.countDistinct(id_col).alias("df_docs")
+    )
+    kept = (
+        chunked.join(freq, "chunk")
+        .where(F.col("df_docs") < min_doc_freq)
+        .select(id_col, "pos", "chunk")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -259,3 +259,84 @@ def triangle_counts(
     return deg.join(per_node, "node", "left").select(
         "node", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri")
     )
+
+
+def collapse_to_host_graph(
+    links: DataFrame,
+    src_url: str = "src_url",
+    dst_url: str = "dst_url",
+    host_pattern: str = r"https?://([^/]+)",
+) -> DataFrame:
+    """Collapse a page-level link graph to a weighted host-level graph —
+    the standard web-graph reduction (host-rank, link-farm detection,
+    crawl budgeting all run on the host graph, which is ~1000x smaller
+    than the page graph).
+
+    Host extraction is a codegen ``regexp_extract`` (portable to the
+    oracle, unlike ``parse_url``); the collapse is one groupBy on the
+    (src_host, dst_host) pair with map-side partial aggregation, so at
+    100 TB the shuffle carries one row per surviving host pair, not per
+    link.  Self-loops (intra-host links) are kept — their weight is the
+    intra-site density signal.
+
+    Output: (src_host, dst_host, n_links, n_src_pages).
+    """
+    hosts = links.select(
+        F.regexp_extract(F.col(src_url), host_pattern, 1).alias("src_host"),
+        F.regexp_extract(F.col(dst_url), host_pattern, 1).alias("dst_host"),
+        F.col(src_url).alias("_sp"),
+    )
+    return hosts.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("_sp").cast("long").alias("n_src_pages"),
+    )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly delete nodes of degree
+    < k (with the edges they carry) for ``rounds`` iterations and
+    return the surviving nodes with their residual degree.  The k-core
+    is the dense backbone of the entity graph — spam rings and
+    boilerplate-driven link clusters fall out of it first.
+
+    ``rounds`` is a fixed iteration count (like ``pagerank_int``) so
+    the result is bit-identical across engines and an unrolled-CTE SQL
+    oracle can replay it; production use iterates until the degree
+    frame reaches a fixpoint, checkpointing every few rounds like the
+    connected-components operator.
+
+    Each round is one degree aggregation (map-side partial) plus two
+    left-semi equi-joins of the edge frame against the >= k node set —
+    no window, no nested loop, edge frame shrinks monotonically.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("lo").alias("node"))
+            .unionByName(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.where(F.col("deg") >= k)
+        e = e.join(
+            alive.select(F.col("node").alias("lo")), "lo", "left_semi"
+        ).join(alive.select(F.col("node").alias("hi")), "hi", "left_semi")
+    return (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )

@@ -2723,6 +2723,141 @@ GROUP BY 1
 """
 
 
+def q_boilerplate_strip(spark, sf):
+    """Corpus-frequency boilerplate removal
+    (dedup.remove_boilerplate_chunks): strip every 8-token chunk that
+    occurs in >= 2 distinct documents — the C4 "repeated line" rule
+    over a newline-free corpus.  One explode + two partial-agg
+    groupBys + one equi-join on the chunk key; per-doc order restored
+    with an in-group array_sort, never a corpus window."""
+    from .operators.dedup import remove_boilerplate_chunks
+
+    docs = _t(spark, sf, "documents")
+    return remove_boilerplate_chunks(
+        docs, chunk_tokens=8, min_doc_freq=2
+    ).select("doc_id", "clean_text", "n_kept")
+
+
+O_BOILERPLATE_STRIP = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(ceil(len(t)/8.0) AS INT)),
+           i -> struct_pack(pos := i,
+                chunk := array_to_string(t[i*8+1 : i*8+8], ' ')))) AS s
+  FROM toks
+),
+c2 AS (SELECT doc_id, s.pos AS pos, s.chunk AS chunk FROM chunks),
+freq AS (SELECT chunk, count(DISTINCT doc_id) AS dfd FROM c2 GROUP BY 1),
+kept AS (
+  SELECT doc_id, pos, c2.chunk FROM c2 JOIN freq USING (chunk) WHERE dfd < 2
+),
+reb AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+       coalesce(reb.n_kept, 0)::BIGINT AS n_kept
+FROM documents d LEFT JOIN reb USING (doc_id)
+"""
+
+
+def q_host_graph(spark, sf):
+    """Page-link graph collapsed to the weighted host graph
+    (graphquery.collapse_to_host_graph).  Links are derived
+    deterministically from orders: src page = host(custkey%40) +
+    path(orderkey%500), dst = host((custkey*7+okey)%40); the collapse
+    shuffles one row per surviving host pair, not per link."""
+    from .operators.graphquery import collapse_to_host_graph
+
+    o = _t(spark, sf, "orders")
+    links = o.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("o_custkey") % 40).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("o_orderkey") % 500).cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("http://h"),
+            ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 40).cast("string"),
+            F.lit(".example.com/q/"),
+            (F.col("o_orderkey") % 97).cast("string"),
+        ).alias("dst_url"),
+    )
+    return collapse_to_host_graph(links).select(
+        "src_host", "dst_host", "n_links", "n_src_pages"
+    )
+
+
+O_HOST_GRAPH = """
+WITH links AS (
+  SELECT 'http://h' || (o_custkey % 40)::VARCHAR || '.example.com/p/'
+           || (o_orderkey % 500)::VARCHAR AS src_url,
+         'http://h' || ((o_custkey*7 + o_orderkey) % 40)::VARCHAR
+           || '.example.com/q/' || (o_orderkey % 97)::VARCHAR AS dst_url
+  FROM orders
+)
+SELECT regexp_extract(src_url, 'https?://([^/]+)', 1) AS src_host,
+       regexp_extract(dst_url, 'https?://([^/]+)', 1) AS dst_host,
+       count(*)::BIGINT AS n_links,
+       count(DISTINCT src_url)::BIGINT AS n_src_pages
+FROM links
+GROUP BY 1, 2
+"""
+
+
+def q_kcore(spark, sf):
+    """Fixed-round k-core peeling (graphquery.kcore_peel, k=4,
+    rounds=3) over a near-ring graph from lineitem (src=l_orderkey,
+    dst=l_orderkey-4+(l_partkey%9)) — degree agg + two left-semi joins
+    per round, edge frame shrinks monotonically.  Survivor counts at
+    sf0.001/0.01/0.1: 869 / 8,962 / 87,736 nodes (non-trivial at every
+    scale)."""
+    from .operators.graphquery import kcore_peel
+
+    li = _t(spark, sf, "lineitem")
+    e = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_orderkey") - 4 + (F.col("l_partkey") % 9)).alias("dst"),
+    )
+    return kcore_peel(e, k=4, rounds=3).select(
+        F.col("node").cast("long").alias("node"), "deg"
+    )
+
+
+O_KCORE = """
+WITH raw AS (
+  SELECT l_orderkey AS s, l_orderkey - 4 + (l_partkey % 9) AS d FROM lineitem
+),
+und AS (
+  SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+  FROM raw WHERE s <> d
+),
+d0 AS (SELECT node, count(*) AS deg FROM (
+         SELECT lo AS node FROM und UNION ALL SELECT hi FROM und) t GROUP BY 1),
+a0 AS (SELECT node FROM d0 WHERE deg >= 4),
+e1 AS (SELECT lo, hi FROM und
+       WHERE lo IN (SELECT node FROM a0) AND hi IN (SELECT node FROM a0)),
+d1 AS (SELECT node, count(*) AS deg FROM (
+         SELECT lo AS node FROM e1 UNION ALL SELECT hi FROM e1) t GROUP BY 1),
+a1 AS (SELECT node FROM d1 WHERE deg >= 4),
+e2 AS (SELECT lo, hi FROM e1
+       WHERE lo IN (SELECT node FROM a1) AND hi IN (SELECT node FROM a1)),
+d2 AS (SELECT node, count(*) AS deg FROM (
+         SELECT lo AS node FROM e2 UNION ALL SELECT hi FROM e2) t GROUP BY 1),
+a2 AS (SELECT node FROM d2 WHERE deg >= 4),
+e3 AS (SELECT lo, hi FROM e2
+       WHERE lo IN (SELECT node FROM a2) AND hi IN (SELECT node FROM a2))
+SELECT node::BIGINT AS node, count(*)::BIGINT AS deg
+FROM (SELECT lo AS node FROM e3 UNION ALL SELECT hi FROM e3) t
+GROUP BY 1
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -2794,6 +2929,9 @@ REGISTRY: dict[str, tuple] = {
     "tfidf_topk": (q_tfidf_topk, O_TFIDF_TOPK),
     "quality_percentile": (q_quality_percentile, O_QUALITY_PERCENTILE),
     "bloom_join": (q_bloom_join, O_BLOOM_JOIN),
+    "boilerplate_strip": (q_boilerplate_strip, O_BOILERPLATE_STRIP),
+    "host_graph": (q_host_graph, O_HOST_GRAPH),
+    "kcore": (q_kcore, O_KCORE),
 }
 
 

@@ -90,6 +90,31 @@ AUDITS = {
     "range_bin_join": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # multi-resolution rollup: two partial-agg groupBys, no join
     "time_rollup": ["HashAggregate", "!Join", "!CartesianProduct"],
+    # triangle counting: degree-ordered orientation keeps the wedge
+    # join an equi-join (O(sqrt(m)) fan-out) — never a nested loop
+    "triangle_count": ["HashAggregate", "!CartesianProduct",
+                       "!BroadcastNestedLoopJoin"],
+    # tf-idf top-k: per-doc top-3 should plan as WindowGroupLimit
+    # (map-side partial top-k before the window shuffle)
+    "tfidf_topk": ["HashAggregate", "WindowGroupLimit",
+                   "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # percentile keep: the cumulative window runs over the compact
+    # distinct-score frame; the join back to docs must broadcast
+    "quality_percentile": ["BroadcastHashJoin", "!CartesianProduct",
+                           "!SortMergeJoin"],
+    # bloom semi-join: bitmap predicate filters inside the scan stage,
+    # exact pass is a broadcast semi-join — nothing nested-loops
+    "bloom_join": ["Filter", "BroadcastHashJoin", "!CartesianProduct",
+                   "!BroadcastNestedLoopJoin"],
+    # boilerplate strip: explode + two partial-agg groupBys + one
+    # equi-join on the chunk key; order restored in-group (no window)
+    "boilerplate_strip": ["HashAggregate", "!Window", "!CartesianProduct",
+                          "!BroadcastNestedLoopJoin"],
+    # host collapse: pure groupBy with map-side partial agg — no join
+    "host_graph": ["HashAggregate", "!Join", "!CartesianProduct"],
+    # k-core peel: degree agg + left-semi equi-joins per round
+    "kcore": ["HashAggregate", "!CartesianProduct",
+              "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -117,6 +142,8 @@ def main() -> None:
         "filename_identify", "cc_components", "pii_scrub", "contamination",
         "passage_dedup", "gopher_repetition", "pagerank", "hashed_quality",
         "asof_join", "range_bin_join", "time_rollup",
+        "triangle_count", "tfidf_topk", "quality_percentile", "bloom_join",
+        "boilerplate_strip", "host_graph", "kcore",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
