@@ -532,3 +532,65 @@ def lsh_near_pairs(
         )
     )
     return same.unionByName(cross).dropDuplicates(["id_a", "id_b"])
+
+
+def sign_matrix(
+    dim: int, out_dims: int, seed: str = "sp"
+) -> list[list[int]]:
+    """Deterministic ±1 random-projection matrix derived from md5 —
+    the same matrix is reproducible in ANY engine (the oracle SQL
+    embeds the identical literals), so the projection is engine- and
+    partitioning-independent.  ``matrix[j][i]`` is the sign applied to
+    input dimension ``i`` for output dimension ``j``."""
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}|{i}|{j}".encode()).hexdigest()[:4], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def sign_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dims: int = 8,
+    scale: int = 10000,
+    seed: str = "sp",
+) -> DataFrame:
+    """Signed random projection (Achlioptas/SimHash-style) compressing
+    a float vector column to ``out_dims`` integer components:
+    ``p_j = sum_i round(v_i * scale) * sign_ij``.
+
+    Inputs are integer-scaled FIRST (``floor(v*scale + 0.5)`` on the
+    exact float->double widening), so the sum is exact 64-bit integer
+    arithmetic — bit-identical across engines and partitionings, which
+    float dot products are not.  The whole operator is ONE JVM-side
+    projection built as a single ``F.expr`` SQL string per output dim
+    (driver-side py4j cost is one parsed string, not thousands of
+    Column objects): no shuffle, no join, no UDF.
+
+    100-TB shape: map-only; feeds the ANN family as the cheap
+    8-dimensional pre-filter (brute-force rerank over sign-projected
+    candidates touches 8 ints instead of 64 floats per comparison).
+    """
+    mat = sign_matrix(dim, out_dims, seed)
+    cols = [df[c] for c in df.columns]
+    for j, row in enumerate(mat):
+        signs = ",".join(str(s) for s in row)
+        cols.append(
+            F.expr(
+                f"aggregate(zip_with(slice({vec_col}, 1, {dim}), "
+                f"array({signs}), (v, s) -> "
+                f"CAST(floor(CAST(v AS DOUBLE) * {scale} + 0.5) AS BIGINT) * s), "
+                f"0L, (acc, x) -> acc + x)"
+            ).alias(f"p{j}")
+        )
+    return df.select(*cols)

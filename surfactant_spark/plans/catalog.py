@@ -192,3 +192,39 @@ class SnapshotCatalog:
                 ]
         self._save_manifest(m)
         return removed
+
+    def compact_table(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_files: int | None = None,
+        rows_per_file: int = 1_000_000,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Rewrite the committed snapshot into fewer, larger files —
+        the Iceberg ``rewrite_data_files`` maintenance action.  Append
+        snapshots accumulate one directory tree per delta (that is what
+        makes incremental updates O(Δ)), but at 100 TB the read
+        amplification of thousands of small files eventually dominates;
+        compaction folds the whole append chain back into a single
+        right-sized snapshot root.
+
+        The rewrite is data-identical: the new snapshot commits under
+        the SAME fingerprint, so resume checks (``has``) and downstream
+        stages are unaffected, and the pre-compaction snapshot stays
+        time-travelable until expired.  Returns the new snapshot path.
+        """
+        ent = self._manifest().get(table)
+        if not ent:
+            raise KeyError(f"no committed snapshot for table {table!r}")
+        df = self.read(spark, table)
+        if target_files is None:
+            # at cluster scale this count comes from table metadata;
+            # one count job is the sandbox stand-in
+            target_files = max(1, -(-df.count() // rows_per_file))
+        return self.write(
+            df.repartition(target_files),
+            table,
+            ent["fingerprint"],
+            partition_by=partition_by,
+        )

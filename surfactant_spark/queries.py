@@ -2858,6 +2858,38 @@ GROUP BY 1
 """
 
 
+def q_sign_projection(spark, sf):
+    """Signed random projection (similarity.sign_project): 64-dim
+    float embeddings compressed to 8 exact integer components via a
+    driver-derived md5 ±1 matrix — ONE codegen projection, no shuffle,
+    no UDF.  The oracle embeds the identical sign literals, so the
+    output is bit-identical across engines."""
+    from .operators.similarity import sign_project
+
+    emb = _t(spark, sf, "embeddings")
+    return sign_project(emb, "embedding", dim=64, out_dims=8).select(
+        "vec_id", *[f"p{j}" for j in range(8)]
+    )
+
+
+def _sign_projection_oracle() -> str:
+    from .operators.similarity import sign_matrix
+
+    mat = sign_matrix(64, 8)
+    terms = []
+    for j, row in enumerate(mat):
+        lits = ",".join(str(s) for s in row)
+        terms.append(
+            f"list_sum(list_transform(range(1, 65), i -> "
+            f"(floor(embedding[i]::DOUBLE * 10000 + 0.5))::BIGINT * "
+            f"([{lits}])[i]))::BIGINT AS p{j}"
+        )
+    return "SELECT vec_id, " + ", ".join(terms) + " FROM embeddings"
+
+
+O_SIGN_PROJECTION = _sign_projection_oracle()
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -2932,6 +2964,7 @@ REGISTRY: dict[str, tuple] = {
     "boilerplate_strip": (q_boilerplate_strip, O_BOILERPLATE_STRIP),
     "host_graph": (q_host_graph, O_HOST_GRAPH),
     "kcore": (q_kcore, O_KCORE),
+    "sign_projection": (q_sign_projection, O_SIGN_PROJECTION),
 }
 
 

@@ -115,6 +115,11 @@ AUDITS = {
     # k-core peel: degree agg + left-semi equi-joins per round
     "kcore": ["HashAggregate", "!CartesianProduct",
               "!BroadcastNestedLoopJoin"],
+    # sign projection: ONE projection over the scan (higher-order
+    # aggregate/zip_with lambdas stay outside whole-stage codegen but
+    # evaluate JVM-side) — the whole operator is map-only
+    "sign_projection": ["Project", "!Exchange", "!Join",
+                        "!CartesianProduct"],
 }
 
 
@@ -143,7 +148,7 @@ def main() -> None:
         "passage_dedup", "gopher_repetition", "pagerank", "hashed_quality",
         "asof_join", "range_bin_join", "time_rollup",
         "triangle_count", "tfidf_topk", "quality_percentile", "bloom_join",
-        "boilerplate_strip", "host_graph", "kcore",
+        "boilerplate_strip", "host_graph", "kcore", "sign_projection",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
