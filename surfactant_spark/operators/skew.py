@@ -19,7 +19,7 @@ Two primitives:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -124,6 +124,52 @@ def salted_groupby_sets(
     )
 
 
+def bloom_predicate(
+    small: DataFrame,
+    small_key: str,
+    big_key: str,
+    m: int = 4096,
+    seeds: tuple[int, ...] = (11, 23, 37),
+) -> Column:
+    """Build-side half of the Bloom pre-filter: hash the small table's
+    keys into an m-bit bitmap on the driver (the collected frame is
+    ≤ m distinct bit POSITIONS, never the raw keys) and return a probe
+    predicate over ``big_key``.
+
+    The whole predicate is ONE parsed SQL string (py4j-cheap, r4
+    lesson) shaped as ``forall(array(h1..hk), h -> bitmap[h%m] = 1)``
+    so the bitmap literal appears ONCE in the expression tree, not once
+    per hash.  Bloom filters have no false negatives: every true match
+    passes; false positives are removed by the exact join that follows.
+    """
+    # xxhash64 hashes TYPED values: the key is normalized to BIGINT and
+    # the seed literal to INT on BOTH sides, or build/probe hashes
+    # silently disagree and true matches are dropped (caught by
+    # tools/bloom_audit.py's result-equality assert)
+    pos_cols = [
+        F.pmod(
+            F.xxhash64(F.col(small_key).cast("long"), F.lit(s)), F.lit(m)
+        ).cast("int")
+        for s in seeds
+    ]
+    positions = sorted(
+        r[0]
+        for r in small.select(
+            F.explode(F.array(*pos_cols)).alias("p")
+        ).distinct().collect()
+    )
+    bits = ["0"] * m
+    for p in positions:
+        bits[p] = "1"
+    hashes = ",".join(
+        f"xxhash64(CAST({big_key} AS BIGINT), {s})" for s in seeds
+    )
+    return F.expr(
+        f"forall(array({hashes}), h -> element_at(array({','.join(bits)}), "
+        f"CAST(pmod(h, {m}) AS INT) + 1) = 1)"
+    )
+
+
 def bloom_semi_join(
     big: DataFrame,
     small: DataFrame,
@@ -137,37 +183,16 @@ def bloom_semi_join(
     explicit (Spark's own InjectRuntimeFilter does this for some plans;
     at 100 TB you want it guaranteed, not heuristic).
 
-    Build side: the small table's keys are hashed into an m-bit Bloom
-    bitmap on the driver (the collected frame is ≤ m distinct bit
-    positions, never the raw keys).  Probe side: the bitmap travels to
-    executors as ONE parsed SQL literal (py4j-cheap, r4 lesson), and
-    rows whose k positions aren't all set are dropped INSIDE the scan's
-    codegen stage — before any shuffle.  Bloom filters have no false
-    negatives, so a final exact broadcast left-semi join yields a
-    result identical to the plain semi-join (the oracle), while the
-    shuffle/exchange volume is cut to the false-positive rate.
+    Rows whose k bit positions aren't all set are dropped INSIDE the
+    scan's stage — before any shuffle — and the final exact broadcast
+    left-semi join makes the result identical to the plain semi-join
+    (the oracle), while shuffle/exchange volume is cut to the match
+    rate plus the Bloom false-positive rate.  When the key set is too
+    big to broadcast, compose :func:`bloom_predicate` with a shuffle
+    semi-join instead (measured in ``tools/bloom_audit.py``).
     """
-    pos_cols = [
-        F.pmod(F.xxhash64(F.col(small_key), F.lit(s)), F.lit(m)).cast("int")
-        for s in seeds
-    ]
-    positions = sorted(
-        r[0]
-        for r in small.select(
-            F.explode(F.array(*pos_cols)).alias("p")
-        ).distinct().collect()
+    candidates = big.where(
+        bloom_predicate(small, small_key, big_key, m=m, seeds=seeds)
     )
-    bits = ["0"] * m
-    for p in positions:
-        bits[p] = "1"
-    bitmap = F.expr("array(" + ",".join(bits) + ")")
-    checks = [
-        F.element_at(bitmap, F.pmod(F.xxhash64(F.col(big_key), F.lit(s)), F.lit(m)).cast("int") + 1) == 1
-        for s in seeds
-    ]
-    pred = checks[0]
-    for c in checks[1:]:
-        pred = pred & c
-    candidates = big.where(pred)
     keys = small.select(F.col(small_key).alias(big_key)).distinct()
     return candidates.join(F.broadcast(keys), big_key, "left_semi")
