@@ -64,6 +64,7 @@ HEADLINE = [
     "bloom_join",
     "boilerplate_strip",
     "kcore",
+    "inverted_index",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

@@ -80,3 +80,58 @@ def group_topk_by_hash(
         .where(F.col("_rank") <= k)
         .drop("_rank")
     )
+
+
+def mixture_weights(
+    docs,
+    group_col: str,
+    target_ppm: dict[str, int],
+    text_col: str = "text",
+):
+    """Domain-mixture reweighting (the DoReMi/data-mixing primitive):
+    given a target share per group (parts-per-million), compute the
+    per-group sampling weight that transforms the corpus's CURRENT
+    token distribution into the target one:
+
+        weight_ppm(g) = (target_ppm[g] * total_tokens) div tokens(g)
+
+    Integer-exact (one floor division on BIGINTs — engine-portable);
+    a weight of 1,000,000 means "sample at natural rate", above means
+    upsample, below means downsample.  Groups absent from the target
+    map get weight 0 (dropped domains).
+
+    100-TB shape: one partial-agg groupBy over the corpus (token
+    counts combine map-side), a 1-row total broadcast back over the
+    tiny per-group frame — the corpus is read once and never joined.
+    The output composes with ``hash_sample``: sample group g at
+    ``min(1, weight_ppm/1e6)`` via the deterministic md5 predicate.
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).cast("long").alias("n_toks"),
+    )
+    per_group = toks.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    total = per_group.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per_group.crossJoin(F.broadcast(total))
+        .select(
+            "grp",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                "CAST(coalesce(element_at("
+                + "map("
+                + ",".join(
+                    f"'{k}',{v}L" for k, v in sorted(target_ppm.items())
+                )
+                + "), grp), 0L) * total_tokens div n_tokens AS BIGINT)"
+            ).alias("weight_ppm"),
+        )
+    )

@@ -2890,6 +2890,81 @@ def _sign_projection_oracle() -> str:
 O_SIGN_PROJECTION = _sign_projection_oracle()
 
 
+def q_inverted_index(spark, sf):
+    """Capped inverted index (indexing.build_inverted_index, k=5):
+    term → uncapped df + top-5-by-tf posting string.  The per-term cap
+    plans as WindowGroupLimit (map-side partial top-k BELOW the
+    exchange) — the hot-term/stopword guard at corpus scale."""
+    from .operators.indexing import build_inverted_index
+
+    docs = _t(spark, sf, "documents")
+    return build_inverted_index(docs, k=5)
+
+
+O_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+  FROM tf
+),
+post AS (
+  SELECT term,
+         string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, '|' ORDER BY rn)
+           AS postings
+  FROM rk WHERE rn <= 5 GROUP BY term
+)
+SELECT term, df::BIGINT AS df, postings
+FROM dfreq JOIN post USING (term)
+"""
+
+
+_MIX_TARGET_PPM = {
+    "en": 400_000,
+    "de": 150_000,
+    "es": 150_000,
+    "fr": 150_000,
+    "zh": 150_000,
+}
+
+
+def q_domain_mix(spark, sf):
+    """Domain-mixture reweighting (sampling.mixture_weights): per-lang
+    sampling weight (ppm) that maps the corpus's current token
+    distribution onto a fixed target mix — one corpus groupBy + a
+    1-row total broadcast, integer-exact floor division."""
+    from .operators.sampling import mixture_weights
+
+    docs = _t(spark, sf, "documents")
+    return mixture_weights(docs, "lang", _MIX_TARGET_PPM).select(
+        F.col("grp").alias("lang"), "n_docs", "n_tokens", "weight_ppm"
+    )
+
+
+O_DOMAIN_MIX = """
+WITH toks AS (
+  SELECT lang, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_toks
+  FROM documents
+),
+per_group AS (
+  SELECT lang, count(*) AS n_docs, sum(n_toks) AS n_tokens
+  FROM toks GROUP BY 1
+),
+total AS (SELECT sum(n_tokens) AS total_tokens FROM per_group),
+tgt(lang, ppm) AS (VALUES ('en', 400000), ('de', 150000), ('es', 150000),
+                          ('fr', 150000), ('zh', 150000))
+SELECT p.lang, p.n_docs::BIGINT AS n_docs, p.n_tokens::BIGINT AS n_tokens,
+       (coalesce(tgt.ppm, 0)::BIGINT * total.total_tokens::BIGINT
+        // p.n_tokens::BIGINT)::BIGINT AS weight_ppm
+FROM per_group p LEFT JOIN tgt USING (lang) CROSS JOIN total
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -2965,6 +3040,8 @@ REGISTRY: dict[str, tuple] = {
     "host_graph": (q_host_graph, O_HOST_GRAPH),
     "kcore": (q_kcore, O_KCORE),
     "sign_projection": (q_sign_projection, O_SIGN_PROJECTION),
+    "inverted_index": (q_inverted_index, O_INVERTED_INDEX),
+    "domain_mix": (q_domain_mix, O_DOMAIN_MIX),
 }
 
 

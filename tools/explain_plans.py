@@ -120,6 +120,14 @@ AUDITS = {
     # evaluate JVM-side) — the whole operator is map-only
     "sign_projection": ["Project", "!Exchange", "!Join",
                         "!CartesianProduct"],
+    # inverted index: per-term posting cap plans as WindowGroupLimit
+    # (map-side partial top-k), df is a partial-agg groupBy
+    "inverted_index": ["WindowGroupLimit", "HashAggregate",
+                       "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # mixture weights: one corpus groupBy + 1-row broadcast total —
+    # the corpus is never joined
+    "domain_mix": ["HashAggregate", "!SortMergeJoin",
+                   "!CartesianProduct"],
 }
 
 
@@ -149,6 +157,7 @@ def main() -> None:
         "asof_join", "range_bin_join", "time_rollup",
         "triangle_count", "tfidf_topk", "quality_percentile", "bloom_join",
         "boilerplate_strip", "host_graph", "kcore", "sign_projection",
+        "inverted_index", "domain_mix",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
