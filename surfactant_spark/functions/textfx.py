@@ -202,3 +202,46 @@ def hashed_quality_score(col: str | Column = "text", mod: int = 2001) -> Column:
     total = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + x)
     n = F.size(w)
     return F.when(n > 0, F.floor(total * 1000 / n).cast("long"))
+
+
+def canonical_url(col: str | Column = "url") -> Column:
+    """Canonicalize an absolute http(s) URL — the web-crawl identity
+    normalization that precedes url-keyed dedup and the host-graph
+    collapse (two spellings of one page must collide BEFORE hashing):
+
+    * scheme and host lowercased
+    * ``#fragment`` stripped
+    * scheme-default port stripped (``:80`` http, ``:443`` https)
+    * duplicate slashes in the path collapsed, empty path → ``/``
+    * trailing ``/index.html`` / ``/index.htm`` → ``/``
+    * query parameters sorted (and empty params dropped), ``?`` dropped
+      when the query is empty
+
+    Pure codegen column expression (regexp/array built-ins from the
+    RE2∩Java-regex portable subset — the oracle replays the identical
+    steps), so canonicalization rides the scan: no shuffle, no UDF.
+
+    Reference parity: Surfactant normalizes paths before identity joins
+    (utils/paths normpath usage); URLs are the webtext analog.
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, "^[^:]+://([^/?#]+)", 1))
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
+    path = F.regexp_extract(u, "^[^:]+://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.regexp_replace(path, "/index\\.html?$", "/")
+    query = F.regexp_extract(u, "\\?([^#]*)", 1)
+    query = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")), "&"
+    )
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )

@@ -2965,6 +2965,83 @@ FROM per_group p LEFT JOIN tgt USING (lang) CROSS JOIN total
 """
 
 
+def q_url_canon(spark, sf):
+    """URL canonicalization (textfx.canonical_url) over messy URLs
+    synthesized from orders: mixed-case scheme/host, default and
+    explicit ports, duplicate slashes, index.html suffixes, unsorted
+    query params, fragments.  Pure codegen — rides the scan."""
+    o = _t(spark, sf, "orders")
+    messy = o.select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.concat(
+            F.element_at(
+                F.array(F.lit("http://"), F.lit("HtTp://"), F.lit("https://")),
+                (F.col("o_orderkey") % 3 + 1).cast("int"),
+            ),
+            F.lit("WWW.Ex"),
+            (F.col("o_custkey") % 20).cast("string"),
+            F.lit(".COM"),
+            F.element_at(
+                F.array(F.lit(""), F.lit(":80"), F.lit(":443"), F.lit(":8080")),
+                (F.col("o_orderkey") % 4 + 1).cast("int"),
+            ),
+            F.lit("/a//b/"),
+            F.element_at(
+                F.array(F.lit("index.html"), F.lit("index.htm"), F.lit("page")),
+                (F.col("o_custkey") % 3 + 1).cast("int"),
+            ),
+            F.lit("?b=2&a=1&"),
+            F.element_at(
+                F.array(F.lit(""), F.lit("#frag")),
+                (F.col("o_orderkey") % 2 + 1).cast("int"),
+            ),
+        ).alias("url"),
+    )
+    from .functions.textfx import canonical_url
+
+    return messy.select("okey", "url", canonical_url("url").alias("canon"))
+
+
+O_URL_CANON = """
+WITH messy AS (
+  SELECT o_orderkey::BIGINT AS okey,
+         (['http://', 'HtTp://', 'https://'])[(o_orderkey % 3) + 1]
+         || 'WWW.Ex' || (o_custkey % 20)::VARCHAR || '.COM'
+         || (['', ':80', ':443', ':8080'])[(o_orderkey % 4) + 1]
+         || '/a//b/'
+         || (['index.html', 'index.htm', 'page'])[(o_custkey % 3) + 1]
+         || '?b=2&a=1&'
+         || (['', '#frag'])[(o_orderkey % 2) + 1] AS url
+  FROM orders
+),
+s1 AS (SELECT okey, url, regexp_replace(url, '#.*$', '') AS u FROM messy),
+parts AS (
+  SELECT okey, url,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[^:]+://([^/?#]+)', 1)) AS rawhost,
+         regexp_extract(u, '^[^:]+://[^/?#]+([^?#]*)', 1) AS rawpath,
+         regexp_extract(u, '\\?([^#]*)', 1) AS rawq
+  FROM s1
+),
+norm AS (
+  SELECT okey, url, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+              ELSE rawhost END AS host,
+         regexp_replace(regexp_replace(
+           CASE WHEN rawpath = '' THEN '/' ELSE rawpath END,
+           '/{2,}', '/'), '/index\\.html?$', '/') AS path,
+         array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+                                               x -> x <> '')), '&') AS q
+  FROM parts
+)
+SELECT okey, url,
+       scheme || '://' || host || path ||
+       CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon
+FROM norm
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -3042,6 +3119,7 @@ REGISTRY: dict[str, tuple] = {
     "sign_projection": (q_sign_projection, O_SIGN_PROJECTION),
     "inverted_index": (q_inverted_index, O_INVERTED_INDEX),
     "domain_mix": (q_domain_mix, O_DOMAIN_MIX),
+    "url_canon": (q_url_canon, O_URL_CANON),
 }
 
 

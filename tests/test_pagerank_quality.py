@@ -56,3 +56,22 @@ def test_hashed_quality_score_matches_python(spark):
     assert rows[1].s is None and rows[1].n == 0
     # case-folded: three identical tokens -> mean == single weight * 1000
     assert rows[2].s == _weight("spark") * 1000
+
+
+def test_canonical_url_edge_cases(spark):
+    from surfactant_spark.functions.textfx import canonical_url
+
+    cases = [
+        # (raw, expected)
+        ("HtTpS://WWW.Ex.COM:443/a//b/index.html?b=2&a=1&#frag",
+         "https://www.ex.com/a/b/?a=1&b=2"),
+        ("http://Host.COM:80", "http://host.com/"),
+        ("http://host.com:8080/x/index.htm", "http://host.com:8080/x/"),
+        ("https://h/p?", "https://h/p"),
+        ("http://h/a///b?z=1&a=2", "http://h/a/b?a=2&z=1"),
+        # index.html only stripped as a path segment, not mid-name
+        ("http://h/myindex.html", "http://h/myindex.html"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], ["url"])
+    got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [e for _, e in cases]
