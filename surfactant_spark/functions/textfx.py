@@ -245,3 +245,65 @@ def canonical_url(col: str | Column = "url") -> Column:
         scheme, F.lit("://"), host, path,
         F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
     )
+
+
+# Gopher quality-filter rules (Rae et al. 2021, published thresholds),
+# reformulated integer-exact: every ratio is a scaled BIGINT computed
+# with floor semantics (floor(a*1000/b) on small positive longs is
+# exact in double and equals DuckDB's integer `//`), so the keep/drop
+# decision is bit-identical across engines and partitionings.
+# Words are whitespace tokens (the paper's definition), not TOKEN_RX.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def ws_words(col: str | Column = "text") -> Column:
+    """Whitespace-delimited words (empty strings dropped)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda x: x != "")
+
+
+def gopher_features(col: str | Column = "text") -> dict[str, Column]:
+    """The Gopher rule inputs as integer columns (ratios ×1000).
+
+    Pure codegen projection — one pass over the text column, no
+    shuffle, no UDF; at 100 TB this rides the parquet scan.
+    Reference parity: the composite predicate plays the role of
+    Surfactant's include/exclude file filters (F4) for corpus curation.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = ws_words(col)
+    n = F.size(w).cast("long")
+    sum_len = F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    alpha_n = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    hash_n = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    ellipsis_n = F.floor(
+        (F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))) / 3
+    ).cast("long")
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(F.transform(w, F.lower)), stops)
+    ).cast("long")
+    nz = F.when(n > 0, n)
+    return {
+        "n_words": n,
+        "mean_word_len_x1000": F.floor(sum_len * 1000 / nz).cast("long"),
+        "symbol_ratio_x1000": F.floor((hash_n + ellipsis_n) * 1000 / nz).cast("long"),
+        "alpha_ratio_x1000": F.floor(alpha_n * 1000 / nz).cast("long"),
+        "stop_hits": stop_hits,
+    }
+
+
+def gopher_keep(col: str | Column = "text", min_words: int = 50,
+                max_words: int = 100_000, min_stop_hits: int = 2) -> Column:
+    """The published composite keep predicate over gopher_features:
+    word count in [min_words, max_words], mean word length in [3, 10],
+    symbol-to-word ratio ≤ 0.1, ≥80% words with an alphabetic char,
+    ≥min_stop_hits distinct required stopwords (paper default 2)."""
+    f = gopher_features(col)
+    return (
+        (f["n_words"] >= min_words) & (f["n_words"] <= max_words)
+        & (f["mean_word_len_x1000"] >= 3000) & (f["mean_word_len_x1000"] <= 10000)
+        & (f["symbol_ratio_x1000"] <= 100)
+        & (f["alpha_ratio_x1000"] >= 800)
+        & (f["stop_hits"] >= min_stop_hits)
+    )

@@ -65,3 +65,70 @@ def build_inverted_index(
         ).alias("postings")
     )
     return dfreq.join(postings, "term").select("term", "df", "postings")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    k1_x100: int = 120,
+    b_x100: int = 75,
+) -> DataFrame:
+    """Per-document top-k terms by an integer-exact BM25 variant.
+
+    Classic BM25 with two engine-portability substitutions (documented
+    deterministic variant, same shape as the tf-idf gate):
+
+    * idf uses the log-free Robertson rational
+      ``idf_u = ((2*(N-df)+1) * 1e6) div (2*df+1)`` — a strictly
+      monotone transform of the classic ``log((N-df+0.5)/(df+0.5))``,
+      so per-document term RANKINGS are identical;
+    * the length normalization ``1 - b + b*dl/avgdl`` is scaled ×1000
+      with floor division (``avgdl = T/N`` folded in as ``dl*N/T``).
+
+    ``score_u = (idf_u * tf*(1+k1)×1000) div (tf×1000 + k1 × norm)``
+    — all BIGINT, bit-identical across engines/partitionings.  Magnitude
+    bound: idf_u ≤ (2N+1)e6, times tf·(1+k1)e3 stays < 2^63 for corpora
+    to ~1e7 docs with tf ≤ 1e3; beyond that drop the 1e6 scale to 1e3.
+
+    100-TB shape: tf groupBy (partial agg) + df groupBy + dl groupBy,
+    one equi-join on term, one on doc id; N and T are two tiny agg jobs
+    (table-metadata scale).  The top-k window plans as WindowGroupLimit
+    (map-side partial top-k below the exchange).
+    """
+    tf = term_frequencies(docs, text_col, id_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    n_docs = docs.count()
+    total = dl.agg(F.sum("dl")).collect()[0][0] or 0
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.expr(
+                f"((2*({n_docs}L - df) + 1) * 1000000L) div (2*df + 1)"
+            ).alias("idf_u"),
+            F.expr(
+                f"({100 - b_x100} * 10) + ({b_x100} * 10 * dl * {n_docs}L) div {total}L"
+            ).alias("norm_x1000"),
+        )
+        .select(
+            id_col,
+            "term",
+            F.expr(
+                f"(idf_u * tf * {(100 + k1_x100) * 10}L) div "
+                f"(tf * 1000 + ({k1_x100} * norm_x1000) div 100)"
+            ).alias("score_u"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_u"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(id_col, "term", F.col("score_u").cast("long").alias("score_u"),
+                F.col("rn").cast("long").alias("rn"))
+    )

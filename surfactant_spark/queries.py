@@ -3042,6 +3042,109 @@ FROM norm
 """
 
 
+def q_gopher_quality(spark, sf):
+    """Gopher quality-filter rules (textfx.gopher_features /
+    gopher_keep): whitespace word count, mean word length ×1000,
+    symbol-to-word and alpha-word ratios ×1000, required-stopword
+    hits, and the composite keep/drop label — all integer-exact, one
+    codegen projection over the scan.  Thresholds relaxed to the
+    synthetic corpus' scale (min_words=20, min_stop_hits=1) so both
+    labels occur."""
+    docs = _t(spark, sf, "documents")
+    f = textfx.gopher_features("text")
+    keep = textfx.gopher_keep("text", min_words=20, min_stop_hits=1)
+    return docs.select(
+        "doc_id",
+        f["n_words"].alias("n_words"),
+        f["mean_word_len_x1000"].alias("mean_word_len_x1000"),
+        f["symbol_ratio_x1000"].alias("symbol_ratio_x1000"),
+        f["alpha_ratio_x1000"].alias("alpha_ratio_x1000"),
+        f["stop_hits"].alias("stop_hits"),
+        F.when(keep, F.lit("keep")).otherwise(F.lit("drop")).alias("label"),
+    )
+
+
+O_GOPHER_QUALITY = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
+         length(text) - length(replace(text, '#', '')) AS hash_n,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS ell_n
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS sum_len,
+         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha_n,
+         len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+             ['the','be','to','of','and','that','have','with']))::BIGINT AS stop_hits,
+         hash_n, ell_n
+  FROM w
+),
+m AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN (sum_len * 1000) // n_words END::BIGINT
+           AS mean_word_len_x1000,
+         CASE WHEN n_words > 0 THEN ((hash_n + ell_n) * 1000) // n_words END::BIGINT
+           AS symbol_ratio_x1000,
+         CASE WHEN n_words > 0 THEN (alpha_n * 1000) // n_words END::BIGINT
+           AS alpha_ratio_x1000,
+         stop_hits
+  FROM f
+)
+SELECT doc_id, n_words, mean_word_len_x1000, symbol_ratio_x1000,
+       alpha_ratio_x1000, stop_hits,
+       CASE WHEN n_words >= 20 AND n_words <= 100000
+             AND mean_word_len_x1000 BETWEEN 3000 AND 10000
+             AND symbol_ratio_x1000 <= 100
+             AND alpha_ratio_x1000 >= 800
+             AND stop_hits >= 1
+            THEN 'keep' ELSE 'drop' END AS label
+FROM m
+"""
+
+
+def q_bm25_topk(spark, sf):
+    """Per-document top-3 BM25 terms (indexing.bm25_topk): integer-
+    exact scoring with the log-free Robertson rational idf (monotone
+    in classic idf → identical rankings) and ×1000-scaled length
+    normalization.  tf/df/dl partial-agg groupBys + term and doc-id
+    equi-joins; top-k plans as WindowGroupLimit."""
+    from .operators.indexing import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    return bm25_topk(docs, k=3)
+
+
+O_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM documents),
+tt AS (SELECT sum(dl) AS t FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (((2*(nn.n - df) + 1) * 1000000) // (2*df + 1)) * tf * 2200 //
+         (tf * 1000 + (120 * (250 + (750 * dl * nn.n) // tt.t)) // 100)
+           AS score_u
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN nn CROSS JOIN tt
+),
+rk AS (
+  SELECT doc_id, term, score_u::BIGINT AS score_u,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_u DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, score_u, rn::BIGINT AS rn FROM rk WHERE rn <= 3
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -3120,6 +3223,8 @@ REGISTRY: dict[str, tuple] = {
     "inverted_index": (q_inverted_index, O_INVERTED_INDEX),
     "domain_mix": (q_domain_mix, O_DOMAIN_MIX),
     "url_canon": (q_url_canon, O_URL_CANON),
+    "gopher_quality": (q_gopher_quality, O_GOPHER_QUALITY),
+    "bm25_topk": (q_bm25_topk, O_BM25_TOPK),
 }
 
 

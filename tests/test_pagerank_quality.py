@@ -75,3 +75,48 @@ def test_canonical_url_edge_cases(spark):
     df = spark.createDataFrame([(r,) for r, _ in cases], ["url"])
     got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
     assert got == [e for _, e in cases]
+
+
+def test_gopher_features_hand_computed(spark):
+    from surfactant_spark.functions.textfx import gopher_features, gopher_keep
+
+    txt = "The cat ... sat #on the mat with gusto today"
+    df = spark.createDataFrame([(0, txt), (1, "")], ["doc_id", "text"])
+    f = gopher_features("text")
+    r = {
+        x.doc_id: x
+        for x in df.select(
+            "doc_id", *(f[k].alias(k) for k in f),
+            gopher_keep("text", min_words=5, min_stop_hits=2).alias("keep"),
+        ).collect()
+    }
+    # 10 words; lengths 3+3+3+3+3+3+3+4+5+5 = 35 -> mean 3500
+    assert r[0].n_words == 10
+    assert r[0].mean_word_len_x1000 == (35 * 1000) // 10
+    # one '#' + one '...' over 10 words -> 200
+    assert r[0].symbol_ratio_x1000 == (2 * 1000) // 10
+    # '...' is not alphabetic -> 9/10 alpha words
+    assert r[0].alpha_ratio_x1000 == (9 * 1000) // 10
+    # 'the' (x2 distinct once) + 'with' = 2 hits
+    assert r[0].stop_hits == 2
+    assert r[0].keep is False  # symbol ratio 200 > 100
+    assert r[1].n_words == 0 and r[1].mean_word_len_x1000 is None
+
+
+def test_bm25_topk_hand_computed(spark):
+    from surfactant_spark.operators.indexing import bm25_topk
+
+    df = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry")], ["doc_id", "text"]
+    )
+    rows = bm25_topk(df, k=2).collect()
+    got = {(r.doc_id, r.term): (r.score_u, r.rn) for r in rows}
+    N, T = 2, 5
+    def score(tf, df_, dl):
+        idf = ((2 * (N - df_) + 1) * 1_000_000) // (2 * df_ + 1)
+        norm = 250 + (750 * dl * N) // T
+        return (idf * tf * 2200) // (tf * 1000 + (120 * norm) // 100)
+    assert got[(0, "apple")] == (score(2, 1, 3), 1)
+    assert got[(0, "banana")] == (score(1, 2, 3), 2)
+    assert got[(1, "cherry")] == (score(1, 1, 2), 1)
+    assert got[(1, "banana")] == (score(1, 2, 2), 2)
