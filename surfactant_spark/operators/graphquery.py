@@ -349,3 +349,133 @@ def kcore_peel(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
+
+
+def hits_int(
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-exact HITS (hubs and authorities, fixed iterations) —
+    the link-analysis complement of ``pagerank_int`` for the web-graph
+    side of the KG (authorities ≈ canonical entity pages, hubs ≈ link
+    directories).
+
+    Variant definition (documented, deterministic): scores are BIGINT
+    micro-units starting at ``scale``.  Each iteration computes raw
+    authority ``A(v) = Σ hub(u)`` over in-edges, max-normalizes to
+    ``(A(v)*scale) div max(A)``, then raw hub ``H(u) = Σ auth(v)``
+    over out-edges, max-normalized the same way.  Max-normalization
+    (vs the classic L2 norm) keeps every step in non-negative integer
+    arithmetic — bit-identical across engines and partition orders.
+
+    100-TB shape: per iteration two shuffles (groupBy dst, groupBy
+    src — both map-side partial sums) and two equi-joins of the edge
+    list against the score frames; the normalizing max is a one-row
+    agg broadcast back with a crossJoin (no driver collect in the
+    loop).  Pre-partition edges by src/dst at cluster scale exactly
+    like pagerank_int.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        amax = araw.agg(F.max("a_raw").alias("a_max"))
+        auth = (
+            nodes.join(araw, nodes["node"] == araw["dst"], "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.expr(f"(coalesce(a_raw, 0L) * {scale}L) div a_max")
+                .cast("long")
+                .alias("auth"),
+            )
+        )
+        hraw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        hmax = hraw.agg(F.max("h_raw").alias("h_max"))
+        hub = (
+            nodes.join(hraw, nodes["node"] == hraw["src"], "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.expr(f"(coalesce(h_raw, 0L) * {scale}L) div h_max")
+                .cast("long")
+                .alias("hub"),
+            )
+        )
+    return nodes.join(hub, "node").join(auth, "node").select(
+        "node", F.col("hub").alias("hub_u"), F.col("auth").alias("auth_u")
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection, fixed
+    rounds, deterministic tie-break) over the undirected version of
+    the edge list — the community-structure analog of the connected-
+    components canonicalizer (communities are finer than components).
+
+    Variant definition: labels start as the node id.  Each round every
+    node adopts the most frequent label among its NEIGHBORS' previous-
+    round labels (ties → smallest label; isolated nodes keep their
+    label).  Synchronous updates + total tie order make the result
+    independent of partitioning and engine.
+
+    100-TB shape: per round one equi-join (neighbor label lookup), one
+    (node,label) groupBy count (map-side partial), and one per-node
+    argmax window — which plans as WindowGroupLimit, so each map task
+    keeps one candidate row per node before the shuffle.  Rounds are
+    fixed (no convergence probe): community detection converges in a
+    handful of rounds and a fixed count keeps lineage bounded.
+    """
+    from pyspark.sql.window import Window
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(rounds):
+        nbr = und.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        picked = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(picked, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    return labels

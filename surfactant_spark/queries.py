@@ -3145,6 +3145,112 @@ SELECT doc_id, term, score_u, rn::BIGINT AS rn FROM rk WHERE rn <= 3
 """
 
 
+def q_hits(spark, sf):
+    """Integer-exact 2-iteration HITS (graphquery.hits_int) over a
+    deterministic functional graph from orders: src = o_custkey,
+    dst = (o_custkey*17 + o_orderkey%5) % 1200.  Max-normalized
+    BIGINT scores — bit-identical across engines; oracle is the same
+    recurrence unrolled as SQL CTEs."""
+    from .operators.graphquery import hits_int
+
+    o = _t(spark, sf, "orders")
+    e = o.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_custkey") * 17 + F.col("o_orderkey") % 5) % 1200).alias("dst"),
+    )
+    r = hits_int(e, iterations=2)
+    return r.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("hub_u").alias("hub_u"),
+        F.col("auth_u").alias("auth_u"),
+    )
+
+
+def _hits_sql(iterations: int = 2) -> str:
+    head = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src,
+         (o_custkey*17 + o_orderkey % 5) % 1200 AS dst
+  FROM orders
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes)"""
+    parts = []
+    for i in range(1, iterations + 1):
+        parts.append(f"""
+ar{i} AS (SELECT dst, sum(hub) AS a_raw
+          FROM e JOIN h{i-1} ON e.src = h{i-1}.node GROUP BY 1),
+a{i} AS (SELECT node,
+            (coalesce(a_raw, 0) * 1000000) // (SELECT max(a_raw) FROM ar{i})
+              AS auth
+         FROM nodes LEFT JOIN ar{i} ON node = ar{i}.dst),
+hr{i} AS (SELECT src, sum(auth) AS h_raw
+          FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY 1),
+h{i} AS (SELECT node,
+            (coalesce(h_raw, 0) * 1000000) // (SELECT max(h_raw) FROM hr{i})
+              AS hub
+         FROM nodes LEFT JOIN hr{i} ON node = hr{i}.src)""")
+    n = iterations
+    tail = f"""
+SELECT h{n}.node::BIGINT AS node, hub::BIGINT AS hub_u, auth::BIGINT AS auth_u
+FROM h{n} JOIN a{n} ON h{n}.node = a{n}.node"""
+    return head + "," + ",".join(parts) + tail
+
+
+O_HITS = _hits_sql()
+
+
+def q_label_prop(spark, sf):
+    """Synchronous 2-round label propagation
+    (graphquery.label_propagation) over an undirected graph from
+    orders: {o_custkey, (o_custkey*13 + o_orderkey%11) % 800}.  Most-
+    frequent-neighbor-label update, ties to smallest label — fully
+    deterministic; oracle unrolls the rounds as argmax-window CTEs."""
+    from .operators.graphquery import label_propagation
+
+    o = _t(spark, sf, "orders")
+    e = o.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_custkey") * 13 + F.col("o_orderkey") % 11) % 800).alias("dst"),
+    )
+    r = label_propagation(e, rounds=2)
+    return r.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def _label_prop_sql(rounds: int = 2) -> str:
+    head = """
+WITH raw AS (
+  SELECT DISTINCT o_custkey AS a,
+         (o_custkey*13 + o_orderkey % 11) % 800 AS b
+  FROM orders
+),
+und AS (SELECT a, b FROM raw WHERE a <> b
+        UNION SELECT b, a FROM raw WHERE a <> b),
+nodes AS (SELECT DISTINCT a AS node FROM und),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+c{i} AS (SELECT und.a AS node, l{i-1}.label, count(*) AS cnt
+         FROM und JOIN l{i-1} ON und.b = l{i-1}.node GROUP BY 1, 2),
+p{i} AS (SELECT node, label FROM (
+           SELECT node, label,
+                  row_number() OVER (PARTITION BY node
+                                     ORDER BY cnt DESC, label) AS rn
+           FROM c{i}) WHERE rn = 1),
+l{i} AS (SELECT l{i-1}.node, coalesce(p{i}.label, l{i-1}.label) AS label
+         FROM l{i-1} LEFT JOIN p{i} ON l{i-1}.node = p{i}.node)""")
+    tail = f"""
+SELECT node::BIGINT AS node, label::BIGINT AS label FROM l{rounds}"""
+    return head + "," + ",".join(parts) + tail
+
+
+O_LABEL_PROP = _label_prop_sql()
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -3225,6 +3331,8 @@ REGISTRY: dict[str, tuple] = {
     "url_canon": (q_url_canon, O_URL_CANON),
     "gopher_quality": (q_gopher_quality, O_GOPHER_QUALITY),
     "bm25_topk": (q_bm25_topk, O_BM25_TOPK),
+    "hits": (q_hits, O_HITS),
+    "label_prop": (q_label_prop, O_LABEL_PROP),
 }
 
 

@@ -120,3 +120,37 @@ def test_bm25_topk_hand_computed(spark):
     assert got[(0, "banana")] == (score(1, 2, 3), 2)
     assert got[(1, "cherry")] == (score(1, 1, 2), 1)
     assert got[(1, "banana")] == (score(1, 2, 2), 2)
+
+
+def test_hits_int_hand_computed(spark):
+    from surfactant_spark.operators.graphquery import hits_int
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+    got = {r.node: (r.hub_u, r.auth_u) for r in hits_int(e, iterations=2).collect()}
+    # iter1: auth b=500000 c=1000000; hub a=1000000 b=666666 c=0
+    # iter2: a_raw b=1000000 c=1666666 -> auth b=600000 c=1000000
+    #        h_raw a=1600000 b=1000000 -> hub a=1000000 b=625000
+    assert got == {
+        "a": (1_000_000, 0),
+        "b": (625_000, 600_000),
+        "c": (0, 1_000_000),
+    }
+
+
+def test_label_propagation_square_and_determinism(spark):
+    from surfactant_spark.operators.graphquery import label_propagation
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    one = {r.node: r.label for r in label_propagation(e, rounds=2).collect()}
+    # bipartite square: round1 every node takes min neighbor label,
+    # round2 swaps back deterministically
+    assert one == {1: 1, 2: 2, 3: 1, 4: 2}
+    two = {
+        r.node: r.label
+        for r in label_propagation(e.repartition(5), rounds=2).collect()
+    }
+    assert one == two
