@@ -132,3 +132,58 @@ def bm25_topk(
         .select(id_col, "term", F.col("score_u").cast("long").alias("score_u"),
                 F.col("rn").cast("long").alias("rn"))
     )
+
+
+def cooccurrence_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    max_terms: int = 64,
+) -> DataFrame:
+    """Term co-occurrence graph: (term_a, term_b, n_docs) for every
+    unordered pair of distinct terms appearing in the same document —
+    the relation-candidate generator of the KG side (edges between
+    entities that share a context).
+
+    100-TB shape: NO self-join of the token table (the naive
+    ``toks a JOIN toks b ON a.doc = b.doc`` shuffles the corpus twice
+    and explodes skewed docs).  Instead each document is reduced to
+    its sorted distinct term array — TRUNCATED to the ``max_terms``
+    alphabetically-first terms, a deterministic cap that bounds pair
+    fan-out at max_terms²/2 per doc — and pairs are expanded with a
+    pure array expression (cost = output size), then counted in one
+    partial-agg groupBy.  The cap is the hot-doc guard: without it a
+    100k-distinct-term doc alone emits 5e9 pairs.
+    """
+    terms = docs.select(
+        id_col,
+        F.slice(
+            F.array_sort(
+                F.array_distinct(
+                    F.expr(
+                        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+                    )
+                )
+            ),
+            1,
+            max_terms,
+        ).alias("ts"),
+    )
+    ts = F.col("ts")
+    pairs = F.flatten(
+        F.transform(
+            ts,
+            lambda x, i: F.transform(
+                F.slice(ts, i + F.lit(2), F.size(ts)),
+                lambda y: F.struct(x.alias("term_a"), y.alias("term_b")),
+            ),
+        )
+    )
+    return (
+        terms.select(F.explode(pairs).alias("p"))
+        .select("p.term_a", "p.term_b")
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= min_count)
+    )

@@ -576,3 +576,40 @@ def side_file_probe_inputs(with_sides: DataFrame) -> DataFrame:
     return with_sides.select(
         "app_id", "install_path", "appconfig_xml"
     ).mapInPandas(fn, SIDE_INPUT_SCHEMA)
+
+
+def anchor_text_profile(
+    links,
+    url_col: str = "href",
+    anchor_col: str = "anchor",
+    src_col: str = "src_host",
+):
+    """Anchor-text profile per CANONICAL target URL — the webtext
+    analog of the reference's alias accumulation onto a canonical
+    entity (A4): every (source page → href, anchor text) link is
+    keyed by ``textfx.canonical_url(href)`` so spelling variants of
+    one target collapse, then one groupBy aggregates inlink count,
+    the sorted distinct anchor vocabulary, and distinct source hosts.
+
+    100-TB shape: canonicalization is a codegen projection riding the
+    scan; the single groupBy is partial-agg (collect_set of anchors is
+    bounded by anchor vocabulary per target — cap upstream with a
+    per-target sample if targets are adversarially hot).
+    """
+    from ..functions.textfx import canonical_url
+
+    return (
+        links.select(
+            canonical_url(url_col).alias("canon"),
+            F.col(anchor_col).alias("_anchor"),
+            F.col(src_col).alias("_src"),
+        )
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.countDistinct("_anchor").cast("long").alias("n_anchors"),
+            F.array_join(F.array_sort(F.collect_set("_anchor")), "|")
+            .alias("anchors"),
+            F.countDistinct("_src").cast("long").alias("n_src_hosts"),
+        )
+    )

@@ -3031,8 +3031,8 @@ norm AS (
          regexp_replace(regexp_replace(
            CASE WHEN rawpath = '' THEN '/' ELSE rawpath END,
            '/{2,}', '/'), '/index\\.html?$', '/') AS path,
-         array_to_string(list_sort(list_filter(string_split(rawq, '&'),
-                                               x -> x <> '')), '&') AS q
+         coalesce(array_to_string(list_sort(list_filter(
+           string_split(rawq, '&'), x -> x <> '')), '&'), '') AS q
   FROM parts
 )
 SELECT okey, url,
@@ -3251,6 +3251,131 @@ SELECT node::BIGINT AS node, label::BIGINT AS label FROM l{rounds}"""
 O_LABEL_PROP = _label_prop_sql()
 
 
+def q_cooccur_pairs(spark, sf):
+    """Term co-occurrence graph (indexing.cooccurrence_pairs): pairs
+    of distinct terms sharing a document, counted corpus-wide.  NO
+    token-table self-join — per-doc sorted distinct term arrays
+    (capped at the 64 alphabetically-first terms) expand to pairs via
+    a pure array expression, then one partial-agg groupBy.  Oracle
+    replicates the cap with a row_number window and an equi-self-join."""
+    from .operators.indexing import cooccurrence_pairs
+
+    docs = _t(spark, sf, "documents")
+    return cooccurrence_pairs(docs, min_count=2, max_terms=64)
+
+
+O_COOCCUR_PAIRS = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+rk AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn
+  FROM toks
+),
+kept AS (SELECT doc_id, term FROM rk WHERE rn <= 64),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+)
+SELECT term_a, term_b, count(*)::BIGINT AS n_docs
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_anchor_agg(spark, sf):
+    """Anchor-text profile per canonical target URL
+    (linking.anchor_text_profile ∘ textfx.canonical_url): messy link
+    rows synthesized from lineitem — mixed-case schemes/hosts, default
+    ports, duplicate slashes, index.html suffixes, unsorted query
+    params — collapse onto canonical targets, then one groupBy builds
+    inlink count, sorted distinct anchor vocabulary, and distinct
+    source-host count."""
+    li = _t(spark, sf, "lineitem")
+    links = li.select(
+        F.concat(
+            F.element_at(
+                F.array(F.lit("http://"), F.lit("HTTPS://"), F.lit("https://")),
+                (F.col("l_partkey") % 3 + 1).cast("int"),
+            ),
+            F.lit("Ex"),
+            (F.col("l_partkey") % 50).cast("string"),
+            F.lit(".cOm"),
+            F.element_at(
+                F.array(F.lit(":80"), F.lit(""), F.lit(":443"), F.lit(":8080")),
+                (F.col("l_linenumber") % 4 + 1).cast("int"),
+            ),
+            F.lit("/p//"),
+            (F.col("l_partkey") % 200).cast("string"),
+            F.element_at(
+                F.array(F.lit("/index.html"), F.lit(""), F.lit("/")),
+                (F.col("l_orderkey") % 3 + 1).cast("int"),
+            ),
+            F.element_at(
+                F.array(F.lit("?b=1&a=2"), F.lit("?a=2&b=1"), F.lit("")),
+                (F.col("l_suppkey") % 3 + 1).cast("int"),
+            ),
+        ).alias("href"),
+        F.concat(F.lit("anchor"), (F.col("l_suppkey") % 7).cast("string"))
+        .alias("anchor"),
+        F.concat(F.lit("src"), (F.col("l_orderkey") % 30).cast("string"))
+        .alias("src_host"),
+    )
+    from .operators.linking import anchor_text_profile
+
+    return anchor_text_profile(links)
+
+
+O_ANCHOR_AGG = r"""
+WITH messy AS (
+  SELECT (['http://', 'HTTPS://', 'https://'])[(l_partkey % 3) + 1]
+         || 'Ex' || (l_partkey % 50)::VARCHAR || '.cOm'
+         || ([':80', '', ':443', ':8080'])[(l_linenumber % 4) + 1]
+         || '/p//' || (l_partkey % 200)::VARCHAR
+         || (['/index.html', '', '/'])[(l_orderkey % 3) + 1]
+         || (['?b=1&a=2', '?a=2&b=1', ''])[(l_suppkey % 3) + 1] AS url,
+         'anchor' || (l_suppkey % 7)::VARCHAR AS anchor,
+         'src' || (l_orderkey % 30)::VARCHAR AS src_host
+  FROM lineitem
+),
+s1 AS (SELECT *, regexp_replace(url, '#.*$', '') AS u FROM messy),
+parts AS (
+  SELECT *,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[^:]+://([^/?#]+)', 1)) AS rawhost,
+         coalesce(regexp_extract(u, '^[^:]+://[^/?#]+([^?#]*)', 1), '') AS rawpath,
+         coalesce(regexp_extract(u, '\?([^#]*)', 1), '') AS rawq
+  FROM s1
+),
+norm AS (
+  SELECT *,
+         CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+              ELSE rawhost END AS host,
+         regexp_replace(regexp_replace(
+           CASE WHEN rawpath = '' THEN '/' ELSE rawpath END,
+           '/{2,}', '/'), '/index\.html?$', '/') AS path,
+         coalesce(array_to_string(list_sort(list_filter(
+           string_split(rawq, '&'), x -> x <> '')), '&'), '') AS q
+  FROM parts
+),
+c AS (
+  SELECT scheme || '://' || host || path ||
+         CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon,
+         anchor, src_host
+  FROM norm
+)
+SELECT canon,
+       count(*)::BIGINT AS n_links,
+       count(DISTINCT anchor)::BIGINT AS n_anchors,
+       array_to_string(list_sort(list_distinct(list(anchor))), '|') AS anchors,
+       count(DISTINCT src_host)::BIGINT AS n_src_hosts
+FROM c GROUP BY canon
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -3333,6 +3458,8 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, O_BM25_TOPK),
     "hits": (q_hits, O_HITS),
     "label_prop": (q_label_prop, O_LABEL_PROP),
+    "cooccur_pairs": (q_cooccur_pairs, O_COOCCUR_PAIRS),
+    "anchor_agg": (q_anchor_agg, O_ANCHOR_AGG),
 }
 
 

@@ -77,3 +77,43 @@ def test_mixture_weights_natural_rate_identity(spark):
         ).collect()
     }
     assert got == {"a": 1_000_000, "b": 1_000_000}
+
+
+def test_cooccurrence_pairs_cap_and_counts(spark):
+    from surfactant_spark.operators.indexing import cooccurrence_pairs
+
+    df = spark.createDataFrame(
+        [
+            (0, "b a c a"),          # distinct sorted: a b c
+            (1, "c b d"),            # b c d
+            (2, "z y"),              # singleton pair
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.term_a, r.term_b): r.n_docs
+        for r in cooccurrence_pairs(df, min_count=2, max_terms=64).collect()
+    }
+    assert got == {("b", "c"): 2}
+    # cap: with max_terms=2 doc0 keeps {a,b}, doc1 {b,c} -> no shared pair
+    assert (
+        cooccurrence_pairs(df, min_count=2, max_terms=2).count() == 0
+    )
+
+
+def test_anchor_text_profile_collapses_spellings(spark):
+    from surfactant_spark.operators.linking import anchor_text_profile
+
+    links = spark.createDataFrame(
+        [
+            ("HTTP://A.com:80/x//index.html?b=1&a=2", "click", "s1"),
+            ("http://a.COM/x/?a=2&b=1", "here", "s2"),
+            ("http://a.com/other", "click", "s1"),
+        ],
+        ["href", "anchor", "src_host"],
+    )
+    got = {r.canon: r for r in anchor_text_profile(links).collect()}
+    assert set(got) == {"http://a.com/x/?a=2&b=1", "http://a.com/other"}
+    prof = got["http://a.com/x/?a=2&b=1"]
+    assert prof.n_links == 2 and prof.n_anchors == 2
+    assert prof.anchors == "click|here" and prof.n_src_hosts == 2
