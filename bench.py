@@ -65,6 +65,13 @@ HEADLINE = [
     "boilerplate_strip",
     "kcore",
     "inverted_index",
+    "url_canon",
+    "gopher_quality",
+    "bm25_topk",
+    "hits",
+    "label_prop",
+    "cooccur_pairs",
+    "anchor_agg",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

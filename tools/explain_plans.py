@@ -128,6 +128,27 @@ AUDITS = {
     # the corpus is never joined
     "domain_mix": ["HashAggregate", "!SortMergeJoin",
                    "!CartesianProduct"],
+    # URL canonicalization / gopher rules: pure codegen projections
+    # riding the scan (higher-order lambdas stay plain Project)
+    "url_canon": ["Project", "!Exchange", "!Join"],
+    "gopher_quality": ["Project", "!Exchange", "!Join"],
+    # bm25: tf/df/dl partial aggs + term/doc equi-joins; top-k plans
+    # as WindowGroupLimit (N and avgdl are driver literals, no
+    # scalar-frame join in the plan)
+    "bm25_topk": ["WindowGroupLimit", "HashAggregate",
+                  "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # HITS: the normalizing max is a 1-row broadcast (plans as a
+    # broadcast nested loop over one row — constant work); the real
+    # joins must stay equi-joins
+    "hits": ["HashAggregate", "!CartesianProduct"],
+    # label propagation: per-node argmax = WindowGroupLimit
+    "label_prop": ["WindowGroupLimit", "!CartesianProduct"],
+    # co-occurrence: array-expression pair expansion (Generate) + one
+    # partial-agg groupBy — NO join anywhere in the plan
+    "cooccur_pairs": ["HashAggregate", "Generate", "!Join"],
+    # anchor profiles: canonicalize in the scan projection, ONE
+    # groupBy, no join
+    "anchor_agg": ["HashAggregate", "!Join", "!CartesianProduct"],
 }
 
 
@@ -157,7 +178,8 @@ def main() -> None:
         "asof_join", "range_bin_join", "time_rollup",
         "triangle_count", "tfidf_topk", "quality_percentile", "bloom_join",
         "boilerplate_strip", "host_graph", "kcore", "sign_projection",
-        "inverted_index", "domain_mix",
+        "inverted_index", "domain_mix", "url_canon", "gopher_quality",
+        "bm25_topk", "hits", "label_prop", "cooccur_pairs", "anchor_agg",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
