@@ -72,6 +72,8 @@ HEADLINE = [
     "label_prop",
     "cooccur_pairs",
     "anchor_agg",
+    "host_pagerank",
+    "url_blocklist",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

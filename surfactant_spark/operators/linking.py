@@ -613,3 +613,63 @@ def anchor_text_profile(
             F.countDistinct("_src").cast("long").alias("n_src_hosts"),
         )
     )
+
+
+def domain_suffixes(url_col: str = "url"):
+    """All dot-suffixes of a URL's lowercased host, most-specific
+    first: ``www.ads.x.com → [www.ads.x.com, ads.x.com, x.com, com]``
+    — the candidate keys for domain-blocklist matching (a listed
+    domain blocks every subdomain)."""
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col) if isinstance(url_col, str) else url_col,
+            r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1,
+        )
+    )
+    parts = F.split(host, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+    )
+
+
+def block_by_domain(df, blocked, url_col: str = "url"):
+    """UT1-style domain blocklist: flag every row whose URL host or
+    any parent domain is listed.  Adds ``blocked`` (boolean) and
+    ``matched`` ('|'-joined sorted matching suffixes, '' if none).
+
+    Two execution paths by blocklist size — the same dictionary
+    small/large split as the mention detector (mentions.py):
+
+    * ``blocked`` as a Python list (≤ a few thousand entries): the
+      list is embedded as an array literal and matching is
+      ``array_intersect`` — pure codegen, NO join, rides the scan.
+    * ``blocked`` as a DataFrame with column ``domain`` (UT1-scale,
+      millions of rows): suffixes explode (≤ host-label-count rows
+      per url) and left-join the broadcast blocklist, then regroup —
+      one broadcast hash join, no shuffle of the corpus.
+    """
+    sufs = domain_suffixes(url_col)
+    if isinstance(blocked, (list, tuple)):
+        lit = F.array(*[F.lit(b) for b in blocked])
+        matched = F.array_join(F.array_sort(F.array_intersect(sufs, lit)), "|")
+        return df.withColumn("matched", matched).withColumn(
+            "blocked", F.col("matched") != ""
+        )
+    ex = df.withColumn("_suf", F.explode(sufs))
+    hits = (
+        ex.join(
+            F.broadcast(blocked.select(F.col("domain").alias("_suf"))), "_suf"
+        )
+        .groupBy(url_col)
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("_suf")), "|").alias(
+                "matched"
+            )
+        )
+    )
+    return (
+        df.join(hits, url_col, "left")
+        .withColumn("matched", F.coalesce("matched", F.lit("")))
+        .withColumn("blocked", F.col("matched") != "")
+    )

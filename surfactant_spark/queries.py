@@ -3376,6 +3376,137 @@ FROM c GROUP BY canon
 """
 
 
+def q_host_pagerank(spark, sf):
+    """Crawl-frontier prioritization composition: page links →
+    collapse_to_host_graph → integer-exact PageRank on the host
+    graph (the standard crawl-budget signal — host rank is computed
+    on a graph ~1000× smaller than the page graph).  Same link
+    synthesis as the host_graph gate; ranks are BIGINT micro-units."""
+    from .operators.graphquery import collapse_to_host_graph, pagerank_int
+
+    o = _t(spark, sf, "orders")
+    links = o.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("o_custkey") % 40).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("o_orderkey") % 500).cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("http://h"),
+            ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 40).cast("string"),
+            F.lit(".example.com/q/"),
+            (F.col("o_orderkey") % 97).cast("string"),
+        ).alias("dst_url"),
+    )
+    hg = collapse_to_host_graph(links)
+    r = pagerank_int(hg, iterations=3, src="src_host", dst="dst_host")
+    return r.select(F.col("node").alias("host"), F.col("rank").alias("rank_u"))
+
+
+def _host_pagerank_sql() -> str:
+    head = """
+WITH links AS (
+  SELECT 'h' || (o_custkey % 40)::VARCHAR || '.example.com' AS src,
+         'h' || ((o_custkey*7 + o_orderkey) % 40)::VARCHAR || '.example.com'
+           AS dst
+  FROM orders
+),
+e AS (SELECT DISTINCT src, dst FROM links),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+e2 AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    iters = []
+    for i in range(1, 4):
+        iters.append(f"""
+s{i} AS (
+  SELECT dst, sum(rank // outdeg) AS s
+  FROM e2 JOIN r{i-1} ON e2.src = r{i-1}.node GROUP BY 1
+),
+r{i} AS (
+  SELECT node,
+         CAST(150000 + ((85 * coalesce(s, 0)) // 100) AS BIGINT) AS rank
+  FROM nodes LEFT JOIN s{i} ON node = dst
+)""")
+    return head + "," + ",".join(iters) + \
+        "\nSELECT node AS host, rank AS rank_u FROM r3"
+
+
+O_HOST_PAGERANK = _host_pagerank_sql()
+
+
+# the UT1-style blocklist for the gate — embedded identically in the
+# Spark literal-array path and the oracle SQL
+_BLOCKED_DOMAINS = ["dom3.com", "dom7.org", "ads.dom11.net", "dom42.com",
+                    "dom19.net"]
+
+
+def q_url_blocklist(spark, sf):
+    """Domain-blocklist filtering (linking.block_by_domain, literal-
+    array path): every dot-suffix of the lowercased host is matched
+    against the blocklist, so a listed domain blocks all subdomains.
+    Pure codegen — no join, no shuffle; the broadcast-join path for
+    UT1-scale lists is unit-tested separately."""
+    from .operators.linking import block_by_domain
+
+    o = _t(spark, sf, "orders")
+    urls = o.select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.concat(
+            F.lit("http://"),
+            F.element_at(
+                F.array(F.lit("www."), F.lit("cdn."), F.lit("ads."), F.lit("")),
+                (F.col("o_orderkey") % 4 + 1).cast("int"),
+            ),
+            F.lit("dom"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit("."),
+            F.element_at(
+                F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+                (F.col("o_orderkey") % 3 + 1).cast("int"),
+            ),
+            F.lit("/p/"),
+            (F.col("o_orderkey") % 100).cast("string"),
+        ).alias("url"),
+    )
+    return block_by_domain(urls, _BLOCKED_DOMAINS, "url").select(
+        "okey", "url", "matched", "blocked"
+    )
+
+
+O_URL_BLOCKLIST = """
+WITH u AS (
+  SELECT o_orderkey::BIGINT AS okey,
+         'http://' || (['www.', 'cdn.', 'ads.', ''])[(o_orderkey % 4) + 1]
+         || 'dom' || (o_custkey % 50)::VARCHAR || '.'
+         || (['com', 'org', 'net'])[(o_orderkey % 3) + 1]
+         || '/p/' || (o_orderkey % 100)::VARCHAR AS url
+  FROM orders
+),
+h AS (
+  SELECT okey, url,
+         string_split(lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), '.') AS p
+  FROM u
+),
+s AS (
+  SELECT okey, url,
+         list_transform(generate_series(1, len(p)),
+                        i -> array_to_string(p[i:], '.')) AS sufs
+  FROM h
+),
+m AS (
+  SELECT okey, url,
+         coalesce(array_to_string(list_sort(list_intersect(sufs,
+           ['dom3.com', 'dom7.org', 'ads.dom11.net', 'dom42.com',
+            'dom19.net'])), '|'), '') AS matched
+  FROM s
+)
+SELECT okey, url, matched, matched <> '' AS blocked FROM m
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -3460,6 +3591,8 @@ REGISTRY: dict[str, tuple] = {
     "label_prop": (q_label_prop, O_LABEL_PROP),
     "cooccur_pairs": (q_cooccur_pairs, O_COOCCUR_PAIRS),
     "anchor_agg": (q_anchor_agg, O_ANCHOR_AGG),
+    "host_pagerank": (q_host_pagerank, O_HOST_PAGERANK),
+    "url_blocklist": (q_url_blocklist, O_URL_BLOCKLIST),
 }
 
 

@@ -195,3 +195,36 @@ def test_nodeflib_binary_resolves_only_via_runpath(spark):
     # NODEFLIB: only the runpath-resolved dep; default-dir dep missed
     assert edges["nodef"] == {"tgtZ"}
     assert edges["plain"] == {"tgtZ", "tgtQ"}
+
+
+def test_block_by_domain_paths_agree(spark):
+    from surfactant_spark.operators.linking import block_by_domain
+
+    urls = spark.createDataFrame(
+        [
+            (0, "http://www.Bad.COM/x"),
+            (1, "http://good.org/y"),
+            (2, "https://ads.sub.bad.com:8080/z"),
+            (3, "http://notbad.com/w"),   # suffix match is label-wise
+        ],
+        ["okey", "url"],
+    )
+    blocked = ["bad.com", "evil.net"]
+    lit_rows = {
+        r.okey: (r.blocked, r.matched)
+        for r in block_by_domain(urls, blocked, "url").collect()
+    }
+    assert lit_rows[0] == (True, "bad.com")
+    assert lit_rows[1] == (False, "")
+    # :8080 port must not defeat host extraction; parent domain matches
+    assert lit_rows[2] == (True, "bad.com")
+    assert lit_rows[3] == (False, "")
+
+    bdf = spark.createDataFrame([(d,) for d in blocked], ["domain"])
+    join_out = block_by_domain(urls, bdf, "url")
+    join_rows = {
+        r.okey: (r.blocked, r.matched) for r in join_out.collect()
+    }
+    assert join_rows == lit_rows
+    plan = join_out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

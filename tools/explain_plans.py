@@ -149,6 +149,11 @@ AUDITS = {
     # anchor profiles: canonicalize in the scan projection, ONE
     # groupBy, no join
     "anchor_agg": ["HashAggregate", "!Join", "!CartesianProduct"],
+    # host pagerank: equi-joins only over the collapsed host graph
+    "host_pagerank": ["HashAggregate", "!CartesianProduct"],
+    # blocklist (literal path): suffix intersect is pure codegen —
+    # no join, no shuffle
+    "url_blocklist": ["Project", "!Exchange", "!Join"],
 }
 
 
@@ -180,6 +185,7 @@ def main() -> None:
         "boilerplate_strip", "host_graph", "kcore", "sign_projection",
         "inverted_index", "domain_mix", "url_canon", "gopher_quality",
         "bm25_topk", "hits", "label_prop", "cooccur_pairs", "anchor_agg",
+        "host_pagerank", "url_blocklist",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
