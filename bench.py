@@ -74,6 +74,8 @@ HEADLINE = [
     "anchor_agg",
     "host_pagerank",
     "url_blocklist",
+    "delta_dedup",
+    "cdx_latest",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))
@@ -383,6 +385,13 @@ def main() -> None:
         f.write("| query | sec |\n|---|---|\n")
         for k, v in times.items():
             f.write(f"| {k} | {v} |\n")
+        f.write(
+            "\nNote: anchor_agg and url_canon are regexp-BOUND map-side "
+            "work (≈10 regexp ops per url for canonicalization) — cost "
+            "is linear in rows with no shuffle amplification, so the "
+            "constant is the regex engine, not the plan; at cluster "
+            "scale they ride the scan.\n"
+        )
         f.write(f"\nKG pipeline: {kg['n_pages']} pages in {kg['sec']}s "
                 f"→ **{kg['docs_per_sec']} docs/sec**\n")
         if scaling:

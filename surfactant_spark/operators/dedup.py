@@ -759,3 +759,66 @@ def remove_boilerplate_chunks(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def dedup_delta_against_base(
+    delta: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Ingestion-time incremental near-dup: which DELTA documents share
+    a MinHash-LSH band with any BASE document — the dedup check a
+    growing corpus runs on every new batch (the near-dup analog of the
+    incremental pipeline's exact anti-join on content hashes,
+    plans/pipeline.py run_pipeline_incremental).
+
+    Output: (id, n_base_hits, base_ids) for delta docs with at least
+    one colliding base doc; base_ids is the sorted '|'-joined distinct
+    colliding base ids (deterministic, engine-portable).
+
+    100-TB shape: ONLY the delta pays signature work per batch — in
+    production the base band table is maintained incrementally by the
+    snapshot catalog (append one banded-signature partition per batch)
+    and this reduces to one equi-join of the tiny delta band frame
+    against it, shuffling on (band_idx, band_val).  Nothing here is
+    quadratic: collisions expand pairwise only where bands actually
+    collide, and the per-delta-doc aggregation is a partial-agg
+    groupBy.
+    """
+    def banded(df: DataFrame) -> DataFrame:
+        rows = k // bands
+        sig = minhash_signature_agg(df, id_col, text_col, k, shingle_n)
+        cols = []
+        for b in range(bands):
+            parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+            cols.append(
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(F.concat(*parts)).alias("band_val"),
+                )
+            )
+        return (
+            sig.select("id", F.explode(F.array(*cols)).alias("bd"))
+            .select("id", "bd.band_idx", "bd.band_val")
+            .where(F.col("band_val").isNotNull())
+        )
+
+    d = banded(delta).alias("d")
+    b = banded(base).select(
+        F.col("id").alias("bid"), "band_idx", "band_val"
+    ).alias("b")
+    hits = (
+        d.join(b, ["band_idx", "band_val"])
+        .select(F.col("d.id").alias("id"), F.col("b.bid").alias("bid"))
+        .distinct()
+    )
+    return hits.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_base_hits"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("bid").cast("string"))), "|"
+        ).alias("base_ids"),
+    )

@@ -148,3 +148,38 @@ def time_rollup(
         *aggs,
     )
     return fmt(hour, "hour").unionByName(fmt(day, "day"))
+
+
+def latest_capture(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """CDX-style capture collapse: newest capture per CANONICAL URL —
+    the crawl-side dedup that precedes content processing (a page
+    crawled weekly contributes ONE row downstream).
+
+    URLs are keyed by ``textfx.canonical_url`` so spelling variants of
+    one page collapse; within a canonical group the row with the
+    greatest ``ts_col`` wins (ties broken by ascending ``tie_col`` for
+    full determinism).  Adds ``n_captures`` (group size).
+
+    100-TB shape: one window over the canonical key, which plans as
+    WindowGroupLimit (rank-limit pushed below the exchange: each map
+    task keeps one candidate row per canonical url before anything
+    shuffles) plus a count over the same partition — a single shuffle
+    on the canonical key, no join, no driver state.
+    """
+    from ..functions.textfx import canonical_url
+
+    tie = [F.asc(tie_col)] if tie_col else []
+    w = Window.partitionBy("canon").orderBy(F.desc(ts_col), *tie)
+    wc = Window.partitionBy("canon")
+    return (
+        df.withColumn("canon", canonical_url(url_col))
+        .withColumn("n_captures", F.count(F.lit(1)).over(wc).cast("long"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -3507,6 +3507,138 @@ SELECT okey, url, matched, matched <> '' AS blocked FROM m
 """
 
 
+def q_delta_dedup(spark, sf):
+    """Incremental near-dup (dedup.dedup_delta_against_base): delta
+    docs (odd ids) that share a MinHash-LSH band with any base doc
+    (even ids) — the ingestion-batch dedup check of a growing corpus.
+    Only the delta pays per-batch signature work at scale; the band
+    join is the standard sub-quadratic path."""
+    from .operators.dedup import dedup_delta_against_base
+
+    docs = _t(spark, sf, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    return dedup_delta_against_base(delta, base, k=8, bands=4)
+
+
+def _delta_dedup_sql(k: int = 8) -> str:
+    mh = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, t -> md5('{i}|' || t)), 'min') AS mh{i}"
+        for i in range(k)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || mh{2*b+1}) AS band_val FROM sig"
+        for b in range(k // 2)
+    )
+    return f"""
+WITH base0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id, {mh} FROM base0
+), bands AS (
+  {bands}
+), hits AS (
+  SELECT DISTINCT d.doc_id AS id, b.doc_id AS bid
+  FROM bands d JOIN bands b
+    ON d.band_idx = b.band_idx AND d.band_val = b.band_val
+  WHERE d.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+)
+SELECT id, count(*)::BIGINT AS n_base_hits,
+       array_to_string(list_sort(list(bid::VARCHAR)), '|') AS base_ids
+FROM hits GROUP BY id
+"""
+
+
+O_DELTA_DEDUP = _delta_dedup_sql()
+
+
+def q_cdx_latest(spark, sf):
+    """CDX-style capture collapse (temporal.latest_capture): newest
+    capture per canonical URL over captures synthesized from lineitem
+    — scheme-case and default-port spelling variants collapse onto
+    one canonical page, the greatest ship-date wins (unique-key tie
+    break), n_captures counts the group.  One shuffle on the
+    canonical key; the rank plans as WindowGroupLimit."""
+    from .operators.temporal import latest_capture
+
+    li = _t(spark, sf, "lineitem")
+    caps = li.select(
+        F.concat(
+            F.element_at(
+                F.array(F.lit("http://"), F.lit("HTTP://")),
+                (F.col("l_suppkey") % 2 + 1).cast("int"),
+            ),
+            F.lit("Cap"),
+            (F.col("l_partkey") % 100).cast("string"),
+            F.lit(".com"),
+            F.element_at(
+                F.array(F.lit(":80"), F.lit("")),
+                (F.col("l_linenumber") % 2 + 1).cast("int"),
+            ),
+            F.lit("/c/"),
+            (F.col("l_partkey") % 10).cast("string"),
+        ).alias("url"),
+        F.col("l_shipdate").alias("ts"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("ukey"),
+    )
+    out = latest_capture(caps, "url", "ts", "ukey")
+    return out.select("canon", "ts", "ukey", "n_captures")
+
+
+O_CDX_LATEST = r"""
+WITH caps AS (
+  SELECT (['http://', 'HTTP://'])[(l_suppkey % 2) + 1]
+         || 'Cap' || (l_partkey % 100)::VARCHAR || '.com'
+         || ([':80', ''])[(l_linenumber % 2) + 1]
+         || '/c/' || (l_partkey % 10)::VARCHAR AS url,
+         l_shipdate AS ts,
+         (l_orderkey*10 + l_linenumber)::BIGINT AS ukey
+  FROM lineitem
+),
+s1 AS (SELECT *, regexp_replace(url, '#.*$', '') AS u FROM caps),
+parts AS (
+  SELECT *,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[^:]+://([^/?#]+)', 1)) AS rawhost,
+         coalesce(regexp_extract(u, '^[^:]+://[^/?#]+([^?#]*)', 1), '') AS rawpath,
+         coalesce(regexp_extract(u, '\?([^#]*)', 1), '') AS rawq
+  FROM s1
+),
+norm AS (
+  SELECT *,
+         CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+              ELSE rawhost END AS host,
+         regexp_replace(regexp_replace(
+           CASE WHEN rawpath = '' THEN '/' ELSE rawpath END,
+           '/{2,}', '/'), '/index\.html?$', '/') AS path,
+         coalesce(array_to_string(list_sort(list_filter(
+           string_split(rawq, '&'), x -> x <> '')), '&'), '') AS q
+  FROM parts
+),
+c AS (
+  SELECT scheme || '://' || host || path ||
+         CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon,
+         ts, ukey
+  FROM norm
+)
+SELECT canon, ts, ukey, n_captures FROM (
+  SELECT canon, ts, ukey,
+         count(*) OVER (PARTITION BY canon)::BIGINT AS n_captures,
+         row_number() OVER (PARTITION BY canon
+                            ORDER BY ts DESC, ukey) AS rn
+  FROM c
+) WHERE rn = 1
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -3593,6 +3725,8 @@ REGISTRY: dict[str, tuple] = {
     "anchor_agg": (q_anchor_agg, O_ANCHOR_AGG),
     "host_pagerank": (q_host_pagerank, O_HOST_PAGERANK),
     "url_blocklist": (q_url_blocklist, O_URL_BLOCKLIST),
+    "delta_dedup": (q_delta_dedup, O_DELTA_DEDUP),
+    "cdx_latest": (q_cdx_latest, O_CDX_LATEST),
 }
 
 

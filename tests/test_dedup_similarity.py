@@ -363,3 +363,21 @@ def test_ngram_contamination(spark):
     # empty benchmark → no contamination, stable schema
     empty = ngram_contamination(docs, bench.limit(0), n=5)
     assert empty.columns == ["doc_id", "n_hits"] and empty.count() == 0
+
+
+def test_delta_dedup_against_base(spark):
+    from surfactant_spark.operators.dedup import dedup_delta_against_base
+
+    base = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different content about spark shuffles here")],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),  # dup of 0
+         (3, "unrelated fresh text with no base overlap at all")],
+        ["doc_id", "text"],
+    )
+    got = {r.id: (r.n_base_hits, r.base_ids)
+           for r in dedup_delta_against_base(delta, base).collect()}
+    assert got == {1: (1, "0")}

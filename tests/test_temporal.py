@@ -91,3 +91,28 @@ def test_time_rollup_day_is_sum_of_hours(spark):
     assert rows[("day", "2024-01-01 00:00:00", "y")] == (1, 16)
     # 4 hour rows (the two 00:xx x-events share a bucket) + 3 day rows
     assert len(rows) == 7
+
+
+def test_latest_capture_collapses_and_picks_newest(spark):
+    import datetime
+
+    from surfactant_spark.operators.temporal import latest_capture
+
+    d = datetime.date
+    caps = spark.createDataFrame(
+        [
+            ("HTTP://A.com:80/x", d(2026, 1, 1), 1),
+            ("http://a.com/x", d(2026, 2, 1), 2),    # newest of canon /x
+            ("http://a.com/x", d(2026, 2, 1), 3),    # same ts -> tie by ukey
+            ("http://b.com/y", d(2026, 1, 15), 4),
+        ],
+        ["url", "warc_ts", "ukey"],
+    )
+    got = {
+        r.canon: (r.ukey, r.n_captures, r.warc_ts)
+        for r in latest_capture(caps, "url", "warc_ts", "ukey").collect()
+    }
+    assert got == {
+        "http://a.com/x": (2, 3, d(2026, 2, 1)),
+        "http://b.com/y": (4, 1, d(2026, 1, 15)),
+    }

@@ -154,6 +154,11 @@ AUDITS = {
     # blocklist (literal path): suffix intersect is pure codegen —
     # no join, no shuffle
     "url_blocklist": ["Project", "!Exchange", "!Join"],
+    # delta-vs-base near-dup: band equi-join only — never quadratic
+    "delta_dedup": ["HashAggregate", "!CartesianProduct",
+                    "!BroadcastNestedLoopJoin"],
+    # capture collapse: one shuffle on the canonical key, no join
+    "cdx_latest": ["!Join", "!CartesianProduct"],
 }
 
 
@@ -185,7 +190,7 @@ def main() -> None:
         "boilerplate_strip", "host_graph", "kcore", "sign_projection",
         "inverted_index", "domain_mix", "url_canon", "gopher_quality",
         "bm25_topk", "hits", "label_prop", "cooccur_pairs", "anchor_agg",
-        "host_pagerank", "url_blocklist",
+        "host_pagerank", "url_blocklist", "delta_dedup", "cdx_latest",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
