@@ -598,7 +598,13 @@ def anchor_text_profile(
     """
     from ..functions.textfx import canonical_url
 
-    return (
+    # distinct counts come from the collect_set sizes rather than
+    # countDistinct: two countDistincts in one agg make Catalyst
+    # Expand every input row 3x (one replica per distinct-aggregate
+    # group), tripling the shuffle; the sets are being built anyway,
+    # so size(set) gets the same numbers from ONE un-expanded pass
+    # (same-session A/B at sf0.1: 14.1 -> 9.1 s best-of-2).
+    agged = (
         links.select(
             canonical_url(url_col).alias("canon"),
             F.col(anchor_col).alias("_anchor"),
@@ -607,11 +613,16 @@ def anchor_text_profile(
         .groupBy("canon")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_links"),
-            F.countDistinct("_anchor").cast("long").alias("n_anchors"),
-            F.array_join(F.array_sort(F.collect_set("_anchor")), "|")
-            .alias("anchors"),
-            F.countDistinct("_src").cast("long").alias("n_src_hosts"),
+            F.array_sort(F.collect_set("_anchor")).alias("_aset"),
+            F.collect_set("_src").alias("_sset"),
         )
+    )
+    return agged.select(
+        "canon",
+        "n_links",
+        F.size("_aset").cast("long").alias("n_anchors"),
+        F.array_join("_aset", "|").alias("anchors"),
+        F.size("_sset").cast("long").alias("n_src_hosts"),
     )
 
 
