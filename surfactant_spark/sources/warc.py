@@ -1,0 +1,199 @@
+"""From-scratch WARC (ISO 28500) source — the Common-Crawl input
+format, parsed with no third-party deps.
+
+A WARC file is a concatenation of records::
+
+    WARC/1.0\r\n
+    <header-name>: <value>\r\n ...
+    \r\n
+    <Content-Length bytes of block>
+    \r\n\r\n
+
+Response records carry an HTTP message as their block (status line +
+headers + body); Common Crawl ships one gzip member PER RECORD, so a
+``.warc.gz`` is a multi-member gzip stream (zlib decompressobj loop —
+``gzip.decompress`` also handles it, but streaming member-at-a-time
+keeps peak memory at one record).
+
+Spark shape: ``spark.read.format("binaryFile")`` over the WARC paths →
+one Arrow-batched ``mapInPandas`` stage emitting one row per response
+record — the same executor-side parse-don't-ship pattern as the
+archive expansion (operators/archives.py).  At 100 TB the unit of
+parallelism is the WARC file (Common Crawl segments are ~1 GB), so the
+scan parallelizes across files; records inside a file are sequential
+by format design (gzip members), exactly like the reference's
+per-specimen archive walk (file_decompression.py).
+
+Reference parity: the S1/S3 scan+decompress family
+(surfactant/cmd/generate.py directory walk + file_decompression.py)
+re-expressed for the web-archive container format.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+CRLF = b"\r\n"
+
+
+def split_gzip_members(data: bytes) -> list[bytes]:
+    """Decompress a (possibly multi-member) gzip stream into the list
+    of member payloads; non-gzip input comes back as ``[data]``."""
+    if not data.startswith(b"\x1f\x8b"):
+        return [data]
+    out = []
+    rest = data
+    while rest.startswith(b"\x1f\x8b"):
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(rest))
+        if not d.eof:  # truncated member: keep what inflated, stop
+            break
+        rest = d.unused_data
+    return out
+
+
+def parse_warc_records(data: bytes) -> list[dict]:
+    """Parse concatenated WARC records (already decompressed).
+
+    Returns one dict per record: ``warc_type``, ``warc_target_uri``,
+    ``warc_date``, ``record_id``, ``content_type`` (of the block),
+    ``block`` (raw bytes).  Tolerates trailing garbage and truncated
+    final records (parse stops, earlier records are kept) — the same
+    truncation policy as the TAR/ZIP parsers (functions/archive.py).
+    """
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and data[pos:pos + 2] == CRLF:
+            pos += 2
+        if not data[pos:pos + 5] == b"WARC/":
+            break
+        hdr_end = data.find(CRLF + CRLF, pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        lines = data[pos:hdr_end].split(CRLF)
+        for ln in lines[1:]:
+            k, sep, v = ln.partition(b":")
+            if sep:
+                headers[k.strip().decode("latin-1").lower()] = (
+                    v.strip().decode("latin-1")
+                )
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            break  # truncated final record
+        records.append(
+            {
+                "warc_type": headers.get("warc-type", ""),
+                "warc_target_uri": headers.get("warc-target-uri", ""),
+                "warc_date": headers.get("warc-date", ""),
+                "record_id": headers.get("warc-record-id", ""),
+                "content_type": headers.get("content-type", ""),
+                "block": data[body_start:body_start + clen],
+            }
+        )
+        pos = body_start + clen
+    return records
+
+
+def split_http_response(block: bytes) -> tuple[int | None, str, bytes]:
+    """HTTP response block → (status, content_type header, body).
+    Returns ``(None, "", block)`` when the block is not HTTP."""
+    if not block.startswith(b"HTTP/"):
+        return None, "", block
+    hdr_end = block.find(CRLF + CRLF)
+    if hdr_end < 0:
+        return None, "", block
+    head = block[:hdr_end].split(CRLF)
+    try:
+        status = int(head[0].split()[1])
+    except (IndexError, ValueError):
+        return None, "", block
+    ctype = ""
+    for ln in head[1:]:
+        k, sep, v = ln.partition(b":")
+        if sep and k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("latin-1")
+    return status, ctype, block[hdr_end + 4:]
+
+
+WARC_PAGE_SCHEMA = (
+    "path string, url string, warc_ts string, http_status int, "
+    "content_type string, html binary"
+)
+
+
+def warc_pages_stage(batches) -> Iterator:
+    """mapInPandas stage: binaryFile rows (path, content) → one row
+    per WARC *response* record, in the input-table page shape
+    (url, warc_ts, html binary)."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            data = b"".join(split_gzip_members(bytes(content)))
+            for rec in parse_warc_records(data):
+                if rec["warc_type"] != "response":
+                    continue
+                status, ctype, body = split_http_response(rec["block"])
+                rows.append(
+                    (
+                        path,
+                        rec["warc_target_uri"],
+                        rec["warc_date"],
+                        status,
+                        ctype or rec["content_type"],
+                        body,
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "path", "url", "warc_ts", "http_status", "content_type",
+                "html",
+            ],
+        )
+
+
+def read_warc(spark, path: str):
+    """WARC file(s) → pages DataFrame (url, warc_ts, html, ...) via
+    binaryFile scan + one Arrow stage.  Column pruning note: the
+    binaryFile source loads whole files (that is the container's
+    nature); prune/partition at the FILE level (path globs, segment
+    dirs) like any Common-Crawl job."""
+    binf = spark.read.format("binaryFile").load(path)
+    return binf.select("path", "content").mapInPandas(
+        warc_pages_stage, schema=WARC_PAGE_SCHEMA
+    )
+
+
+def warc_to_pages(df):
+    """WARC response rows → the pipeline's pages contract
+    (schema.PAGES_SCHEMA): keep 200-status text/html records, parse
+    the WARC-Date into a timestamp, carry the body as ``html``.
+    ``text``/``lang`` stay NULL — the extraction stage fills them."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.where(
+            (F.col("http_status") == 200)
+            & F.col("content_type").startswith("text/html")
+        )
+        .select(
+            "url",
+            F.to_timestamp(
+                F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            ).alias("warc_ts"),
+            "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
