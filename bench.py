@@ -76,6 +76,7 @@ HEADLINE = [
     "url_blocklist",
     "delta_dedup",
     "cdx_latest",
+    "robots_match",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

@@ -1,0 +1,123 @@
+"""Crawl-politeness operators: robots.txt parsing and URL matching.
+
+The decode side (``parse_robots_txt``) is a from-scratch parser for
+the documented RFC 9309 subset: user-agent groups, Allow/Disallow
+path-prefix rules, longest-match-wins with Allow breaking ties;
+``*``/``$`` wildcards inside paths are NOT interpreted (documented
+non-goal — the rules that use them are carried verbatim and match as
+literals).  The match side (``robots_match``) is the scale-relevant
+operator: a host equi-join of the URL table against the rules table
+plus a per-URL longest-rule window.
+
+Reference parity: the include/exclude predicate family (F4,
+surfactant/cmd/generate.py filter flow) re-expressed for crawl
+politeness — same shape, per-host rule sets instead of glob lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def parse_robots_txt(text: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """robots.txt → ordered [(path_prefix, allow)] for ``agent``.
+
+    Group selection per RFC 9309: the group(s) whose User-agent line
+    equals ``agent`` case-insensitively win; if none, the ``*``
+    group(s) apply.  Comments (#) and blank lines are ignored; empty
+    Disallow means allow-all (contributes no rule).
+    """
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, bool]] = []
+    in_group_body = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                groups.append((agents, rules))
+                agents, rules = [], []
+                in_group_body = False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_group_body = True
+            if val:
+                rules.append((val, key == "allow"))
+        # other keys (crawl-delay, sitemap) end no group and add no rule
+    if agents or rules:
+        groups.append((agents, rules))
+    want = agent.lower()
+    exact = [r for a, rs in groups if want in a for r in rs]
+    if exact or any(want in a for a, _ in groups):
+        return exact
+    return [r for a, rs in groups if "*" in a for r in rs]
+
+
+def robots_rules_frame(spark, robots: dict[str, str], agent: str = "*"):
+    """{host: robots.txt text} → rules DataFrame
+    (host, prefix, allow) — parsed driver-side (robots corpora are
+    dictionary-sized: one small text per host)."""
+    rows = [
+        (host, prefix, allow)
+        for host, txt in robots.items()
+        for prefix, allow in parse_robots_txt(txt, agent)
+    ]
+    return spark.createDataFrame(rows, "host string, prefix string, allow boolean")
+
+
+def robots_match(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply per-host robots rules to a URL table.
+
+    Adds ``allowed`` (boolean; default TRUE when no rule matches) and
+    ``rule`` (the winning prefix, '' if none).  Winner per RFC 9309:
+    among rules whose prefix is a string prefix of the URL path, the
+    LONGEST wins; equal lengths break toward Allow.
+
+    100-TB shape: host/path extraction is a codegen projection; the
+    rule decision depends only on (host, path), so winners are
+    resolved ONCE per DISTINCT (host, path) — an inner broadcast join
+    of the (much smaller) distinct-page frame against the rules plus
+    a longest-rule window over matches only — and the full URL table
+    just left-joins the decision back (broadcast when the distinct
+    frame is small, shuffle otherwise; either way the rule regexes
+    and the window never touch the full table, and duplicate URLs
+    keep their row count).
+    """
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    path = F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    u = urls.withColumn("_host", host).withColumn("_path", path)
+    pages = u.select("_host", "_path").distinct()
+    matches = pages.join(
+        F.broadcast(rules), pages["_host"] == rules["host"]
+    ).where(F.col("_path").startswith(F.col("prefix")))
+    w = Window.partitionBy("_host", "_path").orderBy(
+        F.desc(F.length("prefix")), F.desc("allow")
+    )
+    winners = (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_host", "_path", "allow", "prefix")
+    )
+    return (
+        u.join(winners, ["_host", "_path"], "left")
+        .select(
+            *[F.col(c) for c in urls.columns],
+            F.coalesce("allow", F.lit(True)).alias("allowed"),
+            F.coalesce("prefix", F.lit("")).alias("rule"),
+        )
+    )

@@ -3639,6 +3639,80 @@ SELECT canon, ts, ukey, n_captures FROM (
 """
 
 
+def q_robots_match(spark, sf):
+    """Crawl-politeness matching (crawl.robots_match): per-host
+    Allow/Disallow prefix rules applied RFC 9309-style (longest match
+    wins, Allow breaks ties, hosts without rules default to allow).
+    Rules synthesized from part, URLs from orders; winners resolve
+    once per distinct (host, path) and join back — the full URL table
+    never meets the rule window."""
+    from .operators.crawl import robots_match
+
+    p = _t(spark, sf, "part")
+    rules = p.select(
+        F.concat(F.lit("h"), (F.col("p_partkey") % 30).cast("string"),
+                 F.lit(".com")).alias("host"),
+        F.element_at(
+            F.array(F.lit("/a"), F.lit("/a/b"), F.lit("/c"), F.lit("/")),
+            (F.col("p_partkey") % 4 + 1).cast("int"),
+        ).alias("prefix"),
+        (F.col("p_partkey") % 2 == 0).alias("allow"),
+    ).distinct()
+    o = _t(spark, sf, "orders")
+    urls = o.select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.concat(
+            F.lit("http://h"), (F.col("o_custkey") % 45).cast("string"),
+            F.lit(".com"),
+            F.element_at(
+                F.array(F.lit("/a/x"), F.lit("/a/b/y"), F.lit("/c"),
+                        F.lit("/d")),
+                (F.col("o_orderkey") % 4 + 1).cast("int"),
+            ),
+        ).alias("url"),
+    )
+    return robots_match(urls, rules, "url")
+
+
+O_ROBOTS_MATCH = """
+WITH rules AS (
+  SELECT DISTINCT 'h' || (p_partkey % 30)::VARCHAR || '.com' AS host,
+         (['/a', '/a/b', '/c', '/'])[(p_partkey % 4) + 1] AS prefix,
+         (p_partkey % 2 = 0) AS allow
+  FROM part
+),
+u AS (
+  SELECT o_orderkey::BIGINT AS okey,
+         'http://h' || (o_custkey % 45)::VARCHAR || '.com'
+         || (['/a/x', '/a/b/y', '/c', '/d'])[(o_orderkey % 4) + 1] AS url
+  FROM orders
+),
+pp AS (
+  SELECT okey, url,
+         lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+         CASE WHEN coalesce(regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '') = ''
+              THEN '/'
+              ELSE regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) END AS path
+  FROM u
+),
+m AS (
+  SELECT pp.okey, r.prefix, r.allow,
+         row_number() OVER (PARTITION BY pp.okey
+                            ORDER BY length(r.prefix) DESC, r.allow DESC)
+           AS rn
+  FROM pp JOIN rules r
+    ON pp.host = r.host AND starts_with(pp.path, r.prefix)
+)
+SELECT u.okey, u.url,
+       coalesce(m.allow, TRUE) AS allowed,
+       coalesce(m.prefix, '') AS rule
+FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (okey)
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -3727,6 +3801,7 @@ REGISTRY: dict[str, tuple] = {
     "url_blocklist": (q_url_blocklist, O_URL_BLOCKLIST),
     "delta_dedup": (q_delta_dedup, O_DELTA_DEDUP),
     "cdx_latest": (q_cdx_latest, O_CDX_LATEST),
+    "robots_match": (q_robots_match, O_ROBOTS_MATCH),
 }
 
 

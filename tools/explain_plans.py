@@ -159,6 +159,10 @@ AUDITS = {
                     "!BroadcastNestedLoopJoin"],
     # capture collapse: one shuffle on the canonical key, no join
     "cdx_latest": ["!Join", "!CartesianProduct"],
+    # robots: rules broadcast, winners per distinct page join back —
+    # the URL table never meets a nested loop
+    "robots_match": ["BroadcastHashJoin", "!CartesianProduct",
+                     "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -191,6 +195,7 @@ def main() -> None:
         "inverted_index", "domain_mix", "url_canon", "gopher_quality",
         "bm25_topk", "hits", "label_prop", "cooccur_pairs", "anchor_agg",
         "host_pagerank", "url_blocklist", "delta_dedup", "cdx_latest",
+        "robots_match",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
