@@ -46,7 +46,12 @@ def cmd_generate(args) -> int:
     from .sources import sinks
 
     spark = _spark(args)
-    pages = spark.read.parquet(args.pages)
+    if getattr(args, "warc", False):
+        from .sources.warc import read_warc, warc_to_pages
+
+        pages = warc_to_pages(read_warc(spark, args.pages))
+    else:
+        pages = spark.read.parquet(args.pages)
     catalog = SnapshotCatalog(args.catalog or f"{args.out}/_catalog")
     res = run_pipeline(
         spark,
@@ -236,6 +241,8 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--format", default="json",
                    choices=["json", "csv", "cyclonedx", "spdx"])
     g.add_argument("--no-resume", action="store_true")
+    g.add_argument("--warc", action="store_true",
+                   help="PAGES is a dir/glob of WARC(.gz) files, not parquet")
     g.set_defaults(fn=cmd_generate)
 
     m = sub.add_parser("merge", help="union two graph-JSON exports")

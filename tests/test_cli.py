@@ -119,3 +119,36 @@ def test_config_manager_and_cli(tmp_path, capsys):
     assert cm.delete("core", "output_format") is True
     assert cm.get("core", "output_format") is None
     assert cm.delete("ghost") is False
+
+
+def test_cli_generate_from_warc(spark, tmp_path, capsys):
+    import gzip
+
+    from surfactant_spark.sources.pages import synth_pages
+
+    rows = synth_pages(spark, 150).collect()
+    recs = []
+    for r in rows:
+        body = bytes(r.html)
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+        )
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {r.url}\r\n".encode()
+            + f"WARC-Date: {r.warc_ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n\r\n".encode()
+        )
+        recs.append(gzip.compress(hdr + http + b"\r\n\r\n"))
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    (wdir / "a.warc.gz").write_bytes(b"".join(recs[:75]))
+    (wdir / "b.warc.gz").write_bytes(b"".join(recs[75:]))
+
+    out = str(tmp_path / "out_warc")
+    assert main(["generate", str(wdir), out, "--warc",
+                 "--corpus-fingerprint", "warc-150"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["nodes"] > 0 and rep["edges"] > 0
