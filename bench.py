@@ -77,6 +77,7 @@ HEADLINE = [
     "delta_dedup",
     "cdx_latest",
     "robots_match",
+    "script_mix",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

@@ -307,3 +307,43 @@ def gopher_keep(col: str | Column = "text", min_words: int = 50,
         & (f["alpha_ratio_x1000"] >= 800)
         & (f["stop_hits"] >= min_stop_hits)
     )
+
+
+# Unicode script ranges for the script-mix signal (BMP blocks, so
+# char counts agree across engines' length() semantics)
+SCRIPT_RANGES = {
+    "latin": "[A-Za-z]",
+    "cjk": "[\\x{4E00}-\\x{9FFF}]",
+    "cyrillic": "[\\x{0400}-\\x{04FF}]",
+    "arabic": "[\\x{0600}-\\x{06FF}]",
+}
+
+
+def script_counts(col: str | Column = "text") -> dict[str, Column]:
+    """Per-script character counts (Latin/CJK/Cyrillic/Arabic BMP
+    blocks) — the multilingual curation signal that routes documents
+    to per-script tokenizers and quality models.  Counted as
+    ``length(s) - length(regexp_replace(s, class, ''))`` so the same
+    expression runs in any engine; pure codegen projection."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: (F.length(c) - F.length(F.regexp_replace(c, rng, "")))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script(col: str | Column = "text") -> Column:
+    """argmax script with a fixed priority order on ties
+    (latin > cjk > cyrillic > arabic; 'none' when no script chars) —
+    the same deterministic CASE chain as the language-ID vote."""
+    s = script_counts(col)
+    la, cj, cy, ar = (s[k] for k in ("latin", "cjk", "cyrillic", "arabic"))
+    return (
+        F.when((la >= cj) & (la >= cy) & (la >= ar) & (la > 0), F.lit("latin"))
+        .when((cj >= cy) & (cj >= ar) & (cj > 0), F.lit("cjk"))
+        .when((cy >= ar) & (cy > 0), F.lit("cyrillic"))
+        .when(ar > 0, F.lit("arabic"))
+        .otherwise(F.lit("none"))
+    )

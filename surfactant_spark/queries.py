@@ -3713,6 +3713,83 @@ FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (okey)
 """
 
 
+_SCRIPT_FRAGS_A = ["alpha beta", "你好世界", "привет мир", "مرحبا بالعالم",
+                   "mixed 数据 текст"]
+_SCRIPT_FRAGS_B = ["tail words", "漢字テキスト中文", "слово", "نص"]
+
+
+def q_script_mix(spark, sf):
+    """Unicode script detection (textfx.script_counts /
+    dominant_script): per-document Latin/CJK/Cyrillic/Arabic char
+    counts + deterministic argmax label, over mixed-script text
+    synthesized from orders keys and unicode literal fragments.  Pure
+    codegen projection — the multilingual routing signal rides the
+    scan."""
+    o = _t(spark, sf, "orders")
+    text = F.concat_ws(
+        " ",
+        F.element_at(
+            F.array(*[F.lit(x) for x in _SCRIPT_FRAGS_A]),
+            (F.col("o_orderkey") % 5 + 1).cast("int"),
+        ),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _SCRIPT_FRAGS_B]),
+            (F.col("o_custkey") % 4 + 1).cast("int"),
+        ),
+    )
+    df = o.select(
+        F.col("o_orderkey").cast("long").alias("okey"), text.alias("text")
+    )
+    sc = textfx.script_counts("text")
+    return df.select(
+        "okey",
+        *[sc[k] for k in ("latin", "cjk", "cyrillic", "arabic")],
+        textfx.dominant_script("text").alias("script"),
+    )
+
+
+def _script_mix_sql() -> str:
+    fa = ", ".join(f"'{x}'" for x in _SCRIPT_FRAGS_A)
+    fb = ", ".join(f"'{x}'" for x in _SCRIPT_FRAGS_B)
+    ranges = {
+        "latin": "[A-Za-z]",
+        "cjk": r"[\x{4E00}-\x{9FFF}]",
+        "cyrillic": r"[\x{0400}-\x{04FF}]",
+        "arabic": r"[\x{0600}-\x{06FF}]",
+    }
+    counts = ",\n         ".join(
+        f"length(text) - length(regexp_replace(text, '{rng}', '', 'g'))"
+        f" AS n_{name}"
+        for name, rng in ranges.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT o_orderkey::BIGINT AS okey,
+         ([{fa}])[(o_orderkey % 5) + 1] || ' ' ||
+         ([{fb}])[(o_custkey % 4) + 1] AS text
+  FROM orders
+),
+c AS (
+  SELECT okey,
+         {counts}
+  FROM t
+)
+SELECT okey, n_latin::BIGINT AS n_latin, n_cjk::BIGINT AS n_cjk,
+       n_cyrillic::BIGINT AS n_cyrillic, n_arabic::BIGINT AS n_arabic,
+       CASE WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic
+                 AND n_latin >= n_arabic AND n_latin > 0 THEN 'latin'
+            WHEN n_cjk >= n_cyrillic AND n_cjk >= n_arabic
+                 AND n_cjk > 0 THEN 'cjk'
+            WHEN n_cyrillic >= n_arabic AND n_cyrillic > 0 THEN 'cyrillic'
+            WHEN n_arabic > 0 THEN 'arabic'
+            ELSE 'none' END AS script
+FROM c
+"""
+
+
+O_SCRIPT_MIX = _script_mix_sql()
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -3802,6 +3879,7 @@ REGISTRY: dict[str, tuple] = {
     "delta_dedup": (q_delta_dedup, O_DELTA_DEDUP),
     "cdx_latest": (q_cdx_latest, O_CDX_LATEST),
     "robots_match": (q_robots_match, O_ROBOTS_MATCH),
+    "script_mix": (q_script_mix, O_SCRIPT_MIX),
 }
 
 

@@ -154,3 +154,25 @@ def test_label_propagation_square_and_determinism(spark):
         for r in label_propagation(e.repartition(5), rounds=2).collect()
     }
     assert one == two
+
+
+def test_script_counts_hand_computed(spark):
+    from surfactant_spark.functions.textfx import dominant_script, script_counts
+
+    df = spark.createDataFrame(
+        [(0, "abc 你好 пр م"), (1, "你好世界 ok"), (2, "123 !?")],
+        ["doc_id", "text"],
+    )
+    sc = script_counts("text")
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[sc[k] for k in ("latin", "cjk", "cyrillic", "arabic")],
+            dominant_script("text").alias("s"),
+        ).collect()
+    }
+    assert (rows[0].n_latin, rows[0].n_cjk, rows[0].n_cyrillic,
+            rows[0].n_arabic) == (3, 2, 2, 1)
+    assert rows[0].s == "latin"        # ties broken by priority
+    assert rows[1].s == "cjk"          # 4 cjk > 2 latin
+    assert rows[2].s == "none"

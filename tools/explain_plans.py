@@ -163,6 +163,8 @@ AUDITS = {
     # the URL table never meets a nested loop
     "robots_match": ["BroadcastHashJoin", "!CartesianProduct",
                      "!BroadcastNestedLoopJoin"],
+    # script detection: pure projection riding the scan
+    "script_mix": ["Project", "!Exchange", "!Join"],
 }
 
 
@@ -195,7 +197,7 @@ def main() -> None:
         "inverted_index", "domain_mix", "url_canon", "gopher_quality",
         "bm25_topk", "hits", "label_prop", "cooccur_pairs", "anchor_agg",
         "host_pagerank", "url_blocklist", "delta_dedup", "cdx_latest",
-        "robots_match",
+        "robots_match", "script_mix",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
