@@ -78,6 +78,7 @@ HEADLINE = [
     "cdx_latest",
     "robots_match",
     "script_mix",
+    "redirect_resolve",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

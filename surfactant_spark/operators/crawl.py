@@ -121,3 +121,65 @@ def robots_match(
             F.coalesce("prefix", F.lit("")).alias("rule"),
         )
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Resolve HTTP redirect chains to their terminal targets — the
+    crawl-side canonicalization that precedes URL-keyed dedup (a page
+    reachable through 301 hops must collapse onto its final URL).
+
+    Input is an edge list ``src → dst``; a src with several recorded
+    targets keeps the smallest (deterministic).  Resolution is
+    pointer DOUBLING: after k rounds every chain of length ≤ 2^k is
+    fully resolved, so ``max_hops`` (bound, not count) costs
+    ⌈log2⌉ self-joins — the connected-components trick applied to a
+    functional graph.  Cycles cannot resolve and fall out naturally:
+    a node whose final target still has an outgoing redirect after
+    the rounds is flagged ``resolved = false`` (its ``final`` column
+    is still deterministic — same doubling, any partitioning).
+
+    Output: (url, final, resolved).
+
+    100-TB shape: each round is one equi-join of the mapping against
+    itself (pre-partition by the join key at cluster scale) with
+    lineage truncated per round; redirect tables are ~1% of the crawl,
+    so the frames stay small relative to the page table they serve.
+    """
+    import math
+
+    base = (
+        redirects.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .groupBy("u")
+        .agg(F.min("v").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cur = base
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
+        a, b = cur.alias("a"), cur.alias("b")
+        cur = (
+            a.join(b, F.col("a.v") == F.col("b.u"), "left")
+            .select(
+                F.col("a.u").alias("u"),
+                F.coalesce(F.col("b.v"), F.col("a.v")).alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    srcs = base.select(F.col("u").alias("v")).distinct()
+    return (
+        cur.join(srcs, "v", "left_anti")
+        .select("u", "v", F.lit(True).alias("resolved"))
+        .unionByName(
+            cur.join(srcs, "v", "left_semi")
+            .select("u", "v", F.lit(False).alias("resolved"))
+        )
+        .select(
+            F.col("u").alias("url"),
+            F.col("v").alias("final"),
+            "resolved",
+        )
+    )

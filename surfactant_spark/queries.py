@@ -3790,6 +3790,44 @@ FROM c
 O_SCRIPT_MIX = _script_mix_sql()
 
 
+def q_redirect_resolve(spark, sf):
+    """Redirect-chain resolution (crawl.resolve_redirects): pointer
+    doubling over a functional redirect graph from orders — chains
+    collapse to terminal URLs in ⌈log2(max_hops)⌉ self-joins; cycle
+    members flag resolved=false.  Oracle unrolls the same 3 doubling
+    rounds."""
+    from .operators.crawl import resolve_redirects
+
+    o = _t(spark, sf, "orders")
+    red = o.select(
+        F.concat(F.lit("u"), (F.col("o_orderkey") % 3000).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("u"),
+                 ((F.col("o_orderkey") * 7 + 3) % 3000).cast("string"))
+        .alias("dst"),
+    )
+    return resolve_redirects(red, max_hops=8)
+
+
+O_REDIRECT_RESOLVE = """
+WITH e AS (
+  SELECT 'u' || (o_orderkey % 3000)::VARCHAR AS src,
+         'u' || ((o_orderkey*7 + 3) % 3000)::VARCHAR AS dst
+  FROM orders
+),
+base AS (SELECT src AS u, min(dst) AS v FROM e GROUP BY 1),
+r1 AS (SELECT a.u, coalesce(b.v, a.v) AS v
+       FROM base a LEFT JOIN base b ON a.v = b.u),
+r2 AS (SELECT a.u, coalesce(b.v, a.v) AS v
+       FROM r1 a LEFT JOIN r1 b ON a.v = b.u),
+r3 AS (SELECT a.u, coalesce(b.v, a.v) AS v
+       FROM r2 a LEFT JOIN r2 b ON a.v = b.u),
+srcs AS (SELECT DISTINCT u FROM base)
+SELECT r3.u AS url, r3.v AS final, (s.u IS NULL) AS resolved
+FROM r3 LEFT JOIN srcs s ON r3.v = s.u
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -3880,6 +3918,7 @@ REGISTRY: dict[str, tuple] = {
     "cdx_latest": (q_cdx_latest, O_CDX_LATEST),
     "robots_match": (q_robots_match, O_ROBOTS_MATCH),
     "script_mix": (q_script_mix, O_SCRIPT_MIX),
+    "redirect_resolve": (q_redirect_resolve, O_REDIRECT_RESOLVE),
 }
 
 

@@ -55,3 +55,28 @@ def test_robots_match_longest_wins_and_defaults(spark):
         4: (False, "/tmp"),
     }
     assert robots_match(urls, rules).count() == 5
+
+
+def test_resolve_redirects_chain_and_cycle(spark):
+    from surfactant_spark.operators.crawl import resolve_redirects
+
+    red = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),   # chain -> d (terminal)
+            ("x", "y"), ("y", "x"),               # 2-cycle
+            ("w", "x"),                           # chain into the cycle
+            ("a", "z"),                           # duplicate src: min(dst)='b'
+        ],
+        ["src", "dst"],
+    )
+    got = {r.url: (r.final, r.resolved)
+           for r in resolve_redirects(red, max_hops=8).collect()}
+    assert got["a"] == ("d", True)
+    assert got["b"] == ("d", True)
+    assert got["c"] == ("d", True)
+    assert got["x"][1] is False and got["y"][1] is False
+    assert got["w"][1] is False          # lands inside the cycle
+    # determinism across partitionings
+    two = {r.url: (r.final, r.resolved)
+           for r in resolve_redirects(red.repartition(7), max_hops=8).collect()}
+    assert got == two

@@ -165,6 +165,8 @@ AUDITS = {
                      "!BroadcastNestedLoopJoin"],
     # script detection: pure projection riding the scan
     "script_mix": ["Project", "!Exchange", "!Join"],
+    # redirect doubling: equi-self-joins only
+    "redirect_resolve": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -197,7 +199,7 @@ def main() -> None:
         "inverted_index", "domain_mix", "url_canon", "gopher_quality",
         "bm25_topk", "hits", "label_prop", "cooccur_pairs", "anchor_agg",
         "host_pagerank", "url_blocklist", "delta_dedup", "cdx_latest",
-        "robots_match", "script_mix",
+        "robots_match", "script_mix", "redirect_resolve",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
