@@ -183,3 +183,51 @@ def resolve_redirects(
             "resolved",
         )
     )
+
+
+_SITEMAP_BLOCK = r"(?s)<{tag}>(.*?)</{tag}>"
+_LOC_RE = r"(?s)<loc>\s*(.*?)\s*</loc>"
+_LASTMOD_RE = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
+
+
+def parse_sitemap_entries(
+    sitemaps: DataFrame, xml_col: str = "xml", src_col: str = "src"
+) -> DataFrame:
+    """Sitemap XML documents → (src, kind, loc, lastmod) entries.
+
+    ``<urlset>`` bodies yield ``kind='page'`` rows (one per ``<url>``
+    block); ``<sitemapindex>`` bodies yield ``kind='sitemap'`` rows
+    (one per ``<sitemap>`` block) that the crawl frontier follows —
+    feed them back through the fetch stage and this parser for the
+    standard two-level index expansion (composes with
+    expand_fixpoint, the reference's work-queue shape at
+    surfactant/cmd/generate.py's queue loop).
+
+    Sitemaps are machine-generated XML, so extraction is a pure
+    codegen expression pipeline (regexp block scan → per-block field
+    extracts); no Python, no shuffle — the plan is scan+project and
+    parallelizes with input splits at any scale.  ``lastmod`` is NULL
+    when absent; entries without ``<loc>`` are dropped.
+    """
+
+    def entries(tag: str, kind: str) -> DataFrame:
+        pat = _SITEMAP_BLOCK.format(tag=tag)
+        return (
+            sitemaps.select(
+                F.col(src_col).alias("src"),
+                F.explode(
+                    F.regexp_extract_all(F.col(xml_col), F.lit(pat), 1)
+                ).alias("blk"),
+            )
+            .select(
+                "src",
+                F.lit(kind).alias("kind"),
+                F.regexp_extract("blk", _LOC_RE, 1).alias("loc"),
+                F.nullif(
+                    F.regexp_extract("blk", _LASTMOD_RE, 1), F.lit("")
+                ).alias("lastmod"),
+            )
+            .where(F.col("loc") != "")
+        )
+
+    return entries("url", "page").unionByName(entries("sitemap", "sitemap"))

@@ -1,0 +1,173 @@
+"""Structured-data extraction: JSON-LD (schema.org) blocks → KG triples.
+
+Web pages carry machine-readable entity descriptions in
+``<script type="application/ld+json">`` blocks; flattening them into
+(subject, predicate, object) triples is the highest-precision KG
+construction signal webtext offers — no NLP, the publisher asserted
+the facts.  This is the webtext analog of the reference's typed
+info-extractor family (surfactant/infoextractors/*.py: parse a
+structured payload found inside a scanned artifact into relationship
+rows); see e.g. js_file.py's pattern-DB flow for the same
+extract-then-join shape.
+
+Scale design:
+
+* Block extraction is a pure codegen expression
+  (``regexp_extract_all`` + ``posexplode``) — no Python touches the
+  HTML column.
+* JSON flattening runs once per DISTINCT block content (webtext is
+  template-heavy: the same product JSON appears on every variant
+  page), via one Arrow ``mapInPandas`` stage over the deduplicated
+  blocks, then an equi-join back on the block hash.  The flattener
+  emits *url-relative* node ids so one flatten serves every page
+  carrying the block.
+* Subject/object id materialization (url#bN/path) happens JVM-side
+  after the join.
+
+Node identity: a JSON object's ``@id`` (when a string) is used
+verbatim (absolute); otherwise the node gets a deterministic blank id
+``<url>#b<block_idx><json_path>`` — both engines can reconstruct it.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (?s): blocks span lines.  Attribute order varies in the wild; accept
+# any attributes around type="application/ld+json" in either quote
+# style.  Non-greedy body up to the first closing </script>.
+_LDJSON_RE = (
+    r'(?si)<script[^>]*type\s*=\s*["\']application/ld\+json["\'][^>]*>'
+    r"(.*?)</script>"
+)
+
+_FLAT_SCHEMA = (
+    "jhash string, subj string, subj_abs boolean, "
+    "pred string, obj string, obj_kind string"
+)
+
+
+def _scalar_repr(v) -> str | None:
+    """JSON scalar → literal string (None for JSON null: no triple)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))
+        return str(v)
+    return str(v)
+
+
+def flatten_jsonld(jstr: str) -> list[tuple[str, bool, str, str, str]]:
+    """One JSON-LD block → [(subj, subj_abs, pred, obj, obj_kind)].
+
+    ``subj``/``obj`` are either absolute ids (``@id`` strings,
+    *_abs=True / obj_kind='abs') or url-relative path suffixes
+    (obj_kind='rel') to be prefixed with ``<url>#b<idx>`` by the
+    caller; literals use obj_kind='lit'.  A top-level array is
+    treated as multiple root nodes (path ``/<i>``).  Malformed JSON
+    yields no triples (web-scale tolerance; the page row survives).
+    """
+    try:
+        root = json.loads(jstr)
+    except (ValueError, RecursionError):
+        return []
+    out: list[tuple[str, bool, str, str, str]] = []
+
+    def node_id(obj: dict, path: str) -> tuple[str, bool]:
+        oid = obj.get("@id")
+        if isinstance(oid, str) and oid:
+            return oid, True
+        return path, False
+
+    def walk(obj: dict, path: str) -> None:
+        subj, subj_abs = node_id(obj, path)
+        for key in sorted(obj):
+            if key == "@id":
+                continue
+            val = obj[key]
+            items = val if isinstance(val, list) else [val]
+            in_list = isinstance(val, list)
+            for i, item in enumerate(items):
+                if isinstance(item, dict):
+                    cpath = f"{path}/{key}/{i}" if in_list else f"{path}/{key}"
+                    cid, cabs = node_id(item, cpath)
+                    out.append(
+                        (subj, subj_abs, key, cid, "abs" if cabs else "rel")
+                    )
+                    walk(item, cpath)
+                elif isinstance(item, list):
+                    continue  # nested arrays of arrays: no RDF analog
+                else:
+                    lit = _scalar_repr(item)
+                    if lit is not None:
+                        out.append((subj, subj_abs, key, lit, "lit"))
+    if isinstance(root, dict):
+        walk(root, "")
+    elif isinstance(root, list):
+        for i, item in enumerate(root):
+            if isinstance(item, dict):
+                walk(item, f"/{i}")
+    return out
+
+
+def extract_jsonld(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Pages → distinct (url, subj, pred, obj) JSON-LD triples.
+
+    Plan shape: codegen regexp scan → posexplode → distinct-block
+    Arrow flatten → equi-join back on block hash → codegen id
+    materialization.  The join is hash-based (block-hash key); the
+    Python stage sees each distinct block once.
+    """
+    blocks = (
+        pages.select(
+            F.col(url_col).alias("url"),
+            F.posexplode(
+                F.regexp_extract_all(F.col(html_col), F.lit(_LDJSON_RE), 1)
+            ).alias("bidx", "jstr"),
+        )
+        .where(F.length(F.trim("jstr")) > 0)
+        .select("url", "bidx", F.md5("jstr").alias("jhash"), "jstr")
+    )
+
+    uniq = blocks.select("jhash", "jstr").distinct()
+
+    def flatten_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for jhash, jstr in zip(pdf["jhash"], pdf["jstr"]):
+                for subj, sabs, pred, obj, kind in flatten_jsonld(jstr):
+                    rows.append((jhash, subj, sabs, pred, obj, kind))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "jhash", "subj", "subj_abs", "pred", "obj", "obj_kind"
+                ],
+            )
+
+    flat = uniq.mapInPandas(flatten_batches, _FLAT_SCHEMA)
+
+    base = F.concat(F.col("url"), F.lit("#b"), F.col("bidx").cast("string"))
+    joined = blocks.select("url", "bidx", "jhash").join(flat, "jhash")
+    return (
+        joined.select(
+            "url",
+            F.when(F.col("subj_abs"), F.col("subj"))
+            .otherwise(F.concat(base, F.col("subj")))
+            .alias("subj"),
+            F.col("pred"),
+            F.when(F.col("obj_kind") == "rel", F.concat(base, F.col("obj")))
+            .otherwise(F.col("obj"))
+            .alias("obj"),
+        )
+        .distinct()
+    )

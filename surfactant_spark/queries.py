@@ -3828,6 +3828,133 @@ FROM r3 LEFT JOIN srcs s ON r3.v = s.u
 """
 
 
+def q_jsonld_triples(spark, sf):
+    """JSON-LD structured-data extraction (structdata.extract_jsonld):
+    schema.org Product blocks synthesized from part are flattened into
+    (url, subj, pred, obj) triples — nested Brand nodes get blank ids
+    ``url#b0/brand`` unless they carry ``@id`` (every 5th part), which
+    is used verbatim.  The flattener runs once per DISTINCT block; the
+    oracle enumerates the same triples directly from part columns."""
+    from .operators.structdata import extract_jsonld
+
+    p = _t(spark, sf, "part")
+    brand_obj = F.when(
+        F.col("p_partkey") % 5 == 0,
+        F.concat(
+            F.lit('{"@id":"urn:brand:'), F.col("p_brand"),
+            F.lit('","@type":"Brand","name":"'), F.col("p_brand"),
+            F.lit('"}'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"@type":"Brand","name":"'), F.col("p_brand"),
+            F.lit('"}'),
+        )
+    )
+    js = F.concat(
+        F.lit('{"@type":"Product","name":"'), F.col("p_name"),
+        F.lit('","sku":'), F.col("p_partkey").cast("string"),
+        F.lit(',"brand":'), brand_obj,
+        F.lit(',"keywords":["'), F.col("p_type"),
+        F.lit('","sz'), F.col("p_size").cast("string"), F.lit('"]}'),
+    )
+    pages = p.select(
+        F.concat(
+            F.lit("http://shop"), (F.col("p_partkey") % 20).cast("string"),
+            F.lit(".example/p/"), F.col("p_partkey").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><head><script type="application/ld+json">'),
+            js,
+            F.lit("</script></head><body>ok</body></html>"),
+        ).alias("html"),
+    )
+    return extract_jsonld(pages)
+
+
+O_JSONLD_TRIPLES = """
+WITH p AS (
+  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         'http://shop' || (p_partkey % 20)::VARCHAR || '.example/p/'
+           || p_partkey::VARCHAR AS url
+  FROM part
+),
+n AS (
+  SELECT *, url || '#b0' AS root,
+         CASE WHEN p_partkey % 5 = 0 THEN 'urn:brand:' || p_brand
+              ELSE url || '#b0/brand' END AS bnode
+  FROM p
+)
+SELECT url, subj, pred, obj FROM (
+  SELECT url, root AS subj, '@type' AS pred, 'Product' AS obj FROM n
+  UNION ALL SELECT url, root, 'name', p_name FROM n
+  UNION ALL SELECT url, root, 'sku', p_partkey::VARCHAR FROM n
+  UNION ALL SELECT url, root, 'brand', bnode FROM n
+  UNION ALL SELECT url, root, 'keywords', p_type FROM n
+  UNION ALL SELECT url, root, 'keywords', 'sz' || p_size::VARCHAR FROM n
+  UNION ALL SELECT url, bnode, '@type', 'Brand' FROM n
+  UNION ALL SELECT url, bnode, 'name', p_brand FROM n
+) t
+"""
+
+
+def q_sitemap_extract(spark, sf):
+    """Sitemap ingestion (crawl.parse_sitemap_entries): urlset docs
+    (two <url> entries, the second loc whitespace-padded and without
+    lastmod) for most orders, sitemapindex docs every 7th — pure
+    codegen regex pipeline, oracle enumerates entries from orders."""
+    from .operators.crawl import parse_sitemap_entries
+
+    o = _t(spark, sf, "orders")
+    base = o.select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        (F.col("o_custkey") % 45).cast("string").alias("ck"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+    )
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>http://h'),
+        F.col("ck"), F.lit(".com/o/"), F.col("okey").cast("string"),
+        F.lit("</loc><lastmod>"), F.col("d"),
+        F.lit("</lastmod></url><url><loc>  http://h"),
+        F.col("ck"), F.lit(".com/o/"), F.col("okey").cast("string"),
+        F.lit("/items\n</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc>http://h'),
+        F.col("ck"), F.lit(".com/sub"), F.col("okey").cast("string"),
+        F.lit(".xml</loc><lastmod>"), F.col("d"),
+        F.lit("</lastmod></sitemap></sitemapindex>"),
+    )
+    docs = base.select(
+        F.concat(F.lit("sm"), F.col("okey").cast("string")).alias("src"),
+        F.when(F.col("okey") % 7 == 0, index).otherwise(urlset).alias("xml"),
+    )
+    return parse_sitemap_entries(docs)
+
+
+O_SITEMAP_EXTRACT = """
+WITH o AS (
+  SELECT o_orderkey::BIGINT AS okey, (o_custkey % 45)::VARCHAR AS ck,
+         strftime(o_orderdate, '%Y-%m-%d') AS d
+  FROM orders
+)
+SELECT 'sm' || okey::VARCHAR AS src, 'page' AS kind,
+       'http://h' || ck || '.com/o/' || okey::VARCHAR AS loc,
+       d AS lastmod
+FROM o WHERE okey % 7 <> 0
+UNION ALL
+SELECT 'sm' || okey::VARCHAR, 'page',
+       'http://h' || ck || '.com/o/' || okey::VARCHAR || '/items',
+       NULL
+FROM o WHERE okey % 7 <> 0
+UNION ALL
+SELECT 'sm' || okey::VARCHAR, 'sitemap',
+       'http://h' || ck || '.com/sub' || okey::VARCHAR || '.xml',
+       d
+FROM o WHERE okey % 7 = 0
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -3919,6 +4046,8 @@ REGISTRY: dict[str, tuple] = {
     "robots_match": (q_robots_match, O_ROBOTS_MATCH),
     "script_mix": (q_script_mix, O_SCRIPT_MIX),
     "redirect_resolve": (q_redirect_resolve, O_REDIRECT_RESOLVE),
+    "jsonld_triples": (q_jsonld_triples, O_JSONLD_TRIPLES),
+    "sitemap_extract": (q_sitemap_extract, O_SITEMAP_EXTRACT),
 }
 
 

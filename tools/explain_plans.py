@@ -167,6 +167,12 @@ AUDITS = {
     "script_mix": ["Project", "!Exchange", "!Join"],
     # redirect doubling: equi-self-joins only
     "redirect_resolve": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # JSON-LD: block scan is codegen regex; the Arrow flatten runs on
+    # DISTINCT blocks and equi-joins back — no nested loop ever
+    "jsonld_triples": ["MapInPandas", "!CartesianProduct",
+                       "!BroadcastNestedLoopJoin"],
+    # sitemap: pure codegen regex projection, union of two scans
+    "sitemap_extract": ["Project", "!Exchange", "!Join"],
 }
 
 
@@ -200,6 +206,7 @@ def main() -> None:
         "bm25_topk", "hits", "label_prop", "cooccur_pairs", "anchor_agg",
         "host_pagerank", "url_blocklist", "delta_dedup", "cdx_latest",
         "robots_match", "script_mix", "redirect_resolve",
+        "jsonld_triples", "sitemap_extract",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
