@@ -3955,6 +3955,64 @@ FROM o WHERE okey % 7 = 0
 """
 
 
+def q_name_match(spark, sf):
+    """Blocked fuzzy entity resolution (entityres.match_names):
+    left = part names with a numeric suffix, right = the same names
+    for every 3rd part with the 3rd character dropped — prefix/suffix
+    2-char blocking + length guard + codegen Levenshtein ≤ 2, never
+    all-pairs.  The oracle replays both block joins and the same
+    filters with DuckDB's levenshtein."""
+    from .operators.entityres import match_names
+
+    p = _t(spark, sf, "part")
+    named = p.select(
+        F.col("p_partkey"),
+        F.concat(
+            F.col("p_name"), F.lit(" "),
+            (F.col("p_partkey") % 100).cast("string"),
+        ).alias("name"),
+    )
+    left = named.select("name")
+    right = named.where(F.col("p_partkey") % 3 == 0).select(
+        F.concat(
+            F.substring("name", 1, 2), F.expr("substring(name, 4)")
+        ).alias("name")
+    )
+    return match_names(left, right, max_dist=2)
+
+
+O_NAME_MATCH = """
+WITH named AS (
+  SELECT p_name || ' ' || (p_partkey % 100)::VARCHAR AS name, p_partkey
+  FROM part
+),
+ln AS (
+  SELECT DISTINCT lower(trim(name)) AS name_l FROM named
+  WHERE length(lower(trim(name))) > 0
+),
+rn AS (
+  SELECT DISTINCT lower(trim(substr(name, 1, 2) || substr(name, 4)))
+           AS name_r
+  FROM named WHERE p_partkey % 3 = 0
+    AND length(lower(trim(substr(name, 1, 2) || substr(name, 4)))) > 0
+),
+cand AS (
+  SELECT name_l, name_r
+  FROM ln JOIN rn ON substr(name_l, 1, 2) = substr(name_r, 1, 2)
+  UNION
+  SELECT name_l, name_r
+  FROM ln JOIN rn
+    ON substr(name_l, greatest(length(name_l) - 1, 1), 2)
+     = substr(name_r, greatest(length(name_r) - 1, 1), 2)
+)
+SELECT name_l, name_r, levenshtein(name_l, name_r) AS dist
+FROM cand
+WHERE abs(length(name_l) - length(name_r)) <= 2
+  AND name_l <> name_r
+  AND levenshtein(name_l, name_r) <= 2
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -4048,6 +4106,7 @@ REGISTRY: dict[str, tuple] = {
     "redirect_resolve": (q_redirect_resolve, O_REDIRECT_RESOLVE),
     "jsonld_triples": (q_jsonld_triples, O_JSONLD_TRIPLES),
     "sitemap_extract": (q_sitemap_extract, O_SITEMAP_EXTRACT),
+    "name_match": (q_name_match, O_NAME_MATCH),
 }
 
 

@@ -173,6 +173,10 @@ AUDITS = {
                        "!BroadcastNestedLoopJoin"],
     # sitemap: pure codegen regex projection, union of two scans
     "sitemap_extract": ["Project", "!Exchange", "!Join"],
+    # fuzzy entity resolution: block equi-joins + codegen levenshtein,
+    # never all-pairs
+    "name_match": ["levenshtein", "!CartesianProduct",
+                   "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -206,7 +210,7 @@ def main() -> None:
         "bm25_topk", "hits", "label_prop", "cooccur_pairs", "anchor_agg",
         "host_pagerank", "url_blocklist", "delta_dedup", "cdx_latest",
         "robots_match", "script_mix", "redirect_resolve",
-        "jsonld_triples", "sitemap_extract",
+        "jsonld_triples", "sitemap_extract", "name_match",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
