@@ -479,3 +479,112 @@ def label_propagation(
             )
         )
     return labels
+
+
+def resource_allocation_pairs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 10**9,
+    max_neighbors: int = 64,
+    min_common: int = 1,
+) -> DataFrame:
+    """Link prediction by the resource-allocation index (Zhou/Lü/
+    Zhang 2009): candidate pair (a, b) scores
+    ``sum over shared neighbors z of 1/deg(z)`` — hubs contribute
+    little, rare shared neighbors a lot.  KG completion: propose
+    missing Uses/LinksTo edges between entities that share contexts.
+
+    Integer-exact for oracle parity: each z contributes
+    ``scale DIV deg(z)`` (integer division on both engines).
+
+    100-TB shape: NO self-join of the edge table.  Each neighbor z is
+    reduced to its sorted distinct source array, TRUNCATED to the
+    ``max_neighbors`` lexicographically-first sources (deterministic
+    hot-hub guard — an unbounded z with 1e5 in-links alone emits 5e9
+    pairs); ``deg`` stays the FULL distinct degree so the weight is
+    uncapped.  Pairs expand via a pure array expression (cost =
+    output size) and aggregate in one partial-agg groupBy.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("z")).distinct()
+    grouped = e.groupBy("z").agg(
+        F.array_sort(F.collect_set("s")).alias("ss")
+    )
+    capped = grouped.select(
+        F.expr(f"CAST({scale} DIV size(ss) AS BIGINT)").alias("w"),
+        F.slice("ss", 1, max_neighbors).alias("sc"),
+    )
+    sc = F.col("sc")
+    pairs = F.flatten(
+        F.transform(
+            sc,
+            lambda x, i: F.transform(
+                F.slice(sc, i + F.lit(2), F.size(sc)),
+                lambda y: F.struct(x.alias("node_a"), y.alias("node_b")),
+            ),
+        )
+    )
+    return (
+        capped.select(F.explode(pairs).alias("p"), "w")
+        .groupBy("p.node_a", "p.node_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum("w").cast("long").alias("score"),
+        )
+        .where(F.col("common") >= min_common)
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: (node, dist) = minimum hop count from any
+    seed, bounded by ``max_rounds``; unreachable nodes are absent.
+    Crawl-frontier depth labeling and KG neighborhood scoping (the
+    bounded analog of the reference's work-queue expansion,
+    surfactant/cmd/generate.py queue loop — here the depth itself is
+    the output).
+
+    Each round is one equi-join (frontier × edges) plus one
+    partial-agg min-groupBy — both shuffle on the node key, nothing
+    quadratic; rounds checkpoint lazily so the plan does not nest.
+    Frontier optimization: only nodes whose dist was set in round r
+    can improve a neighbor in round r+1, so the join input is the
+    last frontier, not the whole dist table.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(0).cast("int").alias("dist")
+    ).distinct()
+    frontier = dist
+    for _ in range(max_rounds):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(
+                F.col("v").alias("node"),
+                (F.col("dist") + F.lit(1)).cast("int").alias("dist"),
+            )
+        )
+        merged = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        # new frontier: nodes that improved this round
+        frontier = merged.join(
+            dist.withColumnRenamed("dist", "old"), "node", "left"
+        ).where(
+            F.col("old").isNull() | (F.col("dist") < F.col("old"))
+        ).select("node", "dist")
+        dist = merged
+    return dist

@@ -4013,6 +4013,113 @@ WHERE abs(length(name_l) - length(name_r)) <= 2
 """
 
 
+def q_link_predict(spark, sf):
+    """Resource-allocation link prediction
+    (graphquery.resource_allocation_pairs): suppliers sharing part
+    buckets, each shared bucket weighted scale DIV deg — sorted
+    capped neighbor arrays + array pair expansion, no self-join of
+    the edge table.  Oracle replays list slicing + pair expansion
+    with DuckDB list lambdas and integer division."""
+    from .operators.graphquery import resource_allocation_pairs
+
+    li = _t(spark, sf, "lineitem")
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 500).cast("string"))
+        .alias("dst"),
+    )
+    return resource_allocation_pairs(e, min_common=2)
+
+
+O_LINK_PREDICT = """
+WITH e AS (
+  SELECT DISTINCT 's' || l_suppkey::VARCHAR AS s,
+         'p' || (l_partkey % 500)::VARCHAR AS z
+  FROM lineitem
+),
+g AS (SELECT z, list(s ORDER BY s) AS ss FROM e GROUP BY z),
+c AS (SELECT 1000000000 // len(ss) AS w, ss[1:64] AS sc FROM g),
+x AS (
+  SELECT w,
+         unnest(flatten(list_transform(generate_series(1, len(sc)),
+           i -> list_transform(sc[i+1:], y -> {'a': sc[i], 'b': y}))))
+           AS pr
+  FROM c
+)
+SELECT pr.a AS node_a, pr.b AS node_b,
+       count(*)::BIGINT AS common, sum(w)::BIGINT AS score
+FROM x GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_bfs_dist(spark, sf):
+    """Multi-source BFS (graphquery.bfs_distances): order-derived
+    functional graph, customer-derived seed set, 4 bounded rounds of
+    frontier-join + min-groupBy.  Oracle unrolls the same 4 rounds as
+    CTEs."""
+    from .operators.graphquery import bfs_distances
+
+    o = _t(spark, sf, "orders")
+    u = F.concat(F.lit("n"), (F.col("o_orderkey") % 1500).cast("string"))
+    e = o.select(
+        u.alias("src"),
+        F.concat(
+            F.lit("n"),
+            ((F.col("o_orderkey") * 11 + 5) % 1500).cast("string"),
+        ).alias("dst"),
+    ).unionByName(
+        o.select(
+            u.alias("src"),
+            F.concat(
+                F.lit("n"),
+                ((F.col("o_orderkey") * 7 + 13) % 1500).cast("string"),
+            ).alias("dst"),
+        )
+    )
+    c = _t(spark, sf, "customer")
+    seeds = c.where(F.col("c_custkey") % 50 == 0).select(
+        F.concat(F.lit("n"), (F.col("c_custkey") % 1500).cast("string"))
+        .alias("node")
+    )
+    return bfs_distances(e, seeds, max_rounds=4)
+
+
+O_BFS_DIST = """
+WITH e AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT 'n' || (o_orderkey % 1500)::VARCHAR AS u,
+           'n' || ((o_orderkey * 11 + 5) % 1500)::VARCHAR AS v
+    FROM orders
+    UNION ALL
+    SELECT 'n' || (o_orderkey % 1500)::VARCHAR,
+           'n' || ((o_orderkey * 7 + 13) % 1500)::VARCHAR
+    FROM orders
+  ) t
+),
+d0 AS (
+  SELECT DISTINCT 'n' || (c_custkey % 1500)::VARCHAR AS node, 0 AS dist
+  FROM customer WHERE c_custkey % 50 = 0
+),
+d1 AS (SELECT node, min(dist) AS dist FROM (
+         SELECT * FROM d0
+         UNION ALL SELECT e.v, d0.dist + 1 FROM d0 JOIN e ON d0.node = e.u
+       ) t GROUP BY node),
+d2 AS (SELECT node, min(dist) AS dist FROM (
+         SELECT * FROM d1
+         UNION ALL SELECT e.v, d1.dist + 1 FROM d1 JOIN e ON d1.node = e.u
+       ) t GROUP BY node),
+d3 AS (SELECT node, min(dist) AS dist FROM (
+         SELECT * FROM d2
+         UNION ALL SELECT e.v, d2.dist + 1 FROM d2 JOIN e ON d2.node = e.u
+       ) t GROUP BY node),
+d4 AS (SELECT node, min(dist) AS dist FROM (
+         SELECT * FROM d3
+         UNION ALL SELECT e.v, d3.dist + 1 FROM d3 JOIN e ON d3.node = e.u
+       ) t GROUP BY node)
+SELECT node, dist FROM d4
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -4107,6 +4214,8 @@ REGISTRY: dict[str, tuple] = {
     "jsonld_triples": (q_jsonld_triples, O_JSONLD_TRIPLES),
     "sitemap_extract": (q_sitemap_extract, O_SITEMAP_EXTRACT),
     "name_match": (q_name_match, O_NAME_MATCH),
+    "link_predict": (q_link_predict, O_LINK_PREDICT),
+    "bfs_dist": (q_bfs_dist, O_BFS_DIST),
 }
 
 

@@ -177,6 +177,11 @@ AUDITS = {
     # never all-pairs
     "name_match": ["levenshtein", "!CartesianProduct",
                    "!BroadcastNestedLoopJoin"],
+    # RA link prediction: array pair expansion + one groupBy — the
+    # edge table never self-joins
+    "link_predict": ["HashAggregate", "!Join", "!CartesianProduct"],
+    # bounded BFS: frontier equi-joins + min-groupBy per round
+    "bfs_dist": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -211,6 +216,7 @@ def main() -> None:
         "host_pagerank", "url_blocklist", "delta_dedup", "cdx_latest",
         "robots_match", "script_mix", "redirect_resolve",
         "jsonld_triples", "sitemap_extract", "name_match",
+        "link_predict", "bfs_dist",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
