@@ -222,3 +222,75 @@ def installs_edges(packages: DataFrame, files: DataFrame) -> DataFrame:
             F.col("file_id").alias("obj"),
         )
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Change-data-capture diff of two table snapshots by key.
+
+    Returns one row per key present in either snapshot with
+    ``change`` ∈ {'added', 'removed', 'changed', 'unchanged'} and
+    ``changed_cols`` = sorted names of the compare columns whose
+    values differ (null-safe; empty array unless 'changed').  The
+    snapshot-level complement of the catalog's time travel
+    (plans/catalog.py history/read(snapshot=N)): time travel gives
+    you the old table, table_diff tells you what the new commit did —
+    the reference's incremental-SBOM re-run diff
+    (surfactant/cmd/generate.py:308-314) as a first-class operator.
+
+    Scale: ONE full-outer hash join on the key columns; comparisons
+    are codegen null-safe predicates, no window, no second shuffle.
+    'unchanged' rows (the overwhelming majority of a 100-TB delta)
+    are filtered out by default so the output is delta-sized.
+    """
+    cols = compare_cols or [
+        c for c in new.columns if c not in keys and c in old.columns
+    ]
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, on=keys, how="full_outer")
+    diff_names = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")),
+                    F.lit(c),
+                )
+                for c in sorted(cols)
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    ) if cols else F.array().cast("array<string>")
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.size("changed_cols") > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = (
+        j.withColumn(
+            "changed_cols",
+            F.when(
+                F.col("_in_old").isNull() | F.col("_in_new").isNull(),
+                F.array().cast("array<string>"),
+            ).otherwise(diff_names),
+        )
+        .withColumn("change", change)
+        .select(*keys, "change", "changed_cols")
+    )
+    if not include_unchanged:
+        out = out.where(F.col("change") != "unchanged")
+    return out

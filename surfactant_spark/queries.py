@@ -4120,6 +4120,65 @@ SELECT node, dist FROM d4
 """
 
 
+def q_snapshot_diff(spark, sf):
+    """CDC table diff (merge.table_diff): two order snapshots — every
+    10th key mod 3 absent from old, mod 6 absent from new, totalprice
+    bumped for every 7th — one full-outer key join + null-safe
+    codegen comparisons; 'unchanged' rows never leave the join.
+    Oracle replays with IS DISTINCT FROM + list_filter."""
+    from .operators.merge import table_diff
+
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    old = o.where(k % 10 != 3).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = o.where(k % 10 != 6).select(
+        "o_orderkey",
+        F.when(k % 7 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return table_diff(old, new, ["o_orderkey"])
+
+
+O_SNAPSHOT_DIFF = """
+WITH oldt AS (
+  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+  FROM orders WHERE o_orderkey % 10 <> 3
+),
+newt AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS p,
+         o_orderstatus AS s
+  FROM orders WHERE o_orderkey % 10 <> 6
+),
+j AS (
+  SELECT coalesce(oldt.k, newt.k) AS o_orderkey,
+         oldt.k IS NOT NULL AS in_old, newt.k IS NOT NULL AS in_new,
+         (oldt.p IS DISTINCT FROM newt.p) AS dp,
+         (oldt.s IS DISTINCT FROM newt.s) AS ds
+  FROM oldt FULL OUTER JOIN newt ON oldt.k = newt.k
+),
+r AS (
+  SELECT o_orderkey,
+         CASE WHEN NOT in_old THEN 'added'
+              WHEN NOT in_new THEN 'removed'
+              WHEN dp OR ds THEN 'changed'
+              ELSE 'unchanged' END AS change,
+         CASE WHEN NOT in_old OR NOT in_new THEN CAST([] AS VARCHAR[])
+              ELSE list_filter(
+                [CASE WHEN ds THEN 'o_orderstatus' END,
+                 CASE WHEN dp THEN 'o_totalprice' END],
+                x -> x IS NOT NULL) END AS changed_cols
+  FROM j
+)
+SELECT * FROM r WHERE change <> 'unchanged'
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -4216,6 +4275,7 @@ REGISTRY: dict[str, tuple] = {
     "name_match": (q_name_match, O_NAME_MATCH),
     "link_predict": (q_link_predict, O_LINK_PREDICT),
     "bfs_dist": (q_bfs_dist, O_BFS_DIST),
+    "snapshot_diff": (q_snapshot_diff, O_SNAPSHOT_DIFF),
 }
 
 

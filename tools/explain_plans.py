@@ -182,6 +182,9 @@ AUDITS = {
     "link_predict": ["HashAggregate", "!Join", "!CartesianProduct"],
     # bounded BFS: frontier equi-joins + min-groupBy per round
     "bfs_dist": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # CDC diff: exactly one full-outer hash join, comparisons codegen
+    "snapshot_diff": ["FullOuter", "!CartesianProduct", "!Window",
+                      "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -216,7 +219,7 @@ def main() -> None:
         "host_pagerank", "url_blocklist", "delta_dedup", "cdx_latest",
         "robots_match", "script_mix", "redirect_resolve",
         "jsonld_triples", "sitemap_extract", "name_match",
-        "link_predict", "bfs_dist",
+        "link_predict", "bfs_dist", "snapshot_diff",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
