@@ -79,6 +79,18 @@ HEADLINE = [
     "robots_match",
     "script_mix",
     "redirect_resolve",
+    "random_walks",
+    "url_template",
+    "frontier_schedule",
+    "corpus_cube",
+    "svo_triples",
+    "event_transitions",
+    "sessionize",
+    "scd2_status",
+    "degree_hist",
+    "vocab_coverage",
+    "label_centroids",
+    "psl_domain",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

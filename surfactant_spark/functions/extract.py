@@ -151,3 +151,19 @@ def resolve_href(src_url: str, href: str) -> str | None:
         return f"{scheme}://{host}{posix_normpath(href)}"
     base_dir = src_path.rsplit("/", 1)[0]
     return f"{scheme}://{host}{posix_normpath(base_dir + '/' + href)}"
+
+
+def url_template(col):
+    """Collapse volatile URL segments into a template: long hex runs
+    (ids, hashes) → 'H', then digit runs → 'N' — so
+    ``/product/12345?v=9`` and ``/product/99887?v=2`` share one
+    template.  URL-structure mining (which page *types* dominate a
+    host, which templates to crawl or skip) over billions of URLs is
+    a groupBy on this pure codegen expression.  The same two
+    regexp_replace steps replay in any engine (DuckDB needs the 'g'
+    flag; Spark's regexp_replace is global by default)."""
+    from pyspark.sql import functions as F  # keep module pure-Python
+
+    return F.regexp_replace(
+        F.regexp_replace(col, "[0-9a-f]{8,}", "H"), "[0-9]+", "N"
+    )

@@ -231,3 +231,125 @@ def parse_sitemap_entries(
         )
 
     return entries("url", "page").unionByName(entries("sitemap", "sitemap"))
+
+
+def schedule_frontier(
+    frontier: DataFrame,
+    per_host_k: int = 3,
+    global_n: int = 1000,
+    host_col: str = "host",
+    score_col: str = "score",
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness-budgeted crawl scheduling: keep at most
+    ``per_host_k`` URLs per host (by score, URL tie-break), then the
+    global top ``global_n`` — the batch that actually goes to the
+    fetchers.  The per-host cap is the politeness budget; the global
+    cap is fetcher capacity.
+
+    Scale shape: the per-host cap plans as WindowGroupLimit (Spark
+    ≥3.5 pushes the limit BELOW the exchange — each map task keeps
+    only k rows per host before shuffling), and the global cap is
+    TakeOrderedAndProject (per-partition top-N, then a driver-side
+    merge of N-row heaps — never a full sort of the frontier).
+    Ordering is fully deterministic: (score DESC, url ASC) with
+    unique URLs.
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc(score_col), F.asc(url_col)
+    )
+    return (
+        frontier.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= per_host_k)
+        .drop("_rn")
+        .orderBy(F.desc(score_col), F.asc(url_col))
+        .limit(global_n)
+    )
+
+
+def registrable_domain(
+    df: DataFrame,
+    psl_rules: list[str],
+    host_col: str = "host",
+    out_col: str = "reg_domain",
+) -> DataFrame:
+    """Public-Suffix-List registrable-domain extraction (eTLD+1) —
+    the grouping key web pipelines actually want ("same site"), since
+    naive last-two-labels breaks on multi-label suffixes (co.uk) and
+    wildcard TLDs (*.ck).  Implements the published PSL algorithm
+    subset: exact rules, ``*.`` wildcard rules (one label), ``!``
+    exception rules; exception beats everything, else longest rule;
+    no match defaults to the bare TLD.  ``out_col`` is NULL when the
+    host IS a public suffix.
+
+    Scale shape: suffix candidates are generated per DISTINCT host
+    with pure array expressions (≤ 2·n_labels keys per host), the
+    rule table broadcasts (the real PSL is ~9k rows), the winner is a
+    max(struct(is_exception, n_labels)) partial agg, and the result
+    equi-joins back to the input — duplicate hosts never pay twice.
+    """
+    spark = df.sparkSession
+    rrows = []
+    for r in psl_rules:
+        exc = r.startswith("!")
+        body = r[1:] if exc else r
+        n = len(body.split("."))
+        rrows.append((body, exc, n - 1 if exc else n))
+    rules = spark.createDataFrame(rrows, ["rule", "is_exc", "ps_labels"])
+
+    hosts = df.select(F.col(host_col).alias("_h")).distinct()
+    labels = F.split(F.col("_h"), r"\.")
+    tail = lambda i: F.array_join(  # noqa: E731
+        F.slice(labels, i, F.size(labels)), "."
+    )
+    cand = hosts.select(
+        "_h",
+        F.size(labels).alias("_nl"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(labels)),
+                    lambda i: F.array_compact(
+                        F.array(
+                            tail(i),
+                            F.when(
+                                i < F.size(labels),
+                                F.concat(F.lit("*."), tail(i + 1)),
+                            ),
+                        )
+                    ),
+                )
+            )
+        ).alias("_key"),
+    )
+    winners = (
+        cand.join(F.broadcast(rules), cand["_key"] == rules["rule"])
+        .groupBy("_h")
+        .agg(F.max(F.struct("is_exc", "ps_labels")).alias("_w"))
+        .select("_h", F.col("_w.ps_labels").alias("_ps"))
+    )
+    resolved = (
+        hosts.join(winners, "_h", "left")
+        .select(
+            "_h",
+            F.coalesce("_ps", F.lit(1)).alias("_ps"),
+            F.size(labels).alias("_nl"),
+        )
+        .select(
+            "_h",
+            F.when(
+                F.col("_nl") > F.col("_ps"),
+                F.array_join(
+                    F.slice(
+                        F.split(F.col("_h"), r"\."),
+                        F.col("_nl") - F.col("_ps"),
+                        F.col("_ps") + F.lit(1),
+                    ),
+                    ".",
+                ),
+            ).alias(out_col),
+        )
+    )
+    return df.join(
+        resolved, df[host_col] == resolved["_h"], "left"
+    ).drop("_h")

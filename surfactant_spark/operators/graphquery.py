@@ -588,3 +588,32 @@ def bfs_distances(
         ).select("node", "dist")
         dist = merged
     return dist
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "subj", dst: str = "obj"
+) -> DataFrame:
+    """Graph summarization: log2-bucketed total-degree histogram —
+    (bucket, lo, n_nodes) where bucket = floor(log2(degree)).  The
+    one-page shape report a 100-TB graph build publishes per
+    snapshot (hub detection, skew planning for the join salting in
+    operators/skew.py).
+
+    Two partial-agg groupBys, each over a frame that shrinks by
+    orders of magnitude (edges → nodes → ~40 buckets); no join.
+    log2 on a BIGINT degree is exact in both engines (integers
+    < 2^53 are exact doubles), so the bucket is engine-independent.
+    """
+    deg = (
+        edges.select(F.col(src).alias("n"))
+        .unionAll(edges.select(F.col(dst).alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    bucket = F.floor(F.log2("deg")).cast("long")
+    return (
+        deg.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .withColumn("lo", F.pow(F.lit(2.0), F.col("bucket")).cast("long"))
+        .select("bucket", "lo", "n_nodes")
+    )

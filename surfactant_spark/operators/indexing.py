@@ -187,3 +187,83 @@ def cooccurrence_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .where(F.col("n_docs") >= min_count)
     )
+
+
+def corpus_cube(
+    docs: DataFrame,
+    dims: tuple[str, ...] = ("lang", "source"),
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Corpus composition report: CUBE over ``dims`` (every dimension
+    subset, 'ALL' for rolled-up levels) with doc count + total size —
+    the mixture dashboard a 100-TB ingest run publishes per snapshot.
+
+    CUBE is a Spark-native grouping-sets aggregate: ONE shuffle
+    produces all 2^|dims| groupings (the Expand node multiplies rows
+    map-side, partial aggs still combine before the exchange) — vs
+    2^|dims| separate groupBys each rescanning the corpus.
+    """
+    # grouping() is only legal inside the Cube aggregate list, so the
+    # ALL-marking runs as agg columns and a post-select swaps them in.
+    gflags = [F.grouping(d).alias(f"_g_{d}") for d in dims]
+    gcols = [
+        F.when(F.col(f"_g_{d}") == 1, F.lit("ALL"))
+        .otherwise(F.col(d))
+        .alias(d)
+        for d in dims
+    ]
+    return (
+        docs.cube(*dims)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(size_col).cast("long").alias("total_size"),
+            *gflags,
+        )
+        .select(*gcols, "n_docs", "total_size")
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-coverage quality signal: fraction of a doc's tokens
+    found in the corpus's top-``vocab_k`` vocabulary — the cheap
+    language-model-free fluency proxy (OOV-heavy docs are boilerplate,
+    code, or the wrong language).  Integer-exact output: (doc_id,
+    n_tokens, n_in_vocab); the caller divides.
+
+    Vocabulary = top-k tokens by corpus frequency with deterministic
+    (count DESC, token ASC) tie-break — a partial-agg groupBy over
+    the exploded corpus, then TakeOrderedAndProject (never a full
+    sort).  The coverage pass re-explodes and LEFT SEMI joins the
+    (tiny, broadcast) vocabulary; per-doc counts come from one more
+    partial-agg groupBy.  Token totals are anchored by a groupBy on
+    the doc table itself, so zero-coverage docs still appear.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(vocab_k)
+        .select("tok")
+    )
+    totals = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    hits = (
+        toks.join(F.broadcast(vocab), "tok", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in_vocab"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_in_vocab", F.lit(0).cast("long")).alias("n_in_vocab"),
+    )

@@ -594,3 +594,36 @@ def sign_project(
             ).alias(f"p{j}")
         )
     return df.select(*cols)
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label centroid sums in long form: (label, pos, ssum, n) —
+    the class-prototype builder feeding centroid-based ANN routing
+    (ivf_topk's quantizer is the unsupervised twin) and per-cluster
+    quality triage.  Emitted as INTEGER-scaled sums (floor(x*scale +
+    0.5) summed as BIGINT) rather than float means: float addition is
+    order-dependent, so a doubles-based centroid differs run-to-run
+    under Spark's nondeterministic partial-agg order — scaled-int
+    sums are exact, engine- and partition-independent; callers divide
+    ssum/(scale*n) for the mean.
+
+    Shape: posexplode (rows = n_vecs × dim, but each row is 16 bytes
+    after projection) → ONE partial-agg groupBy on (label, pos) —
+    map-side combine collapses to |labels|×dim rows per task before
+    the shuffle.
+    """
+    e = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    return e.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        F.sum(
+            F.floor(F.col("x").cast("double") * scale + F.lit(0.5)).cast("long")
+        ).alias("ssum"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

@@ -171,3 +171,50 @@ def extract_jsonld(
         )
         .distinct()
     )
+
+
+# --- Open information extraction (pattern-based SVO) -----------------
+
+# One triple per sentence: optional determiner, capitalized subject
+# token, a closed-class relation verb, optional determiner, object
+# token.  RE2-compatible (no lookbehind/backrefs) so the same pattern
+# runs on Spark (Java regex) and DuckDB/RE2 oracles.
+SVO_VERBS = ("is", "was", "are", "has", "uses", "makes", "contains")
+_SVO_RE = (
+    r"(?:The |A |An )?([A-Z][A-Za-z0-9_-]*) ("
+    + "|".join(SVO_VERBS)
+    + r") (?:a |an |the )?([A-Za-z][A-Za-z0-9_-]*)"
+)
+_SENT_SPLIT_RE = r"[.!?]\s+"
+
+
+def extract_svo(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pattern-based open IE: (doc_id, subj, rel, obj), one triple per
+    sentence that matches the SVO pattern.  The cheap, recall-limited
+    cousin of the dictionary mention detector (operators/mentions.py)
+    — no pattern DB needed, the verb IS the predicate; useful as a
+    candidate generator feeding entity resolution + the KG merge.
+
+    Whole plan is codegen: sentence split (explode) + one
+    regexp_extract per capture group; no Python, no join, no shuffle
+    before the caller's aggregation.  The sentence splitter is the
+    delimiter-consuming ``[.!?]\\s+`` form (RE2-safe: lookbehind is
+    unavailable in DuckDB, and a trailing terminator without
+    following space stays attached — the SVO pattern is not
+    end-anchored, so it matches regardless).
+    """
+    sent = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), _SENT_SPLIT_RE)).alias("s"),
+    )
+    return (
+        sent.select(
+            "doc_id",
+            F.regexp_extract("s", _SVO_RE, 1).alias("subj"),
+            F.regexp_extract("s", _SVO_RE, 2).alias("rel"),
+            F.regexp_extract("s", _SVO_RE, 3).alias("obj"),
+        )
+        .where(F.col("rel") != "")
+    )

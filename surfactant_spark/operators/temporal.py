@@ -183,3 +183,111 @@ def latest_capture(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    streams: (prev_type, event_type, n) for consecutive events —
+    clickstream structure mining (which page types lead where), the
+    batch analog of the sessionizer (streaming/sessions.py).
+
+    One window (partition by user, order by ts with id tie-break —
+    deterministic under equal timestamps) + one partial-agg groupBy.
+    The window shuffles by user, which is the natural key: no user's
+    stream crosses partitions, so 100-TB scaling is linear in users.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    return (
+        events.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("event_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch gap-sessionization: split each user's stream at gaps
+    > ``gap_s`` seconds, emit one row per session — (user_id,
+    session_no, start ts, end ts, n_events).  The batch twin of the
+    streaming sessionizer (streaming/sessions.py): same gap
+    semantics, so a backfill and the live path agree.
+
+    Classic two-window formulation: a lag marks session starts, a
+    running sum of the marks numbers them — BOTH windows share the
+    (user, ts, id) sort, so Catalyst plans ONE Exchange + ONE Sort
+    for the pair; the per-session rollup is a partial-agg groupBy.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    # timestamp subtraction (day-time interval) works for both
+    # TIMESTAMP and TIMESTAMP_NTZ; a long cast does not
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = F.col(ts_col) - prev
+    marked = events.withColumn(
+        "_new",
+        F.when(
+            prev.isNull() | (gap > F.expr(f"INTERVAL {gap_s} SECOND")), 1
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_no", F.sum("_new").over(w).cast("long")
+    )
+    return numbered.groupBy(user_col, "session_no").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def scd2_intervals(
+    snapshots: DataFrame,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "uid",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval build: collapse an
+    entity's observation stream into value-change intervals —
+    (entity, value, valid_from, valid_to, is_current), valid_to NULL
+    on the open interval.  This is the KG versioning primitive: the
+    merge pipeline observes entity attributes per crawl snapshot;
+    downstream time-travel queries want intervals, not observations.
+
+    Change points = rows where the value differs from its lag;
+    valid_to = the NEXT change point's timestamp (lead over the
+    change-point frame).  Both windows partition on the entity key,
+    so the whole operator is one Exchange; the change-point filter
+    shrinks the frame before the second window's sort.
+    """
+    w = Window.partitionBy(entity_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    chg = (
+        snapshots.withColumn("_prev", F.lag(value_col).over(w))
+        .where(
+            F.col("_prev").isNull()
+            | ~F.col("_prev").eqNullSafe(F.col(value_col))
+        )
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(entity_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    return chg.select(
+        F.col(entity_col).alias("entity_id"),
+        F.col(value_col).alias("value"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

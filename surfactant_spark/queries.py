@@ -4179,6 +4179,539 @@ SELECT * FROM r WHERE change <> 'unchanged'
 """
 
 
+def q_random_walks(spark, sf):
+    """Deterministic random walks (walks.random_walks): 3 hops over
+    the branching order graph, next hop = md5(salt|cur|step) mod
+    degree over sorted neighbor arrays — partition- and
+    engine-independent.  Oracle unrolls 3 steps with the same md5
+    arithmetic and 1-based list indexing."""
+    from .operators.walks import random_walks
+
+    o = _t(spark, sf, "orders")
+    u = F.concat(F.lit("n"), (F.col("o_orderkey") % 1500).cast("string"))
+    e = o.select(
+        u.alias("src"),
+        F.concat(
+            F.lit("n"),
+            ((F.col("o_orderkey") * 11 + 5) % 1500).cast("string"),
+        ).alias("dst"),
+    ).unionByName(
+        o.select(
+            u.alias("src"),
+            F.concat(
+                F.lit("n"),
+                ((F.col("o_orderkey") * 7 + 13) % 1500).cast("string"),
+            ).alias("dst"),
+        )
+    )
+    return random_walks(e, walk_len=3)
+
+
+def _walk_step(frm: str, to: str, t: int) -> str:
+    return f"""
+{to} AS (
+  SELECT start, coalesce(nx, cur) AS cur,
+         CASE WHEN nx IS NOT NULL THEN walk || '>' || nx
+              ELSE walk END AS walk
+  FROM (
+    SELECT w.start, w.cur, w.walk,
+           a.ns[(('0x' || substr(md5('w0|' || w.cur || '|{t}'), 1, 4))::BIGINT
+                 % len(a.ns) + 1)::INT] AS nx
+    FROM {frm} w LEFT JOIN a ON w.cur = a.u
+  ) t{t}
+)"""
+
+
+O_RANDOM_WALKS = f"""
+WITH e AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT 'n' || (o_orderkey % 1500)::VARCHAR AS u,
+           'n' || ((o_orderkey * 11 + 5) % 1500)::VARCHAR AS v
+    FROM orders
+    UNION ALL
+    SELECT 'n' || (o_orderkey % 1500)::VARCHAR,
+           'n' || ((o_orderkey * 7 + 13) % 1500)::VARCHAR
+    FROM orders
+  ) t
+),
+adj AS (SELECT u, list(v ORDER BY v) AS ns0 FROM e GROUP BY u),
+a AS (SELECT u, ns0[1:256] AS ns FROM adj),
+w0 AS (SELECT u AS start, u AS cur, u AS walk FROM a),
+{_walk_step('w0', 'w1', 1)[1:]},
+{_walk_step('w1', 'w2', 2).strip().lstrip()},
+{_walk_step('w2', 'w3', 3).strip()}
+SELECT start, cur AS stop, walk FROM w3
+"""
+
+
+def q_url_template(spark, sf):
+    """URL-structure mining (functions/extract.url_template): collapse
+    hex ids and digit runs into a template, then ONE groupBy counts
+    pages per template — the crawl-planning report ("which page types
+    dominate a host") as a pure codegen projection + partial-agg
+    shuffle.  Oracle replays the two regexp_replace steps with the
+    'g' flag (Spark's regexp_replace is global by default)."""
+    from .functions.extract import url_template
+
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    urls = o.select(
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit("/p/"),
+                F.substring(F.md5(k.cast("string")), 1, 12),
+                F.lit("/item"),
+                (k % 997).cast("string"),
+                F.lit("?v="),
+                (F.col("o_custkey") % 13).cast("string"),
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit("/blog/"),
+                (k % 2024).cast("string"),
+                F.lit("/post-"),
+                (k % 500).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("/about/team"))
+        .alias("url")
+    )
+    return (
+        urls.groupBy(url_template(F.col("url")).alias("template"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    )
+
+
+O_URL_TEMPLATE = r"""
+WITH u AS (
+  SELECT CASE o_orderkey % 3
+         WHEN 0 THEN '/p/' || substr(md5(o_orderkey::VARCHAR), 1, 12)
+                 || '/item' || (o_orderkey % 997)::VARCHAR
+                 || '?v=' || (o_custkey % 13)::VARCHAR
+         WHEN 1 THEN '/blog/' || (o_orderkey % 2024)::VARCHAR
+                 || '/post-' || (o_orderkey % 500)::VARCHAR
+         ELSE '/about/team' END AS url
+  FROM orders
+)
+SELECT regexp_replace(regexp_replace(url, '[0-9a-f]{8,}', 'H', 'g'),
+                      '[0-9]+', 'N', 'g') AS template,
+       count(*)::BIGINT AS n_urls
+FROM u GROUP BY 1
+"""
+
+
+def q_frontier_schedule(spark, sf):
+    """Politeness-budgeted crawl scheduling (crawl.schedule_frontier):
+    top-3 URLs per host by score then global top-50 — the per-host
+    cap plans as WindowGroupLimit (limit below the exchange), the
+    global cap as TakeOrderedAndProject (no full sort).  Ordering is
+    fully deterministic: integer score DESC, unique url ASC."""
+    from .operators.crawl import schedule_frontier
+
+    o = _t(spark, sf, "orders")
+    frontier = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string"))
+        .alias("host"),
+        F.concat(F.lit("u"), F.col("o_orderkey").cast("string"))
+        .alias("url"),
+        ((F.col("o_orderkey") * 7919) % 100000).cast("long").alias("score"),
+    )
+    return schedule_frontier(frontier, per_host_k=3, global_n=50)
+
+
+O_FRONTIER_SCHEDULE = r"""
+WITH f AS (
+  SELECT 'h' || (o_custkey % 40)::VARCHAR AS host,
+         'u' || o_orderkey::VARCHAR AS url,
+         ((o_orderkey * 7919) % 100000)::BIGINT AS score
+  FROM orders
+),
+r AS (
+  SELECT host, url, score,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY score DESC, url) AS rn
+  FROM f
+)
+SELECT host, url, score FROM r WHERE rn <= 3
+ORDER BY score DESC, url LIMIT 50
+"""
+
+
+def q_corpus_cube(spark, sf):
+    """Corpus composition dashboard (indexing.corpus_cube): CUBE over
+    (lang, source) — all four grouping sets (per-pair, per-lang,
+    per-source, grand total) from ONE shuffle via the Expand node,
+    'ALL' marking rolled-up levels.  Oracle is ANSI GROUP BY CUBE
+    with GROUPING()."""
+    from .operators.indexing import corpus_cube
+
+    d = _t(spark, sf, "documents")
+    return corpus_cube(d, dims=("lang", "source"), size_col="n_chars")
+
+
+O_CORPUS_CUBE = r"""
+SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+       CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_size
+FROM documents GROUP BY CUBE(lang, source)
+"""
+
+
+def q_svo_triples(spark, sf):
+    """Pattern-based open IE (structdata.extract_svo): SVO triples
+    from synthesized prose (the documents table is lowercase
+    shingle text, so sentences are built deterministically from
+    orders — matching and non-matching alike), then one groupBy
+    counts (rel, obj) candidate frequencies.  Whole extraction is
+    codegen: split-explode + three regexp_extract, no Python."""
+    from .operators.structdata import extract_svo
+
+    o = _t(spark, sf, "orders")
+    docs = o.select(
+        F.col("o_orderkey").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("The Widget"),
+            (F.col("o_orderkey") % 50).cast("string"),
+            F.lit(" uses tool"),
+            (F.col("o_orderkey") % 7).cast("string"),
+            F.lit(". lowercase start never matches. Vendor"),
+            (F.col("o_custkey") % 30).cast("string"),
+            F.lit(" has stock. An Engine"),
+            (F.col("o_orderkey") % 9).cast("string"),
+            F.lit(" contains a bolt"),
+            (F.col("o_orderkey") % 4).cast("string"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    t = extract_svo(docs)
+    return t.groupBy("subj", "rel", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+O_SVO_TRIPLES = r"""
+WITH docs AS (
+  SELECT o_orderkey::BIGINT AS doc_id,
+         'The Widget' || (o_orderkey % 50)::VARCHAR
+         || ' uses tool' || (o_orderkey % 7)::VARCHAR
+         || '. lowercase start never matches. Vendor'
+         || (o_custkey % 30)::VARCHAR
+         || ' has stock. An Engine' || (o_orderkey % 9)::VARCHAR
+         || ' contains a bolt' || (o_orderkey % 4)::VARCHAR || '.' AS text
+  FROM orders
+),
+sent AS (
+  SELECT doc_id, unnest(string_split_regex(text, '[.!?]\s+')) AS s
+  FROM docs
+),
+ext AS (
+  SELECT doc_id,
+   coalesce(regexp_extract(s, '(?:The |A |An )?([A-Z][A-Za-z0-9_-]*) (is|was|are|has|uses|makes|contains) (?:a |an |the )?([A-Za-z][A-Za-z0-9_-]*)', 1), '') AS subj,
+   coalesce(regexp_extract(s, '(?:The |A |An )?([A-Z][A-Za-z0-9_-]*) (is|was|are|has|uses|makes|contains) (?:a |an |the )?([A-Za-z][A-Za-z0-9_-]*)', 2), '') AS rel,
+   coalesce(regexp_extract(s, '(?:The |A |An )?([A-Z][A-Za-z0-9_-]*) (is|was|are|has|uses|makes|contains) (?:a |an |the )?([A-Za-z][A-Za-z0-9_-]*)', 3), '') AS obj
+  FROM sent
+)
+SELECT subj, rel, obj, count(*)::BIGINT AS n
+FROM ext WHERE rel <> '' GROUP BY 1, 2, 3
+"""
+
+
+def q_event_transitions(spark, sf):
+    """Clickstream Markov structure (temporal.event_transitions):
+    (prev_type, event_type) transition counts over per-user streams —
+    one window shuffled by user (the natural key: no user's stream
+    crosses partitions) + one partial-agg groupBy.  Deterministic
+    under equal timestamps via the event_id tie-break."""
+    from .operators.temporal import event_transitions
+
+    e = _t(spark, sf, "events")
+    return event_transitions(e)
+
+
+O_EVENT_TRANSITIONS = r"""
+WITH lagged AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events
+)
+SELECT prev_type, event_type, count(*)::BIGINT AS n
+FROM lagged WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf):
+    """Batch gap-sessionization (temporal.sessionize): 30-minute gap
+    splits per user stream → one row per session with start/end/count.
+    Two windows sharing one (user, ts, id) sort = ONE Exchange, then
+    a partial-agg rollup."""
+    from .operators.temporal import sessionize
+
+    e = _t(spark, sf, "events")
+    return sessionize(e, gap_s=1800)
+
+
+O_SESSIONIZE = r"""
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+n AS (
+  SELECT user_id, ts,
+         sum(new) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id)::BIGINT AS session_no
+  FROM m
+)
+SELECT user_id, session_no,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM n GROUP BY user_id, session_no
+"""
+
+
+def q_scd2_status(spark, sf):
+    """SCD-2 interval build (temporal.scd2_intervals): each customer's
+    order-status observation stream collapses to value-change
+    intervals with valid_from/valid_to (NULL = open) — the KG
+    attribute-versioning primitive.  One Exchange on the entity key;
+    the change-point filter shrinks the frame before the lead."""
+    from .operators.temporal import scd2_intervals
+
+    o = _t(spark, sf, "orders")
+    snaps = o.select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderstatus").alias("value"),
+        F.col("o_orderkey").alias("uid"),
+    )
+    return scd2_intervals(snaps)
+
+
+O_SCD2_STATUS = r"""
+WITH chg AS (
+  SELECT entity_id, value, ts, uid
+  FROM (
+    SELECT o_custkey AS entity_id, o_orderstatus AS value,
+           o_orderdate AS ts, o_orderkey AS uid,
+           lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+           AS prev
+    FROM orders
+  ) t
+  WHERE prev IS NULL OR prev <> value
+)
+SELECT entity_id, value, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY entity_id ORDER BY ts, uid)
+         AS valid_to,
+       lead(ts) OVER (PARTITION BY entity_id ORDER BY ts, uid) IS NULL
+         AS is_current
+FROM chg
+"""
+
+
+def q_degree_hist(spark, sf):
+    """Graph shape report (graphquery.degree_histogram): log2-bucketed
+    total-degree histogram over the synthetic order graph — two
+    partial-agg groupBys over frames that shrink by orders of
+    magnitude, no join."""
+    from .operators.graphquery import degree_histogram
+
+    o = _t(spark, sf, "orders")
+    e = o.select(
+        F.concat(F.lit("n"), (F.col("o_orderkey") % 1500).cast("string"))
+        .alias("subj"),
+        F.concat(
+            F.lit("n"), ((F.col("o_orderkey") * 11 + 5) % 400).cast("string")
+        ).alias("obj"),
+    )
+    return degree_histogram(e)
+
+
+O_DEGREE_HIST = r"""
+WITH e AS (
+  SELECT 'n' || (o_orderkey % 1500)::VARCHAR AS subj,
+         'n' || ((o_orderkey * 11 + 5) % 400)::VARCHAR AS obj
+  FROM orders
+),
+deg AS (
+  SELECT n, count(*)::BIGINT AS deg FROM (
+    SELECT subj AS n FROM e UNION ALL SELECT obj FROM e
+  ) t GROUP BY n
+)
+SELECT floor(log2(deg))::BIGINT AS bucket,
+       (2 ** floor(log2(deg)))::BIGINT AS lo,
+       count(*)::BIGINT AS n_nodes
+FROM deg GROUP BY 1, 2
+"""
+
+
+def q_vocab_coverage(spark, sf):
+    """OOV quality signal (indexing.vocab_coverage): per-doc token
+    count + top-100-vocabulary hit count, integer-exact.  Vocabulary
+    is a TakeOrderedAndProject over the term groupBy; the coverage
+    pass LEFT SEMI joins the broadcast vocabulary."""
+    from .operators.indexing import vocab_coverage
+
+    d = _t(spark, sf, "documents")
+    return vocab_coverage(d, vocab_k=100)
+
+
+O_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+  FROM documents
+),
+t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+vocab AS (
+  SELECT tok FROM t GROUP BY tok
+  ORDER BY count(*) DESC, tok LIMIT 100
+),
+totals AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens FROM t GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_in_vocab
+  FROM t WHERE tok IN (SELECT tok FROM vocab) GROUP BY doc_id
+)
+SELECT totals.doc_id, n_tokens, coalesce(n_in_vocab, 0)::BIGINT AS n_in_vocab
+FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+"""
+
+
+def q_label_centroids(spark, sf):
+    """Class prototypes (similarity.label_centroids): per-(label,
+    dim) integer-scaled embedding sums — exact under any partial-agg
+    order, unlike float means.  posexplode + ONE partial-agg
+    groupBy."""
+    from .operators.similarity import label_centroids
+
+    e = _t(spark, sf, "embeddings")
+    return label_centroids(e)
+
+
+O_LABEL_CENTROIDS = r"""
+WITH x AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, pos::BIGINT AS pos,
+       sum(floor(v::DOUBLE * 1000000 + 0.5)::BIGINT)::BIGINT AS ssum,
+       count(*)::BIGINT AS n
+FROM x GROUP BY 1, 2
+"""
+
+
+_PSL_RULES = [
+    "com", "org", "net", "uk", "co.uk", "io", "github.io",
+    "*.ck", "!www.ck",
+]
+
+
+def q_psl_domain(spark, sf):
+    """eTLD+1 extraction (crawl.registrable_domain): Public-Suffix-List
+    longest-match with wildcard and exception rules over hosts spanning
+    every rule class — multi-label suffix (co.uk), wildcard (*.ck),
+    exception (www.ck), private suffix (github.io), bare-TLD default.
+    Distinct hosts pay once; the rule table broadcasts."""
+    from .operators.crawl import registrable_domain
+
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    hosts = o.select(
+        F.element_at(
+            F.array(
+                F.concat(F.lit("shop"), (k % 7).cast("string"),
+                         F.lit(".example.com")),
+                F.concat(F.lit("b"), (k % 5).cast("string"),
+                         F.lit(".x"), (k % 3).cast("string"),
+                         F.lit(".co.uk")),
+                F.concat(F.lit("t"), (k % 4).cast("string"),
+                         F.lit(".foo.ck")),
+                F.lit("www.ck"),
+                F.concat(F.lit("p"), (k % 6).cast("string"),
+                         F.lit(".user"), (k % 2).cast("string"),
+                         F.lit(".github.io")),
+                F.lit("io"),
+                F.concat(F.lit("odd"), (k % 3).cast("string"),
+                         F.lit(".internal")),
+            ),
+            (k % 7 + 1).cast("int"),
+        ).alias("host")
+    )
+    out = registrable_domain(hosts, _PSL_RULES)
+    return out.groupBy("host", "reg_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+O_PSL_DOMAIN = r"""
+WITH hosts AS (
+  SELECT (['shop' || (o_orderkey % 7)::VARCHAR || '.example.com',
+          'b' || (o_orderkey % 5)::VARCHAR || '.x'
+              || (o_orderkey % 3)::VARCHAR || '.co.uk',
+          't' || (o_orderkey % 4)::VARCHAR || '.foo.ck',
+          'www.ck',
+          'p' || (o_orderkey % 6)::VARCHAR || '.user'
+              || (o_orderkey % 2)::VARCHAR || '.github.io',
+          'io',
+          'odd' || (o_orderkey % 3)::VARCHAR || '.internal'
+         ])[(o_orderkey % 7) + 1] AS host
+  FROM orders
+),
+rules(rule, is_exc, ps_labels) AS (VALUES
+  ('com', false, 1), ('org', false, 1), ('net', false, 1),
+  ('uk', false, 1), ('co.uk', false, 2), ('io', false, 1),
+  ('github.io', false, 2), ('*.ck', false, 2), ('www.ck', true, 1)
+),
+h AS (SELECT DISTINCT host FROM hosts),
+lab AS (SELECT host, string_split(host, '.') AS p FROM h),
+cand AS (
+  SELECT host, len(p) AS nl, i,
+         array_to_string(p[i:], '.') AS sfx,
+         CASE WHEN i < len(p)
+              THEN '*.' || array_to_string(p[i+1:], '.') END AS wild
+  FROM lab, unnest(generate_series(1, len(p))) AS t(i)
+),
+keys AS (
+  SELECT host, sfx AS key FROM cand
+  UNION ALL
+  SELECT host, wild FROM cand WHERE wild IS NOT NULL
+),
+winners AS (
+  SELECT host, ps_labels,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY is_exc DESC, ps_labels DESC) AS rn
+  FROM keys k JOIN rules r ON k.key = r.rule
+),
+resolved AS (
+  SELECT lab.host,
+         coalesce(w.ps_labels, 1) AS ps, len(lab.p) AS nl, lab.p
+  FROM lab LEFT JOIN (SELECT host, ps_labels FROM winners WHERE rn = 1) w
+    ON lab.host = w.host
+),
+rd AS (
+  SELECT host,
+         CASE WHEN nl > ps
+              THEN array_to_string(p[nl-ps:], '.') END AS reg_domain
+  FROM resolved
+)
+SELECT hosts.host, rd.reg_domain, count(*)::BIGINT AS n
+FROM hosts JOIN rd ON hosts.host = rd.host
+GROUP BY 1, 2
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -4276,6 +4809,18 @@ REGISTRY: dict[str, tuple] = {
     "link_predict": (q_link_predict, O_LINK_PREDICT),
     "bfs_dist": (q_bfs_dist, O_BFS_DIST),
     "snapshot_diff": (q_snapshot_diff, O_SNAPSHOT_DIFF),
+    "random_walks": (q_random_walks, O_RANDOM_WALKS),
+    "url_template": (q_url_template, O_URL_TEMPLATE),
+    "frontier_schedule": (q_frontier_schedule, O_FRONTIER_SCHEDULE),
+    "corpus_cube": (q_corpus_cube, O_CORPUS_CUBE),
+    "svo_triples": (q_svo_triples, O_SVO_TRIPLES),
+    "event_transitions": (q_event_transitions, O_EVENT_TRANSITIONS),
+    "sessionize": (q_sessionize, O_SESSIONIZE),
+    "scd2_status": (q_scd2_status, O_SCD2_STATUS),
+    "degree_hist": (q_degree_hist, O_DEGREE_HIST),
+    "vocab_coverage": (q_vocab_coverage, O_VOCAB_COVERAGE),
+    "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
+    "psl_domain": (q_psl_domain, O_PSL_DOMAIN),
 }
 
 

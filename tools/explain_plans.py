@@ -185,6 +185,38 @@ AUDITS = {
     # CDC diff: exactly one full-outer hash join, comparisons codegen
     "snapshot_diff": ["FullOuter", "!CartesianProduct", "!Window",
                       "!BroadcastNestedLoopJoin"],
+    # random walks: each hop is an equi-join against the compact
+    # adjacency — never a nested loop
+    "random_walks": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # URL templating: codegen projection + ONE partial-agg groupBy
+    "url_template": ["HashAggregate", "!Join", "!CartesianProduct"],
+    # frontier scheduling: per-host cap = WindowGroupLimit (map-side
+    # partial top-k; its Sort nodes are partition-local), global cap
+    # = TakeOrderedAndProject (per-partition heap + driver merge —
+    # never a global sort), no join anywhere
+    "frontier_schedule": ["WindowGroupLimit", "TakeOrderedAndProject",
+                          "!Join"],
+    # corpus CUBE: all grouping sets from ONE shuffle via Expand
+    "corpus_cube": ["Expand", "HashAggregate", "!Join"],
+    # SVO extraction: explode (Generate) + codegen regex + groupBy
+    "svo_triples": ["Generate", "HashAggregate", "!Join"],
+    # event transitions: one window on the user key + partial agg
+    "event_transitions": ["Window", "HashAggregate", "!Join"],
+    # sessionization: two windows sharing ONE sort + rollup, no join
+    "sessionize": ["Window", "HashAggregate", "!Join"],
+    # SCD-2 intervals: windows on the entity key only, no join
+    "scd2_status": ["Window", "!Join", "!CartesianProduct"],
+    # degree histogram: two shrinking partial-agg groupBys, no join
+    "degree_hist": ["HashAggregate", "!Join", "!CartesianProduct"],
+    # vocab coverage: top-k vocab = TakeOrderedAndProject; the corpus
+    # meets only the broadcast vocabulary — never a nested loop
+    "vocab_coverage": ["TakeOrderedAndProject", "BroadcastHashJoin",
+                       "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # centroids: posexplode (Generate) + ONE partial-agg groupBy
+    "label_centroids": ["Generate", "HashAggregate", "!Join"],
+    # PSL: rules broadcast against distinct-host suffix candidates
+    "psl_domain": ["BroadcastHashJoin", "!CartesianProduct",
+                   "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -220,6 +252,10 @@ def main() -> None:
         "robots_match", "script_mix", "redirect_resolve",
         "jsonld_triples", "sitemap_extract", "name_match",
         "link_predict", "bfs_dist", "snapshot_diff",
+        "random_walks", "url_template", "frontier_schedule",
+        "corpus_cube", "svo_triples", "event_transitions",
+        "sessionize", "scd2_status", "degree_hist", "vocab_coverage",
+        "label_centroids", "psl_domain",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
