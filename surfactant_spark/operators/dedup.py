@@ -822,3 +822,62 @@ def dedup_delta_against_base(
             F.array_sort(F.collect_list(F.col("bid").cast("string"))), "|"
         ).alias("base_ids"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment_x1000: int = 500,
+    max_df: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL n-gram containment: (id_src, id_dst,
+    containment_x1000) where containment = |S_src ∩ S_dst| / |S_src| —
+    the asymmetric cousin of ngram_jaccard_pairs for text-reuse
+    detection: a short quote inside a long page has low Jaccard but
+    containment ≈ 1 in the quote→page direction, which is exactly the
+    "who copies whom" signal a crawl-dedup policy wants.
+
+    Same inverted-index shape as the Jaccard operator (shingle
+    equi-join, never all-pairs; optional ``max_df`` hot-shingle guard
+    redefines the sets over rare shingles on both engine sides).  ONE
+    intersection count serves both directions — each surviving pair
+    emits up to two rows, filtered per direction.
+    """
+    assert min_containment_x1000 >= 1
+    ex = shingle_rows(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > max_df)
+            .select("s")
+        )
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    both = inter.join(sz_a, "id_a").join(sz_b, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("id_src"),
+        F.col("id_b").alias("id_dst"),
+        scaled(F.col("inter") / F.col("sz_a").cast("double"))
+        .alias("containment_x1000"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id_src"),
+        F.col("id_a").alias("id_dst"),
+        scaled(F.col("inter") / F.col("sz_b").cast("double"))
+        .alias("containment_x1000"),
+    )
+    return fwd.unionByName(rev).where(
+        F.col("containment_x1000") >= min_containment_x1000
+    )

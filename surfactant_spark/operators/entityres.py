@@ -85,3 +85,64 @@ def match_names(
     return pairs.select(
         "name_l", "name_r", F.levenshtein("name_l", "name_r").alias("dist")
     )
+
+
+def fellegi_sunter_scores(
+    records: DataFrame,
+    id_col: str = "rec_id",
+    block_col: str = "block",
+    name_col: str = "name",
+    exact_fields: dict[str, tuple[int, int]] | None = None,
+    name_tiers: tuple[int, int, int] = (40, 25, -10),
+    name_fuzzy_dist: int = 2,
+    min_score: int = 0,
+) -> DataFrame:
+    """Fellegi–Sunter-style record-pair scoring over BLOCKED candidate
+    pairs: (id_a, id_b, score) with score = Σ field agreement weights
+    — the probabilistic-record-linkage decision rule with fixed
+    integer weights (log-likelihood ratios quantized offline), which
+    keeps the whole comparison vector codegen and engine-exact.
+
+    * candidates = self-equi-join on ``block_col`` (id_a < id_b) —
+      never all-pairs; blocking recall is the caller's policy
+      (match_names documents the trade-off);
+    * the name field scores in tiers: exact → tiers[0], Levenshtein
+      ≤ ``name_fuzzy_dist`` → tiers[1], else tiers[2] — levenshtein
+      is a built-in codegen expression, guarded by the exact
+      length-difference lower bound so the O(len²) DP runs only on
+      plausible pairs;
+    * every other field in ``exact_fields`` contributes
+      (w_agree, w_disagree) by null-safe equality.
+    """
+    exact_fields = exact_fields or {}
+    cols = [id_col, block_col, name_col, *exact_fields]
+    l = records.select([F.col(c).alias(f"{c}_a") for c in cols])
+    r = records.select([F.col(c).alias(f"{c}_b") for c in cols])
+    cand = l.join(
+        r, F.col(f"{block_col}_a") == F.col(f"{block_col}_b")
+    ).where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+
+    na, nb = F.col(f"{name_col}_a"), F.col(f"{name_col}_b")
+    t_exact, t_fuzzy, t_miss = name_tiers
+    name_score = (
+        F.when(na.eqNullSafe(nb), t_exact)
+        .when(
+            (F.abs(F.length(na) - F.length(nb)) <= name_fuzzy_dist)
+            & (F.levenshtein(na, nb) <= name_fuzzy_dist),
+            t_fuzzy,
+        )
+        .otherwise(t_miss)
+    )
+    score = name_score
+    for fld, (wa, wd) in exact_fields.items():
+        score = score + F.when(
+            F.col(f"{fld}_a").eqNullSafe(F.col(f"{fld}_b")), wa
+        ).otherwise(wd)
+    return (
+        cand.select(
+            F.col(f"{id_col}_a").alias("id_a"),
+            F.col(f"{id_col}_b").alias("id_b"),
+            score.cast("long").alias("score"),
+        )
+        .where(F.col("score") >= min_score)
+    )

@@ -617,3 +617,53 @@ def degree_histogram(
         .withColumn("lo", F.pow(F.lit(2.0), F.col("bucket")).cast("long"))
         .select("bucket", "lo", "n_nodes")
     )
+
+
+def type_closure(
+    edges: DataFrame,
+    max_depth: int = 8,
+    child: str = "child",
+    parent: str = "parent",
+) -> DataFrame:
+    """Bounded transitive closure of an is-a DAG with min-hop depth:
+    (node, ancestor, depth) — the taxonomy primitive of KG typing
+    (an entity typed 'sedan' must answer find-queries for 'vehicle').
+
+    Min-plus POINTER DOUBLING, not one-hop chaining: round k holds
+    min-depth paths of length ≤ 2^k, so depth-8 closure costs 3
+    shuffle rounds instead of 8 (R ← min(R, R∘R), composition = one
+    equi-join, min = one partial-agg groupBy).  Taxonomies are
+    dimension-sized next to the corpus, but closure OUTPUT is
+    |V|×avg-ancestors — the doubling keeps the round count, the real
+    scale cost, logarithmic.  Checkpointed per round to keep the plan
+    tree flat (same policy as canonicalize.py's CC fixpoint).
+    """
+    r = (
+        edges.select(
+            F.col(child).alias("node"), F.col(parent).alias("anc")
+        )
+        .where(F.col(child) != F.col(parent))
+        .distinct()
+        .withColumn("depth", F.lit(1).cast("long"))
+    )
+    rounds = max(1, (max_depth - 1).bit_length())  # ceil(log2(max_depth))
+    for i in range(rounds):
+        if i:  # flatten the previous round's tree; the final round's
+            # plan stays visible (join + min-agg) for plan audits
+            r = r.localCheckpoint(eager=False)
+        comp = (
+            r.alias("x")
+            .join(r.alias("y"), F.col("x.anc") == F.col("y.node"))
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("y.anc").alias("anc"),
+                (F.col("x.depth") + F.col("y.depth")).alias("depth"),
+            )
+            .where(F.col("depth") <= max_depth)
+        )
+        r = (
+            r.unionByName(comp)
+            .groupBy("node", "anc")
+            .agg(F.min("depth").alias("depth"))
+        )
+    return r

@@ -82,3 +82,49 @@ def random_walks(
             .localCheckpoint(eager=False)
         )
     return w.select("start", F.col("cur").alias("stop"), "walk")
+
+
+def walk_skipgrams(
+    walks: DataFrame,
+    window: int = 2,
+    walk_col: str = "walk",
+) -> DataFrame:
+    """Skip-gram pair counts from a walk corpus: (center, context, n)
+    for every ordered position pair within ``window`` hops inside a
+    walk — the DeepWalk/node2vec training-pair generator (each walk
+    is a "sentence", co-visited nodes become positive pairs).
+
+    Pure array-expression expansion (split → positional index pairs →
+    flatten → explode) + ONE partial-agg groupBy: cost is output
+    size, no join, no Python — the same no-self-join policy as
+    indexing.cooccurrence_pairs.  Pairing is POSITIONAL (j ≠ i, |j−i|
+    ≤ window), so a node revisited within the window still counts as
+    its own context — value-based dedup would silently drop those
+    pairs on cyclic walks.
+    """
+    t, w = F.col("_t"), F.lit(window)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t)),
+            lambda i: F.transform(
+                F.filter(
+                    F.sequence(
+                        F.greatest(i - w, F.lit(1)),
+                        F.least(i + w, F.size(t)),
+                    ),
+                    lambda j: j != i,
+                ),
+                lambda j: F.struct(
+                    F.element_at(t, i).alias("center"),
+                    F.element_at(t, j).alias("context"),
+                ),
+            ),
+        )
+    )
+    return (
+        walks.select(F.split(F.col(walk_col), ">").alias("_t"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.center", "p.context")
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

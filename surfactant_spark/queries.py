@@ -4712,6 +4712,185 @@ GROUP BY 1, 2
 """
 
 
+def q_containment(spark, sf):
+    """Directional text-reuse detection (dedup.ngram_containment_pairs):
+    |A∩B|/|A| per direction over rare shingles (max_df guard engaged)
+    — the asymmetric who-copies-whom signal Jaccard misses.  Same
+    inverted-index shape as ngram_jaccard; one intersection count
+    serves both directions."""
+    return dd.ngram_containment_pairs(
+        _t(spark, sf, "documents"), min_containment_x1000=500, max_df=5
+    )
+
+
+_CONT_CTES = O_NGRAM_JACCARD.strip()[len("WITH ") :].rsplit(
+    "SELECT id_a, id_b,", 1
+)[0].rstrip()
+
+O_CONTAINMENT = f"""
+WITH {_CONT_CTES},
+bo AS (
+  SELECT id_a, id_b, i, sa.sz AS sz_a, sb.sz AS sz_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+),
+dirs AS (
+  SELECT id_a AS id_src, id_b AS id_dst,
+         floor(i * 1000.0 / sz_a + 0.5)::BIGINT AS containment_x1000
+  FROM bo
+  UNION ALL
+  SELECT id_b, id_a, floor(i * 1000.0 / sz_b + 0.5)::BIGINT FROM bo
+)
+SELECT * FROM dirs WHERE containment_x1000 >= 500
+"""
+
+
+def q_er_scores(spark, sf):
+    """Record-linkage scoring (entityres.fellegi_sunter_scores):
+    blocked candidate pairs scored by integer agreement weights —
+    name in Levenshtein tiers (codegen, length-lower-bound guarded),
+    exact fields by null-safe equality.  Records synthesize three
+    surface forms per entity (exact / 1-edit / abbreviated) plus a
+    country field that agrees only within an entity."""
+    from .operators.entityres import fellegi_sunter_scores
+
+    s = _t(spark, sf, "supplier")
+    k = F.col("s_suppkey")
+    ent = (k % 4).cast("long")
+    recs = s.select(
+        k.cast("long").alias("rec_id"),
+        F.concat(F.lit("b"), (ent % 2).cast("string")).alias("block"),
+        F.element_at(
+            F.array(
+                F.concat(F.lit("vendor"), ent.cast("string")),
+                F.concat(F.lit("vendor"), ent.cast("string"), F.lit("x")),
+                F.concat(F.lit("vndr"), ent.cast("string")),
+            ),
+            (k % 3 + 1).cast("int"),
+        ).alias("name"),
+        (ent % 7).cast("long").alias("country"),
+    )
+    return fellegi_sunter_scores(
+        recs,
+        exact_fields={"country": (20, -15)},
+        min_score=30,
+    )
+
+
+O_ER_SCORES = r"""
+WITH recs AS (
+  SELECT s_suppkey::BIGINT AS rec_id,
+         'b' || ((s_suppkey % 4) % 2)::VARCHAR AS block,
+         (['vendor' || (s_suppkey % 4)::VARCHAR,
+           'vendor' || (s_suppkey % 4)::VARCHAR || 'x',
+           'vndr' || (s_suppkey % 4)::VARCHAR
+          ])[(s_suppkey % 3) + 1] AS name,
+         ((s_suppkey % 4) % 7)::BIGINT AS country
+  FROM supplier
+),
+cand AS (
+  SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+         a.name AS na, b.name AS nb,
+         a.country AS ca, b.country AS cb
+  FROM recs a JOIN recs b ON a.block = b.block AND a.rec_id < b.rec_id
+)
+SELECT id_a, id_b,
+       (CASE WHEN na = nb THEN 40
+             WHEN abs(len(na) - len(nb)) <= 2
+                  AND levenshtein(na, nb) <= 2 THEN 25
+             ELSE -10 END
+        + CASE WHEN ca = cb THEN 20 ELSE -15 END)::BIGINT AS score
+FROM cand
+WHERE (CASE WHEN na = nb THEN 40
+            WHEN abs(len(na) - len(nb)) <= 2
+                 AND levenshtein(na, nb) <= 2 THEN 25
+            ELSE -10 END
+       + CASE WHEN ca = cb THEN 20 ELSE -15 END) >= 30
+"""
+
+
+def q_type_closure(spark, sf):
+    """Taxonomy ancestor closure (graphquery.type_closure): min-hop
+    transitive closure of a synthetic is-a tree (node i → parent
+    i div 4) by min-plus pointer doubling — 3 shuffle rounds cover
+    depth 8 instead of 8 one-hop rounds.  Oracle is the recursive-CTE
+    reachability with min(depth)."""
+    from .operators.graphquery import type_closure
+
+    p = _t(spark, sf, "part")
+    i = (F.col("p_partkey") % 800).cast("long")
+    e = (
+        p.where(i > 0)
+        .select(
+            F.concat(F.lit("c"), i.cast("string")).alias("child"),
+            F.concat(F.lit("c"), (i / 4).cast("long").cast("string"))
+            .alias("parent"),
+        )
+    )
+    return type_closure(e, max_depth=8)
+
+
+O_TYPE_CLOSURE = r"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'c' || (p_partkey % 800)::VARCHAR AS child,
+         'c' || ((p_partkey % 800) // 4)::VARCHAR AS parent
+  FROM part WHERE (p_partkey % 800) > 0
+),
+r(node, anc, depth) AS (
+  SELECT child, parent, 1 FROM e
+  UNION ALL
+  SELECT r.node, e.parent, r.depth + 1
+  FROM r JOIN e ON r.anc = e.child
+  WHERE r.depth < 8
+)
+SELECT node, anc, min(depth)::BIGINT AS depth FROM r GROUP BY 1, 2
+"""
+
+
+def q_walk_skipgrams(spark, sf):
+    """Skip-gram training pairs (walks.walk_skipgrams) from the same
+    deterministic walk corpus as the random_walks gate: positional
+    (center, context) pairs within window 2, counted in one
+    partial-agg groupBy — pure array expressions, no join."""
+    from .operators.walks import random_walks, walk_skipgrams
+
+    o = _t(spark, sf, "orders")
+    u = F.concat(F.lit("n"), (F.col("o_orderkey") % 1500).cast("string"))
+    e = o.select(
+        u.alias("src"),
+        F.concat(
+            F.lit("n"),
+            ((F.col("o_orderkey") * 11 + 5) % 1500).cast("string"),
+        ).alias("dst"),
+    ).unionByName(
+        o.select(
+            u.alias("src"),
+            F.concat(
+                F.lit("n"),
+                ((F.col("o_orderkey") * 7 + 13) % 1500).cast("string"),
+            ).alias("dst"),
+        )
+    )
+    return walk_skipgrams(random_walks(e, walk_len=3), window=2)
+
+
+O_WALK_SKIPGRAMS = O_RANDOM_WALKS.replace(
+    "SELECT start, cur AS stop, walk FROM w3",
+    """, tk AS (SELECT string_split(walk, '>') AS t FROM w3),
+idx AS (
+  SELECT t, i FROM tk, unnest(generate_series(1, len(t))) u(i)
+),
+pr AS (
+  SELECT t[i] AS center, t[j] AS context
+  FROM idx,
+       unnest(generate_series(greatest(i - 2, 1),
+                              least(i + 2, len(t)))) v(j)
+  WHERE j <> i
+)
+SELECT center, context, count(*)::BIGINT AS n FROM pr GROUP BY 1, 2""",
+)
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -4821,6 +5000,10 @@ REGISTRY: dict[str, tuple] = {
     "vocab_coverage": (q_vocab_coverage, O_VOCAB_COVERAGE),
     "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
     "psl_domain": (q_psl_domain, O_PSL_DOMAIN),
+    "containment_pairs": (q_containment, O_CONTAINMENT),
+    "er_scores": (q_er_scores, O_ER_SCORES),
+    "type_closure": (q_type_closure, O_TYPE_CLOSURE),
+    "walk_skipgrams": (q_walk_skipgrams, O_WALK_SKIPGRAMS),
 }
 
 

@@ -146,3 +146,102 @@ def test_registrable_domain_duplicate_hosts_keep_rows(spark):
     out = registrable_domain(df, ["com"]).collect()
     assert len(out) == 2
     assert all(r.reg_domain == "example.com" for r in out)
+
+
+def test_ngram_containment_directional(spark):
+    from surfactant_spark.operators.dedup import ngram_containment_pairs
+
+    # doc 2's shingle set is a strict subset of doc 1's
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # shingles: abc bcd cde def (4)
+            (2, "a b c d"),       # shingles: abc bcd (2) — both in doc1
+            (3, "x y z w"),       # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_src, r.id_dst): r.containment_x1000
+        for r in ngram_containment_pairs(df, min_containment_x1000=1).collect()
+    }
+    assert got[(2, 1)] == 1000   # doc2 fully contained in doc1
+    assert got[(1, 2)] == 500    # 2 of doc1's 4 shingles shared
+    assert (3, 1) not in got and (1, 3) not in got
+
+
+def test_fellegi_sunter_tiers_and_blocking(spark):
+    from surfactant_spark.operators.entityres import fellegi_sunter_scores
+
+    recs = spark.createDataFrame(
+        [
+            (1, "b0", "acme", 7),
+            (2, "b0", "acme", 7),    # exact name + country: 40+20
+            (3, "b0", "acmex", 5),   # 1 edit, country differs: 25-15
+            (4, "b1", "acme", 7),    # other block: never paired w/ 1-3
+            (5, "b0", "zzzzzzzz", 7),  # name miss: -10+20
+        ],
+        ["rec_id", "block", "name", "country"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.score
+        for r in fellegi_sunter_scores(
+            recs, exact_fields={"country": (20, -15)}, min_score=-100
+        ).collect()
+    }
+    assert got[(1, 2)] == 60
+    assert got[(1, 3)] == 10
+    assert got[(1, 5)] == 10
+    assert not any(4 in p for p in got)  # blocking respected
+
+
+def test_type_closure_min_depth(spark):
+    from surfactant_spark.operators.graphquery import type_closure
+
+    # chain a->b->c->d plus shortcut a->c: depth(a,c) must be 1
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+        ["child", "parent"],
+    )
+    got = {(r.node, r.anc): r.depth for r in type_closure(e, 8).collect()}
+    assert got[("a", "b")] == 1
+    assert got[("a", "c")] == 1   # shortcut wins over the 2-hop path
+    assert got[("a", "d")] == 2   # via the shortcut
+    assert got[("b", "d")] == 2
+    assert len(got) == 6  # {a,b,c}×ancestors: 3 + 2 + 1
+
+
+def test_type_closure_depth_bound(spark):
+    from surfactant_spark.operators.graphquery import type_closure
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(10)], ["child", "parent"]
+    )
+    got = {(r.node, r.anc): r.depth for r in type_closure(chain, 3).collect()}
+    assert got[("n0", "n3")] == 3
+    assert ("n0", "n4") not in got  # beyond max_depth
+
+
+def test_walk_skipgrams_positional(spark):
+    from surfactant_spark.operators.walks import walk_skipgrams
+
+    w = spark.createDataFrame([("a>b>a",), ("x>y",)], ["walk"])
+    got = {
+        (r.center, r.context): r.n for r in walk_skipgrams(w, window=1).collect()
+    }
+    # positions 1,2,3 = a,b,a; window 1 pairs: (a,b),(b,a),(b,a),(a,b)
+    assert got[("a", "b")] == 2
+    assert got[("b", "a")] == 2
+    assert got[("x", "y")] == 1
+    assert got[("y", "x")] == 1
+    # a revisited at distance 2 is outside window 1: no (a,a)
+    assert ("a", "a") not in got
+
+
+def test_walk_skipgrams_window2_revisit(spark):
+    from surfactant_spark.operators.walks import walk_skipgrams
+
+    w = spark.createDataFrame([("a>b>a",)], ["walk"])
+    got = {
+        (r.center, r.context): r.n for r in walk_skipgrams(w, window=2).collect()
+    }
+    assert got[("a", "a")] == 2  # both directions of the revisit pair

@@ -217,6 +217,18 @@ AUDITS = {
     # PSL: rules broadcast against distinct-host suffix candidates
     "psl_domain": ["BroadcastHashJoin", "!CartesianProduct",
                    "!BroadcastNestedLoopJoin"],
+    # containment: inverted-index shingle equi-join, never all-pairs
+    "containment_pairs": ["HashAggregate", "!CartesianProduct",
+                          "!BroadcastNestedLoopJoin"],
+    # FS scoring: block equi-join + codegen levenshtein tiers
+    "er_scores": ["levenshtein", "!CartesianProduct",
+                  "!BroadcastNestedLoopJoin"],
+    # taxonomy closure: min-plus doubling = equi-joins + min groupBys
+    "type_closure": ["HashAggregate", "!CartesianProduct",
+                     "!BroadcastNestedLoopJoin"],
+    # skip-grams: array-expression pair expansion + ONE groupBy over
+    # the walk corpus (the walk build itself joins adjacency)
+    "walk_skipgrams": ["Generate", "HashAggregate", "!CartesianProduct"],
 }
 
 
@@ -255,7 +267,8 @@ def main() -> None:
         "random_walks", "url_template", "frontier_schedule",
         "corpus_cube", "svo_triples", "event_transitions",
         "sessionize", "scd2_status", "degree_hist", "vocab_coverage",
-        "label_centroids", "psl_domain",
+        "label_centroids", "psl_domain", "containment_pairs",
+        "er_scores", "type_closure", "walk_skipgrams",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
