@@ -667,3 +667,192 @@ def type_closure(
             .agg(F.min("depth").alias("depth"))
         )
     return r
+
+
+def match_bgp(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Conjunctive basic-graph-pattern match (the SPARQL BGP / Cypher
+    MATCH primitive) over a (subj, pred, obj) edge table: each pattern
+    is a triple whose terms are either constants or ``?var`` names;
+    the result is one row per distinct variable binding, columns named
+    after the variables (``?`` stripped).
+
+    Execution is a fold of equi-joins — each pattern becomes a
+    filtered projection of the edge scan (constants pushed down as
+    predicates, so Catalyst prunes at the parquet reader), ``.distinct``
+    for set semantics, then joined on whatever variables it shares
+    with the bindings accumulated so far.  Pattern order is chosen
+    GREEDILY: most-constant (most selective) pattern first, then
+    always a pattern connected to the bound variable set — keeping
+    every step an equi-join and never a blind cross product.  A
+    pattern sharing NO variable with any other is rejected rather than
+    cross-joined: at corpus scale a Cartesian product is a bug, not a
+    strategy.
+
+    Mirrors the reference's relationship-query surface (find/query
+    over established graph membership, surfactant/cmd/find.py) lifted
+    to full conjunctive patterns.
+    """
+    assert patterns, "empty pattern list"
+
+    def is_var(t: str) -> bool:
+        return t.startswith("?")
+
+    def pat_vars(p) -> set:
+        return {t[1:] for t in p if is_var(t)}
+
+    remaining = list(patterns)
+    # most selective first: fewest variables = most constants
+    remaining.sort(key=lambda p: len(pat_vars(p)))
+
+    def frame_for(p) -> DataFrame:
+        s, pr, o = p
+        df = edges.select("subj", "pred", "obj")
+        outs = []
+        for col, term in (("subj", s), ("pred", pr), ("obj", o)):
+            if is_var(term):
+                outs.append(F.col(col).alias(term[1:]))
+            else:
+                df = df.where(F.col(col) == term)
+        assert outs, f"pattern {p} has no variables"
+        return df.select(*outs).distinct()
+
+    first = remaining.pop(0)
+    acc, bound = frame_for(first), pat_vars(first)
+    while remaining:
+        i = next(
+            (k for k, p in enumerate(remaining) if pat_vars(p) & bound),
+            None,
+        )
+        if i is None:
+            raise ValueError(
+                "disconnected pattern group (would require a cross "
+                f"product): {remaining} vs bound vars {sorted(bound)}"
+            )
+        p = remaining.pop(i)
+        on = sorted(pat_vars(p) & bound)
+        acc = acc.join(frame_for(p), on)
+        bound |= pat_vars(p)
+    return acc.select(*sorted(bound))
+
+
+def entail_types(
+    instance_of: DataFrame,
+    subclass: DataFrame,
+    max_depth: int = 8,
+    entity_col: str = "entity",
+    type_col: str = "type",
+) -> DataFrame:
+    """RDFS-style type entailment: materialize every (entity, type)
+    implied by rdf:type ∘ rdfs:subClassOf* — an entity typed 'sedan'
+    must answer queries for 'vehicle'.  The KG-completion step that
+    turns a typed corpus + taxonomy into a query-ready type table.
+
+    Shape: the taxonomy is dimension-sized next to the corpus, so its
+    transitive closure (type_closure — min-plus doubling, log rounds)
+    is computed first and BROADCAST; the corpus-sized instance table
+    then pays one broadcast hash join and a distinct.  No shuffle of
+    the instance table except the final dedup, which callers with
+    unique (entity, direct-type) rows can skip via the deduped union
+    shape used here (direct ∪ inherited can only collide when two
+    direct types share an ancestor)."""
+    inst = instance_of.select(
+        F.col(entity_col).alias("entity"), F.col(type_col).alias("type")
+    )
+    anc = type_closure(subclass, max_depth=max_depth).select(
+        F.col("node").alias("type"), F.col("anc").alias("itype")
+    )
+    inherited = inst.join(F.broadcast(anc), "type").select(
+        "entity", F.col("itype").alias("type")
+    )
+    return inst.unionByName(inherited).distinct()
+
+
+def scc_components(
+    edges: DataFrame,
+    max_depth: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Strongly connected components by MUTUAL bounded reachability:
+    (node, scc_id) with scc_id = min node id in the component — the
+    directed cousin of canonicalize's CC, needed wherever edge
+    direction matters (link graphs, redirect graphs, citation loops).
+
+    scc(u) = min({u} ∪ {v : u→*v AND v→*u}).  Both closures come from
+    ONE type_closure call (min-plus doubling, ⌈log2 depth⌉ shuffle
+    rounds); the reverse direction is the same frame with columns
+    swapped, so mutual pairs are a self-equi-join on the (node, anc)
+    key.  CORRECTNESS BOUND: max_depth must cover the internal
+    diameter of the largest SCC — pairs further apart than max_depth
+    in EITHER direction are missed.  Extra non-mutual reachability
+    beyond max_depth is harmless (it cannot create a mutual match), so
+    the bound is per-SCC, not per-graph.  At web scale the unbounded
+    alternative is pivot-based forward-backward coloring; bounded
+    closure is the right trade for the diameter-bounded SCCs link
+    spam / redirect loops actually produce.
+    """
+    e = edges.select(F.col(src).alias("child"), F.col(dst).alias("parent"))
+    c = type_closure(e, max_depth=max_depth).select("node", "anc")
+    c = c.localCheckpoint(eager=False)  # reused for both directions
+    rev = c.select(F.col("anc").alias("node"), F.col("node").alias("anc"))
+    mutual = c.join(rev, ["node", "anc"]).where(F.col("node") != F.col("anc"))
+    nodes = (
+        e.select(F.col("child").alias("node"))
+        .unionByName(e.select(F.col("parent").alias("node")))
+        .distinct()
+    )
+    peer_min = mutual.groupBy("node").agg(F.min("anc").alias("_pmin"))
+    return nodes.join(peer_min, "node", "left").select(
+        "node",
+        # explicit null-safe min — least() null semantics differ across
+        # engines, so singletons (no mutual peer) are handled by CASE
+        F.when(
+            F.col("_pmin").isNull() | (F.col("node") < F.col("_pmin")),
+            F.col("node"),
+        )
+        .otherwise(F.col("_pmin"))
+        .alias("scc_id"),
+    )
+
+
+def neighbor_feature_agg(
+    edges: DataFrame,
+    features: DataFrame,
+    feature_cols: list[str],
+    id_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """GraphSAGE-style one-hop neighborhood aggregation: for every
+    node with in-edges, the sum / max / integer mean (x1000) of each
+    IN-neighBOR feature plus the neighbor count — the feature-
+    engineering step that turns a graph + node features into GNN /
+    ranking training rows.
+
+    ONE shuffle join (edge src → neighbor features; features are
+    corpus-sized, so no broadcast) and ONE partial-aggregated groupBy
+    on dst.  Mean is floor(sum*1000/count) — integer-exact across
+    engines, no float accumulation order dependence.  Multi-hop = 
+    re-invoke on the output (sum/max compose; mean does not — callers
+    chaining hops should carry sum+count).
+    """
+    feats = features.select(
+        F.col(id_col).alias("_nbr"),
+        *[F.col(c).cast("long").alias(c) for c in feature_cols],
+    )
+    joined = edges.select(
+        F.col(src).alias("_nbr"), F.col(dst).alias("node")
+    ).join(feats, "_nbr")
+    aggs = [F.count(F.lit(1)).alias("n_nbrs")]
+    for c in feature_cols:
+        aggs += [
+            F.sum(c).alias(f"{c}_sum"),
+            F.max(c).alias(f"{c}_max"),
+            F.floor(F.sum(c) * 1000 / F.count(F.lit(1)))
+            .cast("long")
+            .alias(f"{c}_mean_x1000"),
+        ]
+    return joined.groupBy("node").agg(*aggs)

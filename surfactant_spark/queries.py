@@ -4891,6 +4891,238 @@ SELECT center, context, count(*)::BIGINT AS n FROM pr GROUP BY 1, 2""",
 )
 
 
+def q_bgp_match(spark, sf):
+    """Conjunctive triple-pattern match (graphquery.match_bgp): the
+    SPARQL-BGP / Cypher-MATCH primitive over a synthetic KG — customer
+    "u17" placed order ?o, ?o contains part ?p, ?p typed "t3".  Constants
+    push down to the scan; greedy most-selective-first join order;
+    disconnected groups are rejected, never cross-joined."""
+    from .operators.graphquery import match_bgp
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    pt = _t(spark, sf, "part")
+    s = lambda pfx, c: F.concat(F.lit(pfx), c.cast("long").cast("string"))
+    edges = (
+        o.select(
+            s("u", F.col("o_custkey") % 300).alias("subj"),
+            F.lit("placed").alias("pred"),
+            s("o", F.col("o_orderkey") % 2000).alias("obj"),
+        )
+        .unionByName(
+            li.select(
+                s("o", F.col("l_orderkey") % 2000).alias("subj"),
+                F.lit("contains").alias("pred"),
+                s("p", F.col("l_partkey") % 400).alias("obj"),
+            )
+        )
+        .unionByName(
+            pt.select(
+                s("p", F.col("p_partkey") % 400).alias("subj"),
+                F.lit("type").alias("pred"),
+                s("t", F.col("p_partkey") % 7).alias("obj"),
+            )
+        )
+    )
+    return match_bgp(
+        edges,
+        [("u17", "placed", "?o"), ("?o", "contains", "?p"),
+         ("?p", "type", "t3")],
+    )
+
+
+O_BGP_MATCH = r"""
+WITH placed AS (
+  SELECT DISTINCT 'o' || (o_orderkey % 2000)::VARCHAR AS o
+  FROM orders WHERE (o_custkey % 300) = 17
+),
+contains_ AS (
+  SELECT DISTINCT 'o' || (l_orderkey % 2000)::VARCHAR AS o,
+         'p' || (l_partkey % 400)::VARCHAR AS p
+  FROM lineitem
+),
+typed AS (
+  SELECT DISTINCT 'p' || (p_partkey % 400)::VARCHAR AS p
+  FROM part WHERE (p_partkey % 7) = 3
+)
+SELECT placed.o, contains_.p
+FROM placed JOIN contains_ USING (o) JOIN typed USING (p)
+"""
+
+
+def q_rdfs_entail(spark, sf):
+    """RDFS type entailment (graphquery.entail_types): direct types ∪
+    types inherited through the subclass closure — the taxonomy is
+    closed once (min-plus doubling) and broadcast; the corpus-sized
+    instance table pays one broadcast join + distinct."""
+    from .operators.graphquery import entail_types
+
+    p = _t(spark, sf, "part")
+    i = (F.col("p_partkey") % 800).cast("long")
+    subclass = p.where(i > 0).select(
+        F.concat(F.lit("c"), i.cast("string")).alias("child"),
+        F.concat(F.lit("c"), (i / 4).cast("long").cast("string"))
+        .alias("parent"),
+    )
+    inst = p.select(
+        F.concat(F.lit("e"), F.col("p_partkey").cast("string"))
+        .alias("entity"),
+        F.concat(F.lit("c"), i.cast("string")).alias("type"),
+    )
+    return entail_types(inst, subclass, max_depth=8)
+
+
+O_RDFS_ENTAIL = r"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'c' || (p_partkey % 800)::VARCHAR AS child,
+         'c' || ((p_partkey % 800) // 4)::VARCHAR AS parent
+  FROM part WHERE (p_partkey % 800) > 0
+),
+clo(node, anc, depth) AS (
+  SELECT child, parent, 1 FROM e
+  UNION ALL
+  SELECT clo.node, e.parent, clo.depth + 1
+  FROM clo JOIN e ON clo.anc = e.child
+  WHERE clo.depth < 8
+),
+inst AS (
+  SELECT 'e' || p_partkey::VARCHAR AS entity,
+         'c' || (p_partkey % 800)::VARCHAR AS type
+  FROM part
+)
+SELECT DISTINCT entity, type FROM (
+  SELECT entity, type FROM inst
+  UNION ALL
+  SELECT inst.entity, clo.anc FROM inst JOIN clo ON inst.type = clo.node
+)
+"""
+
+
+def q_scc(spark, sf):
+    """Strongly connected components (graphquery.scc_components) by
+    mutual bounded reachability: 60 directed 10-rings (the SCCs) +
+    one-way cross-ring edges + tail nodes (singletons).  scc_id =
+    min mutual-reachable node; max_depth 16 covers the ring diameter
+    9, and extra non-mutual reachability beyond the bound cannot
+    create a false mutual pair, so bounded Spark ≡ unbounded oracle."""
+    from .operators.graphquery import scc_components
+
+    p = _t(spark, sf, "part")
+    i = (F.col("p_partkey") % 600).cast("long")
+    n = lambda c: F.concat(F.lit("n"), c.cast("long").cast("string"))
+    ring = p.select(
+        n(i).alias("src"),
+        n((i - i % 10) + (i + 1) % 10).alias("dst"),
+    )
+    cross = p.where((i / 10).cast("long") < 59).select(
+        n(i).alias("src"),
+        n(((i / 10).cast("long") + 1) * 10).alias("dst"),
+    )
+    s = _t(spark, sf, "supplier")
+    tails = s.select(
+        F.concat(F.lit("t"), (F.col("s_suppkey") % 100).cast("string"))
+        .alias("src"),
+        n((F.col("s_suppkey") * 7) % 600).alias("dst"),
+    )
+    return scc_components(
+        ring.unionByName(cross).unionByName(tails), max_depth=16
+    )
+
+
+O_SCC = r"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'n' || (p_partkey % 600)::VARCHAR AS src,
+         'n' || (((p_partkey % 600) - (p_partkey % 600) % 10)
+                 + ((p_partkey % 600) + 1) % 10)::VARCHAR AS dst
+  FROM part
+  UNION
+  SELECT DISTINCT 'n' || (p_partkey % 600)::VARCHAR,
+         'n' || ((((p_partkey % 600) // 10) + 1) * 10)::VARCHAR
+  FROM part WHERE ((p_partkey % 600) // 10) < 59
+  UNION
+  SELECT DISTINCT 't' || (s_suppkey % 100)::VARCHAR,
+         'n' || ((s_suppkey * 7) % 600)::VARCHAR
+  FROM supplier
+),
+clo AS (
+  SELECT src AS node, dst AS anc FROM e WHERE src <> dst
+  UNION
+  SELECT clo.node, e.dst FROM clo JOIN e ON clo.anc = e.src
+),
+mutual AS (
+  SELECT a.node, a.anc
+  FROM clo a JOIN clo b ON a.node = b.anc AND a.anc = b.node
+  WHERE a.node <> a.anc
+),
+nodes AS (
+  -- explicit DISTINCT: inside a WITH RECURSIVE, DuckDB executes this
+  -- two-branch UNION with bag semantics (observed 2x rows), so the
+  -- dedup cannot be left to the set operator
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  )
+),
+pmin AS (SELECT node, min(anc) AS p FROM mutual GROUP BY node)
+SELECT nodes.node,
+       CASE WHEN pmin.p IS NULL OR nodes.node < pmin.p
+            THEN nodes.node ELSE pmin.p END AS scc_id
+FROM nodes LEFT JOIN pmin ON nodes.node = pmin.node
+"""
+
+
+def q_neighbor_agg(spark, sf):
+    """GraphSAGE-style neighborhood aggregation
+    (graphquery.neighbor_feature_agg): sum / max / integer mean of
+    in-neighbor features + neighbor count, one shuffle join + one
+    partial-agg groupBy.  Multiset semantics — duplicate edges count
+    twice, exactly what message passing over a multigraph does."""
+    from .operators.graphquery import neighbor_feature_agg
+
+    o = _t(spark, sf, "orders")
+    c = lambda e: F.concat(F.lit("c"), (e % 500).cast("long").cast("string"))
+    k = F.col("o_orderkey")
+    edges = o.select(
+        c(k).alias("src"), c(k * 13 + 7).alias("dst")
+    ).unionByName(
+        o.select(c(k * 17 + 3).alias("src"), c(k).alias("dst"))
+    )
+    cu = _t(spark, sf, "customer")
+    m = (F.col("c_custkey") % 500).cast("long")
+    feats = cu.select(
+        F.concat(F.lit("c"), m.cast("string")).alias("node"),
+        (m % 97).alias("f1"),
+        (m * 3 % 101).alias("f2"),
+    ).distinct()
+    return neighbor_feature_agg(edges, feats, ["f1", "f2"])
+
+
+O_NEIGHBOR_AGG = r"""
+WITH edges AS (
+  SELECT 'c' || (o_orderkey % 500)::VARCHAR AS src,
+         'c' || ((o_orderkey * 13 + 7) % 500)::VARCHAR AS dst
+  FROM orders
+  UNION ALL
+  SELECT 'c' || ((o_orderkey * 17 + 3) % 500)::VARCHAR,
+         'c' || (o_orderkey % 500)::VARCHAR
+  FROM orders
+),
+feats AS (
+  SELECT DISTINCT 'c' || (c_custkey % 500)::VARCHAR AS node,
+         ((c_custkey % 500) % 97)::BIGINT AS f1,
+         (((c_custkey % 500) * 3) % 101)::BIGINT AS f2
+  FROM customer
+)
+SELECT e.dst AS node, count(*)::BIGINT AS n_nbrs,
+       sum(f.f1)::BIGINT AS f1_sum, max(f.f1)::BIGINT AS f1_max,
+       floor(sum(f.f1) * 1000.0 / count(*))::BIGINT AS f1_mean_x1000,
+       sum(f.f2)::BIGINT AS f2_sum, max(f.f2)::BIGINT AS f2_max,
+       floor(sum(f.f2) * 1000.0 / count(*))::BIGINT AS f2_mean_x1000
+FROM edges e JOIN feats f ON e.src = f.node
+GROUP BY e.dst
+"""
+
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -5004,6 +5236,10 @@ REGISTRY: dict[str, tuple] = {
     "er_scores": (q_er_scores, O_ER_SCORES),
     "type_closure": (q_type_closure, O_TYPE_CLOSURE),
     "walk_skipgrams": (q_walk_skipgrams, O_WALK_SKIPGRAMS),
+    "bgp_match": (q_bgp_match, O_BGP_MATCH),
+    "rdfs_entail": (q_rdfs_entail, O_RDFS_ENTAIL),
+    "scc": (q_scc, O_SCC),
+    "neighbor_agg": (q_neighbor_agg, O_NEIGHBOR_AGG),
 }
 
 

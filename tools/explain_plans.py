@@ -229,6 +229,22 @@ AUDITS = {
     # skip-grams: array-expression pair expansion + ONE groupBy over
     # the walk corpus (the walk build itself joins adjacency)
     "walk_skipgrams": ["Generate", "HashAggregate", "!CartesianProduct"],
+    # BGP match: constants must reach the scans as filters (the gate
+    # derives subj/obj via concat+modulo so parquet pushdown cannot
+    # apply — the filter sits in codegen directly above each scan);
+    # every pattern join is an equi-join — a cross product is a
+    # rejected input, never a plan
+    "bgp_match": ["Filter", "!CartesianProduct",
+                  "!BroadcastNestedLoopJoin"],
+    # entailment: taxonomy closure joined BROADCAST onto the
+    # corpus-sized instance table
+    "rdfs_entail": ["BroadcastHashJoin", "!CartesianProduct"],
+    # bounded SCC: one closure + self-equi-join, never all-pairs
+    "scc": ["HashAggregate", "!CartesianProduct",
+            "!BroadcastNestedLoopJoin"],
+    # neighbor agg: one shuffle join + one partial-agg groupBy
+    "neighbor_agg": ["HashAggregate", "!CartesianProduct",
+                     "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -269,6 +285,7 @@ def main() -> None:
         "sessionize", "scd2_status", "degree_hist", "vocab_coverage",
         "label_centroids", "psl_domain", "containment_pairs",
         "er_scores", "type_closure", "walk_skipgrams",
+        "bgp_match", "rdfs_entail", "scc", "neighbor_agg",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
