@@ -95,6 +95,15 @@ HEADLINE = [
     "er_scores",
     "type_closure",
     "walk_skipgrams",
+    "bgp_match",
+    "rdfs_entail",
+    "scc",
+    "neighbor_agg",
+    "dup_spans",
+    "stable_ids",
+    "neg_sampling",
+    "cluster_keep_best",
+    "conductance",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

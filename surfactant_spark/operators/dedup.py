@@ -13,7 +13,7 @@ any engine.  Generalizes the reference's sha256 dedup-merge
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfx import distinct_tokens, scaled
@@ -880,4 +880,98 @@ def ngram_containment_pairs(
     )
     return fwd.unionByName(rev).where(
         F.col("containment_x1000") >= min_containment_x1000
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring SPANS at token granularity (the
+    suffix-array substring dedup of Lee et al. 2022, re-expressed as a
+    rolling-gram join): for every document, the maximal token spans
+    covered by ``k``-token grams whose exact text occurs at least
+    ``min_count`` times corpus-wide (every occurrence counts,
+    including repeats inside one document).  Output (id, span_start,
+    span_len), 1-based token offsets — the cut list a cleaning pass
+    applies before training.
+
+    Shape: overlapping grams explode to ~n_tokens rows; gram frequency
+    is ONE partial-agg groupBy on the gram hash (a boilerplate gram
+    repeated 10^9 times combines map-side); flagged positions join
+    back on the hash (AQE handles residual skew) and islands-merge
+    with a PER-DOCUMENT window — partitions are document-sized, never
+    corpus-sized.  No suffix array, no driver state."""
+    from ..functions.textfx import ngram_strings
+
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ngram_strings(text_col, k)).alias("pos0", "gram"),
+    ).select("id", (F.col("pos0") + 1).alias("start"), F.md5("gram").alias("h"))
+    freq = g.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup = g.join(freq.where(F.col("c") >= min_count), "h").select("id", "start")
+    w = Window.partitionBy("id").orderBy("start")
+    brk = dup.select(
+        "id",
+        "start",
+        F.when(F.col("start") - F.lag("start").over(w) > k, 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    isl = brk.select(
+        "id",
+        "start",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return isl.groupBy("id", "island").agg(
+        F.min("start").cast("long").alias("span_start"),
+        (F.max("start") - F.min("start") + k).cast("long").alias("span_len"),
+    ).select(F.col("id").alias(id_col), "span_start", "span_len")
+
+
+def keep_best_per_group(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score: Column | None = None,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The dedup ACTION: assign near-dup groups (MinHash-LSH +
+    connected components, lsh_dup_groups) and mark exactly one winner
+    per group — the member with the highest ``score`` (default: token
+    count), smallest id on ties.  Output (id, group_id, quality,
+    kept); the cleaned corpus is ``WHERE kept``.
+
+    Winner selection is two partial-agg groupBys (group max score,
+    then min id among maximizers) + joins — no per-group window, so a
+    10^6-member boilerplate cluster costs two combiner rows, not one
+    task's sort."""
+    from ..functions.textfx import token_count
+
+    q = score if score is not None else token_count(text_col)
+    groups = lsh_dup_groups(df, id_col, text_col, k, bands, shingle_n)
+    scored = (
+        df.select(F.col(id_col).alias("id"), q.cast("long").alias("quality"))
+        .join(groups.withColumnRenamed(id_col, "id"), "id")
+        .localCheckpoint(eager=False)
+    )
+    gmax = scored.groupBy("group_id").agg(F.max("quality").alias("_mq"))
+    winners = (
+        scored.join(gmax, "group_id")
+        .where(F.col("quality") == F.col("_mq"))
+        .groupBy("group_id")
+        .agg(F.min("id").alias("_wid"))
+    )
+    return scored.join(winners, "group_id").select(
+        F.col("id").alias(id_col),
+        "group_id",
+        "quality",
+        (F.col("id") == F.col("_wid")).alias("kept"),
     )

@@ -856,3 +856,59 @@ def neighbor_feature_agg(
             .alias(f"{c}_mean_x1000"),
         ]
     return joined.groupBy("node").agg(*aggs)
+
+
+def community_conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Community-quality metrics for a labeling (label_propagation
+    output or any partition): per label, the count of INTERNAL edges
+    (both endpoints in the community), CUT edges (one endpoint out —
+    each such edge charges BOTH touched communities), and conductance
+    ×1000 = floor(cut*1000 / (2*internal + cut)) — cut over community
+    volume, the standard "how leaky is this cluster" score; NULL for
+    an isolated community with no edges at all.
+
+    Shape: two shuffle joins tag each edge endpoint with its label
+    (labels are node-sized — NOT broadcast), then partial-agg groupBys
+    per label; a hot community combines map-side.  Edges with an
+    unlabeled endpoint are dropped (inner joins) rather than silently
+    miscounted."""
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_l")
+    )
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .join(lab.withColumnRenamed("_n", "_s").withColumnRenamed("_l", "ls"), "_s")
+        .join(lab.withColumnRenamed("_n", "_d").withColumnRenamed("_l", "ld"), "_d")
+        .localCheckpoint(eager=False)
+    )
+    internal = (
+        e.where(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("label"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    crossing = e.where(F.col("ls") != F.col("ld"))
+    cut = (
+        crossing.select(F.explode(F.array("ls", "ld")).alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cut_edges"))
+    )
+    all_labels = labels.select(F.col(label_col).alias("label")).distinct()
+    out = all_labels.join(internal, "label", "left").join(cut, "label", "left")
+    i = F.coalesce("internal_edges", F.lit(0)).cast("long")
+    c = F.coalesce("cut_edges", F.lit(0)).cast("long")
+    vol = i * 2 + c
+    return out.select(
+        "label",
+        i.alias("internal_edges"),
+        c.alias("cut_edges"),
+        F.when(vol > 0, F.floor(c * 1000 / vol).cast("long")).alias(
+            "conductance_x1000"
+        ),
+    )

@@ -267,3 +267,48 @@ def vocab_coverage(
         "n_tokens",
         F.coalesce("n_in_vocab", F.lit(0).cast("long")).alias("n_in_vocab"),
     )
+
+
+def negative_sampling_ranges(
+    docs: DataFrame,
+    text_col: str = "text",
+    partitions: int = 32,
+) -> DataFrame:
+    """word2vec-style negative-sampling table: (term, count, weight,
+    range_start) where weight is the SMOOTHED unigram count and
+    range_start the cumulative weight of all alphabetically earlier
+    terms — a sampler draws u ~ [0, total) and binary-searches the
+    range column.
+
+    Smoothing is floor(sqrt(count) * 1000): sqrt is IEEE-754
+    correctly-rounded in every engine (unlike pow(x, 0.75), whose libm
+    rounding varies), so the table is bit-identical across engines
+    while keeping the sub-linear damping the 0.75-power serves in the
+    original (frequent terms under-sampled relative to raw counts).
+
+    Scale shape: counts are ONE partial-agg groupBy of the exploded
+    corpus; the cumulative column is the distributed two-phase prefix
+    sum from operators.ids (range partition + per-partition sums +
+    broadcast offsets) — no single-partition window over the
+    vocabulary."""
+    from .ids import prefix_sums
+
+    counts = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+    w = F.floor(F.sqrt(F.col("count")) * 1000)
+    ranges = prefix_sums(
+        counts.select("term", "count", w.alias("w")),
+        ["term"],
+        "w",
+        partitions=partitions,
+    )
+    return counts.join(ranges.select("term", "weight", "range_start"), "term").select(
+        "term", "count", "weight", "range_start"
+    )

@@ -5123,6 +5123,185 @@ GROUP BY e.dst
 
 
 
+
+
+def q_dup_spans(spark, sf):
+    """Exact duplicated-substring spans (dedup.duplicate_spans): maximal
+    token spans covered by 5-grams repeated >=2 times corpus-wide —
+    rolling-gram hash frequency + per-document islands merge, the
+    distributed stand-in for suffix-array substring dedup."""
+    return dd.duplicate_spans(_t(spark, sf, "documents"), k=5, min_count=2)
+
+
+O_DUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(t[i:i+4], ' ')) AS h
+  FROM toks, UNNEST(range(1, len(t) - 5 + 2)) u(i)
+  WHERE len(t) >= 5
+),
+f AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+d AS (SELECT doc_id, start FROM g JOIN f USING (h)),
+w AS (
+  SELECT doc_id, start,
+         CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 5
+              THEN 1 ELSE 0 END AS brk
+  FROM d
+),
+isl AS (
+  SELECT doc_id, start,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM w
+)
+SELECT doc_id, min(start)::BIGINT AS span_start,
+       (max(start) - min(start) + 5)::BIGINT AS span_len
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def q_cluster_keep_best(spark, sf):
+    """Dedup ACTION (dedup.keep_best_per_group): LSH near-dup groups +
+    one winner per group (max token count, min doc_id on ties) — the
+    cleaned corpus is WHERE kept.  Winner selection is two partial-agg
+    groupBys, never a per-group window sort."""
+    return dd.keep_best_per_group(_t(spark, sf, "documents"))
+
+
+_LSH_G_CTES = O_LSH_DUP_GROUPS.strip()[len("WITH RECURSIVE "):].rsplit(
+    "SELECT d.doc_id", 1
+)[0].rstrip().rstrip(")").rstrip() + ")"
+
+O_CLUSTER_KEEP_BEST = f"""
+WITH RECURSIVE {_LSH_G_CTES},
+grp AS (
+  SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id,
+         len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))::BIGINT AS quality
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+gmax AS (SELECT group_id, max(quality) AS mq FROM grp GROUP BY group_id),
+winners AS (
+  SELECT grp.group_id, min(doc_id) AS wid
+  FROM grp JOIN gmax USING (group_id) WHERE quality = mq
+  GROUP BY grp.group_id
+)
+SELECT grp.doc_id, grp.group_id, grp.quality, grp.doc_id = winners.wid AS kept
+FROM grp JOIN winners USING (group_id)
+"""
+
+
+def q_stable_ids(spark, sf):
+    """Dense 0-based global IDs in key order (ids.assign_stable_ids)
+    over distinct (l_partkey, l_suppkey) pairs — the scalable
+    zipWithIndex: range partition + per-partition ranks + broadcast
+    offsets, no single-partition window."""
+    from .operators.ids import assign_stable_ids
+
+    li = _t(spark, sf, "lineitem")
+    return assign_stable_ids(
+        li.select("l_partkey", "l_suppkey"), ["l_partkey", "l_suppkey"]
+    )
+
+
+O_STABLE_IDS = r"""
+SELECT l_partkey, l_suppkey,
+       (row_number() OVER (ORDER BY l_partkey, l_suppkey) - 1)::BIGINT AS uid
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+"""
+
+
+def q_neg_sampling(spark, sf):
+    """word2vec negative-sampling table
+    (indexing.negative_sampling_ranges): smoothed unigram weights
+    floor(sqrt(count)*1000) — sqrt is IEEE correctly-rounded in every
+    engine, unlike pow(x,0.75) — with cumulative range starts from the
+    distributed two-phase prefix sum."""
+    from .operators.indexing import negative_sampling_ranges
+
+    return negative_sampling_ranges(_t(spark, sf, "documents"))
+
+
+O_NEG_SAMPLING = r"""
+WITH counts AS (
+  SELECT tok AS term, count(*)::BIGINT AS count
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents)
+  GROUP BY tok
+),
+w AS (SELECT term, count, floor(sqrt(count) * 1000)::BIGINT AS weight FROM counts)
+SELECT term, count, weight,
+       (sum(weight) OVER (ORDER BY term ROWS UNBOUNDED PRECEDING)
+        - weight)::BIGINT AS range_start
+FROM w
+"""
+
+
+def q_conductance(spark, sf):
+    """Community quality (graphquery.community_conductance): 12
+    modulo-communities of 50 nodes with intra-community rings plus a
+    +37 cross stride; per label internal/cut edge counts and
+    conductance x1000."""
+    from .operators.graphquery import community_conductance
+
+    p = _t(spark, sf, "part")
+    i = (F.col("p_partkey") % 600).cast("long")
+    n = lambda c: F.concat(F.lit("n"), c.cast("long").cast("string"))
+    ring = p.select(
+        n(i).alias("src"), n((i - i % 50) + (i + 1) % 50).alias("dst")
+    )
+    cross = p.select(n(i).alias("src"), n((i + 37) % 600).alias("dst"))
+    edges = ring.unionByName(cross).distinct()
+    labels = p.select(
+        n(i).alias("node"),
+        F.concat(F.lit("g"), (i / 50).cast("long").cast("string")).alias("label"),
+    ).distinct()
+    return community_conductance(edges, labels)
+
+
+O_CONDUCTANCE = r"""
+WITH e AS (
+  SELECT DISTINCT 'n' || (p_partkey % 600)::VARCHAR AS src,
+         'n' || (((p_partkey % 600) - (p_partkey % 600) % 50)
+                 + ((p_partkey % 600) + 1) % 50)::VARCHAR AS dst
+  FROM part
+  UNION
+  SELECT DISTINCT 'n' || (p_partkey % 600)::VARCHAR,
+         'n' || (((p_partkey % 600) + 37) % 600)::VARCHAR
+  FROM part
+),
+lab AS (
+  SELECT DISTINCT 'n' || (p_partkey % 600)::VARCHAR AS node,
+         'g' || ((p_partkey % 600) // 50)::VARCHAR AS label
+  FROM part
+),
+tagged AS (
+  SELECT ls.label AS ls, ld.label AS ld
+  FROM e JOIN lab ls ON e.src = ls.node JOIN lab ld ON e.dst = ld.node
+),
+internal AS (
+  SELECT ls AS label, count(*)::BIGINT AS internal_edges
+  FROM tagged WHERE ls = ld GROUP BY ls
+),
+cut AS (
+  SELECT label, count(*)::BIGINT AS cut_edges
+  FROM (SELECT unnest([ls, ld]) AS label FROM tagged WHERE ls <> ld)
+  GROUP BY label
+)
+SELECT al.label,
+       coalesce(internal_edges, 0)::BIGINT AS internal_edges,
+       coalesce(cut_edges, 0)::BIGINT AS cut_edges,
+       CASE WHEN coalesce(internal_edges,0) * 2 + coalesce(cut_edges,0) > 0
+            THEN floor(coalesce(cut_edges,0) * 1000.0
+                 / (coalesce(internal_edges,0) * 2 + coalesce(cut_edges,0)))::BIGINT
+       END AS conductance_x1000
+FROM (SELECT DISTINCT label FROM lab) al
+LEFT JOIN internal USING (label) LEFT JOIN cut USING (label)
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -5240,6 +5419,11 @@ REGISTRY: dict[str, tuple] = {
     "rdfs_entail": (q_rdfs_entail, O_RDFS_ENTAIL),
     "scc": (q_scc, O_SCC),
     "neighbor_agg": (q_neighbor_agg, O_NEIGHBOR_AGG),
+    "dup_spans": (q_dup_spans, O_DUP_SPANS),
+    "cluster_keep_best": (q_cluster_keep_best, O_CLUSTER_KEEP_BEST),
+    "stable_ids": (q_stable_ids, O_STABLE_IDS),
+    "neg_sampling": (q_neg_sampling, O_NEG_SAMPLING),
+    "conductance": (q_conductance, O_CONDUCTANCE),
 }
 
 

@@ -245,6 +245,25 @@ AUDITS = {
     # neighbor agg: one shuffle join + one partial-agg groupBy
     "neighbor_agg": ["HashAggregate", "!CartesianProduct",
                      "!BroadcastNestedLoopJoin"],
+    # substring spans: gram-hash frequency groupBy + equi-join; the
+    # islands window is per-document, never corpus-wide
+    "dup_spans": ["HashAggregate", "Window", "!CartesianProduct",
+                  "!BroadcastNestedLoopJoin"],
+    # stable ids: per-pid window + BROADCAST offset join — the range
+    # exchange sits behind the localCheckpoint (plans as Scan
+    # ExistingRDD), so the audit pins the downstream shape; the whole
+    # point is no single-partition window over the KEY data (the only
+    # unpartitioned window is the one-row-per-partition offsets frame)
+    "stable_ids": ["Window", "BroadcastHashJoin", "!CartesianProduct"],
+    # negative sampling: same two-phase prefix-sum shape
+    "neg_sampling": ["Window", "BroadcastHashJoin",
+                     "!CartesianProduct"],
+    # keep-best: winner via two partial-agg groupBys, no per-group
+    # window sort
+    "cluster_keep_best": ["HashAggregate", "!Window",
+                          "!CartesianProduct"],
+    "conductance": ["HashAggregate", "!CartesianProduct",
+                    "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -286,6 +305,8 @@ def main() -> None:
         "label_centroids", "psl_domain", "containment_pairs",
         "er_scores", "type_closure", "walk_skipgrams",
         "bgp_match", "rdfs_entail", "scc", "neighbor_agg",
+        "dup_spans", "stable_ids", "neg_sampling", "cluster_keep_best",
+        "conductance",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
