@@ -912,3 +912,195 @@ def community_conductance(
             "conductance_x1000"
         ),
     )
+
+
+def personalized_pagerank_int(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_x100: int = 85,
+    r0: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Personalized PageRank (integer-exact, fixed iterations): the
+    teleport mass lands ONLY on the seed set, so ranks measure
+    relatedness TO the seeds — the KG entity-similarity / topic-crawl
+    scoring primitive.  Same BIGINT micro-unit arithmetic as
+    pagerank_int (contribution = rank div outdeg; rank' = seed_base +
+    (damping * S) div 100 with seed_base = (r0*(100-damping)) div 100
+    for seeds and 0 otherwise; dangling mass dropped), so results are
+    bit-identical across engines and partitionings.
+
+    The seed set is dimension-sized (a query's entities, a topic's
+    hub pages) → the seed flag attaches by BROADCAST join once before
+    the loop; per iteration the shapes are pagerank_int's: one
+    contribution shuffle + one node-set join."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    flagged = nodes.join(
+        F.broadcast(sd.withColumn("_isseed", F.lit(1))), "node", "left"
+    ).select("node", F.coalesce("_isseed", F.lit(0)).alias("_isseed"))
+    flagged = flagged.localCheckpoint(eager=False)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e2 = e.join(outdeg, "src")
+    base = (r0 * (100 - damping_x100)) // 100
+    seed_base = F.when(F.col("_isseed") == 1, F.lit(base)).otherwise(F.lit(0))
+    ranks = flagged.select(
+        "node",
+        F.when(F.col("_isseed") == 1, F.lit(r0))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(iterations):
+        s = (
+            e2.join(ranks, e2["src"] == ranks["node"])
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            flagged.join(s, flagged["node"] == s["dst"], "left")
+            .select(
+                "node",
+                (
+                    seed_base
+                    + F.expr(f"({damping_x100} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected
+    simple graph: cc = 2·tri / (deg·(deg−1)), reported ×1000 with
+    floor (NULL for degree-1 nodes) — the link-farm / tight-community
+    signal on top of triangle_counts' degree-ordered enumeration.
+    Output (node, deg, n_tri, cc_x1000); integer arithmetic only."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionByName(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(edges, src, dst)
+    d = F.col("deg")
+    return deg.join(tri, "node").select(
+        "node",
+        d.cast("long").alias("deg"),
+        F.col("n_tri").cast("long").alias("n_tri"),
+        F.when(
+            d >= 2,
+            F.floor(F.col("n_tri") * 2000 / (d * (d - 1))).cast("long"),
+        ).alias("cc_x1000"),
+    )
+
+
+def weighted_distances(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Bounded all-pairs-reachable weighted shortest distances by
+    min-plus matrix squaring: after ``rounds`` doubling rounds the
+    frame holds min total weight over every path of ≤ 2^rounds edges
+    — log-depth shuffle rounds instead of |V| Bellman-Ford sweeps.
+    Distances beyond the hop bound are absent (bounded closure, the
+    type_closure trade); weights must be non-negative integers.
+
+    Each round is one self-equi-join (d.dst = d.src) + one min groupBy
+    (partial-agg), checkpointed to truncate lineage.  Output
+    (src, dst, dist) for src ≠ dst pairs.  At corpus scale this is
+    for DIMENSION graphs (taxonomies, site graphs, redirect maps);
+    an unbounded single-source variant is bounded_multi_bfs."""
+    d = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight_col).cast("long").alias("dist"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("dist").alias("dist"))
+    )
+    for _ in range(rounds):
+        d = d.localCheckpoint(eager=False)
+        two = (
+            d.alias("a")
+            .join(d.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+                (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+        d = (
+            d.unionByName(two)
+            .groupBy("src", "dst")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return d
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_count: int = 2,
+    max_fanin: int = 64,
+) -> DataFrame:
+    """Co-citation graph: (a, b, n_shared) for every unordered pair of
+    sources that point at the same target, counted over shared targets
+    — the "pages cited together" relatedness signal (bibliographic
+    coupling is the same call with src/dst swapped).
+
+    Same flood-proof shape as cooccurrence_pairs: NO self-join of the
+    edge table — each target reduces to its sorted distinct source
+    array TRUNCATED to the ``max_fanin`` smallest (a deterministic cap
+    bounding fan-out at max_fanin²/2 per target; a 10⁶-in-degree hub
+    would otherwise emit 5·10¹¹ pairs), pairs expand as a pure array
+    expression, then ONE partial-agg groupBy."""
+    per = (
+        edges.select(F.col(dst).alias("t"), F.col(src).alias("s"))
+        .distinct()
+        .groupBy("t")
+        .agg(F.slice(F.array_sort(F.collect_set("s")), 1, max_fanin).alias("ss"))
+    )
+    ss = F.col("ss")
+    pairs = F.flatten(
+        F.transform(
+            ss,
+            lambda x, i: F.transform(
+                F.slice(ss, i + F.lit(2), F.size(ss)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        per.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_count)
+    )

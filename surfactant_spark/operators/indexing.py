@@ -312,3 +312,50 @@ def negative_sampling_ranges(
     return counts.join(ranges.select("term", "weight", "range_start"), "term").select(
         "term", "count", "weight", "range_start"
     )
+
+
+def entity_salience(
+    docs: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(document, entity-term) salience over a fixed vocabulary:
+    frequency plus position-of-first-mention, the classic cheap
+    salience heuristic (entities introduced early and repeated often
+    matter).  salience_x1000 = (tf*1000 div n_tokens) +
+    ((n_tokens - first_pos + 1)*1000 div n_tokens) — integral
+    divisions only, engine-bit-identical.  Output (id, term, tf,
+    first_pos, salience_x1000); 1-based token positions.
+
+    Shape: one posexplode filtered against the LITERAL vocabulary
+    (codegen array_contains — the vocab is query-sized, never a join)
+    + one partial-agg groupBy; n_tokens is a projection on the doc
+    table joined back on the doc key."""
+    toks = docs.select(
+        id_col,
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("pos0", "term"),
+    ).where(F.col("term").isin(vocab))
+    per = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        (F.min("pos0") + 1).cast("long").alias("first_pos"),
+    )
+    n_tok = docs.select(
+        id_col,
+        F.size(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).cast("long").alias("_n"),
+    )
+    n = F.col("_n")
+    return per.join(n_tok, id_col).select(
+        id_col,
+        "term",
+        "tf",
+        "first_pos",
+        (
+            F.expr("tf * 1000 div _n")
+            + F.expr("(_n - first_pos + 1) * 1000 div _n")
+        ).cast("long").alias("salience_x1000"),
+    )

@@ -5302,6 +5302,201 @@ LEFT JOIN internal USING (label) LEFT JOIN cut USING (label)
 """
 
 
+
+
+def q_ppr(spark, sf):
+    """Personalized PageRank (graphquery.personalized_pagerank_int):
+    teleport mass lands only on the seed set (nodes divisible by 100),
+    integer micro-unit arithmetic — relatedness-to-seeds scoring."""
+    from .operators.graphquery import personalized_pagerank_int
+
+    o = _t(spark, sf, "orders")
+    e = o.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_custkey") * 31 + F.col("o_orderkey") % 7) % 1500).alias("dst"),
+    )
+    nodes = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    )
+    seeds = nodes.where(F.col("node") % 100 == 0).distinct()
+    r = personalized_pagerank_int(e, seeds, iterations=3)
+    return r.select(
+        F.col("node").cast("long").alias("node"), F.col("rank").alias("rank_u")
+    )
+
+
+def _ppr_sql() -> str:
+    head = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src,
+         (o_custkey*31 + o_orderkey % 7) % 1500 AS dst
+  FROM orders
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+sn AS (SELECT node, (node % 100 = 0)::INT AS isseed FROM nodes),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+e2 AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+r0 AS (SELECT node, CASE WHEN isseed = 1 THEN CAST(1000000 AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END AS rank FROM sn)"""
+    iters = []
+    for i in range(1, 4):
+        iters.append(f"""
+s{i} AS (
+  SELECT dst, sum(rank // outdeg) AS s
+  FROM e2 JOIN r{i-1} ON e2.src = r{i-1}.node GROUP BY 1
+),
+r{i} AS (
+  SELECT sn.node,
+         CAST(CASE WHEN isseed = 1 THEN 150000 ELSE 0 END
+              + ((85 * coalesce(s, 0)) // 100) AS BIGINT) AS rank
+  FROM sn LEFT JOIN s{i} ON sn.node = dst
+)""")
+    return head + "," + ",".join(iters) + "\nSELECT node, rank AS rank_u FROM r3"
+
+
+O_PPR = _ppr_sql()
+
+
+def q_clustering_coef(spark, sf):
+    """Local clustering coefficient (graphquery.clustering_coefficients)
+    over the triangle-gate graph: 2·tri·1000 / (deg·(deg−1)) floored,
+    NULL at degree 1 — degree-ordered triangle enumeration + one
+    degree join."""
+    from .operators.graphquery import clustering_coefficients
+
+    o = _t(spark, sf, "orders")
+    e = o.select(
+        (F.col("o_custkey") % 300).alias("src"),
+        ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 300).alias("dst"),
+    )
+    return clustering_coefficients(e)
+
+
+_TRI_CTES = O_TRIANGLE_COUNT.strip()[len("WITH "):].rsplit(
+    "SELECT deg.node", 1
+)[0].rstrip().rstrip(")") + ")"
+
+O_CLUSTERING_COEF = f"""
+WITH {_TRI_CTES}
+SELECT deg.node::BIGINT AS node, deg.deg::BIGINT AS deg,
+       coalesce(pn.c, 0)::BIGINT AS n_tri,
+       CASE WHEN deg.deg >= 2
+            THEN floor(coalesce(pn.c, 0) * 2000.0
+                       / (deg.deg * (deg.deg - 1)))::BIGINT END AS cc_x1000
+FROM deg LEFT JOIN pn USING (node)
+"""
+
+
+def q_wsp(spark, sf):
+    """Bounded weighted shortest distances
+    (graphquery.weighted_distances): min-plus matrix squaring, 2
+    doubling rounds = min weight over paths of <= 4 edges, over a
+    functional chain graph with branch edges."""
+    from .operators.graphquery import weighted_distances
+
+    p = _t(spark, sf, "part")
+    i = (F.col("p_partkey") % 500).cast("long")
+    chain = p.select(
+        i.alias("src"),
+        ((i * 3 + 1) % 500).alias("dst"),
+        ((i % 7) + 1).alias("w"),
+    )
+    branch = p.where(i % 3 == 0).select(
+        i.alias("src"),
+        ((i + 17) % 500).alias("dst"),
+        ((i % 5) + 3).alias("w"),
+    )
+    return weighted_distances(chain.unionByName(branch), rounds=2)
+
+
+O_WSP = r"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT (p_partkey % 500) AS src, ((p_partkey % 500) * 3 + 1) % 500 AS dst,
+         (p_partkey % 500) % 7 + 1 AS w
+  FROM part
+  UNION
+  SELECT DISTINCT (p_partkey % 500), ((p_partkey % 500) + 17) % 500,
+         (p_partkey % 500) % 5 + 3
+  FROM part WHERE (p_partkey % 500) % 3 = 0
+),
+walk(src, dst, w, h) AS (
+  SELECT src, dst, w, 1 FROM e WHERE src <> dst
+  UNION
+  SELECT walk.src, e.dst, walk.w + e.w, walk.h + 1
+  FROM walk JOIN e ON walk.dst = e.src
+  WHERE walk.h < 4
+)
+SELECT src, dst, min(w)::BIGINT AS dist
+FROM walk WHERE src <> dst GROUP BY src, dst
+"""
+
+
+def q_cocitation(spark, sf):
+    """Co-citation pairs (graphquery.cocitation_pairs): sources that
+    point at the same target, counted over shared targets; capped
+    sorted fan-in arrays + array pair expansion — no edge self-join."""
+    from .operators.graphquery import cocitation_pairs
+
+    o = _t(spark, sf, "orders")
+    e = o.select(
+        (F.col("o_custkey") % 400).alias("src"),
+        (F.col("o_orderkey") % 160).alias("dst"),
+    )
+    return cocitation_pairs(e)
+
+
+O_COCITATION = r"""
+WITH e AS (
+  SELECT DISTINCT o_custkey % 400 AS s, o_orderkey % 160 AS t FROM orders
+),
+r AS (
+  SELECT t, s, row_number() OVER (PARTITION BY t ORDER BY s) AS rn FROM e
+),
+c AS (SELECT t, s FROM r WHERE rn <= 64),
+p AS (
+  SELECT x.s AS a, y.s AS b FROM c x JOIN c y ON x.t = y.t AND x.s < y.s
+)
+SELECT a, b, count(*)::BIGINT AS n_shared
+FROM p GROUP BY a, b HAVING count(*) >= 2
+"""
+
+
+def q_salience(spark, sf):
+    """Entity salience (indexing.entity_salience): frequency +
+    first-mention position over a fixed vocabulary, integral divisions
+    only."""
+    from .operators.indexing import entity_salience
+
+    return entity_salience(
+        _t(spark, sf, "documents"),
+        ["data", "query", "table", "spark", "join"],
+    )
+
+
+O_SALIENCE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, i, t[i] AS term
+  FROM toks, UNNEST(range(1, len(t) + 1)) u(i)
+),
+per AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, min(i)::BIGINT AS first_pos
+  FROM pos WHERE term IN ('data', 'query', 'table', 'spark', 'join')
+  GROUP BY 1, 2
+),
+n AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS nt
+  FROM documents
+)
+SELECT per.doc_id, term, tf, first_pos,
+       (tf * 1000 // nt + (nt - first_pos + 1) * 1000 // nt)::BIGINT
+         AS salience_x1000
+FROM per JOIN n USING (doc_id)
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -5424,6 +5619,11 @@ REGISTRY: dict[str, tuple] = {
     "stable_ids": (q_stable_ids, O_STABLE_IDS),
     "neg_sampling": (q_neg_sampling, O_NEG_SAMPLING),
     "conductance": (q_conductance, O_CONDUCTANCE),
+    "ppr": (q_ppr, O_PPR),
+    "clustering_coef": (q_clustering_coef, O_CLUSTERING_COEF),
+    "wsp": (q_wsp, O_WSP),
+    "cocitation": (q_cocitation, O_COCITATION),
+    "salience": (q_salience, O_SALIENCE),
 }
 
 

@@ -197,3 +197,83 @@ def warc_to_pages(df):
             F.lit(None).cast("string").alias("lang"),
         )
     )
+
+
+WET_SCHEMA = "path string, url string, warc_ts string, text string"
+
+
+def wet_pages_stage(batches) -> Iterator:
+    """mapInPandas stage: binaryFile rows → one row per WARC
+    *conversion* record (the WET extracted-text format Common Crawl
+    ships alongside raw WARC) — (path, url, warc_ts, text)."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            data = b"".join(split_gzip_members(bytes(content)))
+            for rec in parse_warc_records(data):
+                if rec["warc_type"] != "conversion":
+                    continue
+                rows.append(
+                    (
+                        path,
+                        rec["warc_target_uri"],
+                        rec["warc_date"],
+                        rec["block"].decode("utf-8", errors="replace"),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=["path", "url", "warc_ts", "text"])
+
+
+def read_wet(spark, path: str):
+    """WET file(s) → extracted-text DataFrame (url, warc_ts, text):
+    same binaryFile + one-Arrow-stage shape as read_warc, but the
+    records are conversion records whose block is already plain
+    text — the input most text-pipeline jobs actually start from."""
+    binf = spark.read.format("binaryFile").load(path)
+    return binf.select("path", "content").mapInPandas(
+        wet_pages_stage, schema=WET_SCHEMA
+    )
+
+
+def read_cdx(spark, path: str):
+    """CDX-J capture-index reader: each line is
+    ``<urlkey> <timestamp14> <json>`` (Common Crawl / OpenWayback
+    cdxj).  Entirely JVM-side — one regexp split + ``from_json``, no
+    Python UDF — so at 100 TB the index scan stays in whole-stage
+    codegen and malformed lines become NULL-url rows that are
+    filtered, not errors.
+
+    Output: (urlkey, ts string, url, mime, status long, digest,
+    length long, offset long, filename) — feed
+    ``temporal.latest_capture`` for newest-per-url dedup before
+    fetching bodies."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    rx = r"^(\S+) (\d+) (\{.*\})$"
+    j = F.from_json(
+        F.regexp_extract("value", rx, 3),
+        "url string, mime string, status string, digest string, "
+        "length string, offset string, filename string",
+    )
+    return (
+        lines.select(
+            F.regexp_extract("value", rx, 1).alias("urlkey"),
+            F.regexp_extract("value", rx, 2).alias("ts"),
+            j.alias("j"),
+        )
+        .select(
+            "urlkey",
+            "ts",
+            F.col("j.url").alias("url"),
+            F.col("j.mime").alias("mime"),
+            F.col("j.status").cast("long").alias("status"),
+            F.col("j.digest").alias("digest"),
+            F.col("j.length").cast("long").alias("length"),
+            F.col("j.offset").cast("long").alias("offset"),
+            F.col("j.filename").alias("filename"),
+        )
+        .where(F.col("url").isNotNull())
+    )

@@ -154,3 +154,55 @@ def test_warc_roundtrip_into_identical_kg(spark, tmp_path):
     ew = {(r.subj, r.pred, r.obj) for r in res_w.edges.collect()}
     ep = {(r.subj, r.pred, r.obj) for r in res_p.edges.collect()}
     assert ew == ep and len(ew) > 0
+
+
+def test_read_wet_conversion_records(spark, tmp_path):
+    from surfactant_spark.sources.warc import read_wet
+
+    wet = (
+        _record("warcinfo", "", "2026-01-01T00:00:00Z", b"fmt: wet\r\n")
+        + _record(
+            "conversion", "http://a.com/x", "2026-01-02T00:00:00Z",
+            "alpha extracted text é".encode("utf-8"),
+        )
+        + _record(
+            "conversion", "http://b.com/y", "2026-01-03T00:00:00Z",
+            b"beta text",
+        )
+        # response records must be ignored by the WET reader
+        + _record(
+            "response", "http://c.com/z", "2026-01-04T00:00:00Z",
+            _http(b"<html>nope</html>"),
+        )
+    )
+    p = tmp_path / "seg.warc.wet.gz"
+    p.write_bytes(gzip.compress(wet))
+    rows = {r.url: r for r in read_wet(spark, str(p)).collect()}
+    assert set(rows) == {"http://a.com/x", "http://b.com/y"}
+    assert rows["http://a.com/x"].text == "alpha extracted text é"
+    assert rows["http://b.com/y"].warc_ts == "2026-01-03T00:00:00Z"
+
+
+def test_read_cdx_parses_and_casts(spark, tmp_path):
+    from surfactant_spark.sources.warc import read_cdx
+
+    lines = "\n".join(
+        [
+            'com,a)/x 20260102000000 {"url": "http://a.com/x", "mime": '
+            '"text/html", "status": "200", "digest": "AAA", "length": '
+            '"1234", "offset": "0", "filename": "seg-00.warc.gz"}',
+            'com,b)/y 20260103000000 {"url": "http://b.com/y", "mime": '
+            '"application/pdf", "status": "404", "digest": "BBB", '
+            '"length": "99", "offset": "4567", "filename": "seg-01.warc.gz"}',
+            "garbage line without json",
+        ]
+    )
+    p = tmp_path / "indexes.cdxj"
+    p.write_text(lines)
+    rows = {r.urlkey: r for r in read_cdx(spark, str(p)).collect()}
+    assert set(rows) == {"com,a)/x", "com,b)/y"}  # garbage dropped
+    a = rows["com,a)/x"]
+    assert (a.ts, a.url, a.status, a.length, a.offset) == (
+        "20260102000000", "http://a.com/x", 200, 1234, 0
+    )
+    assert rows["com,b)/y"].filename == "seg-01.warc.gz"

@@ -264,6 +264,20 @@ AUDITS = {
                           "!CartesianProduct"],
     "conductance": ["HashAggregate", "!CartesianProduct",
                     "!BroadcastNestedLoopJoin"],
+    # personalized pagerank: seed flag attaches by broadcast before
+    # the iteration loop
+    "ppr": ["BroadcastHashJoin", "!CartesianProduct"],
+    "clustering_coef": ["HashAggregate", "!CartesianProduct",
+                        "!BroadcastNestedLoopJoin"],
+    # min-plus squaring: equi-join + min groupBy per round
+    "wsp": ["HashAggregate", "!CartesianProduct",
+            "!BroadcastNestedLoopJoin"],
+    # co-citation: capped array pair expansion, NO edge self-join
+    "cocitation": ["Generate", "HashAggregate", "!CartesianProduct",
+                   "!BroadcastNestedLoopJoin"],
+    # salience: literal-vocab filter (codegen), one groupBy + doc join
+    "salience": ["HashAggregate", "!CartesianProduct",
+                 "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -306,7 +320,8 @@ def main() -> None:
         "er_scores", "type_closure", "walk_skipgrams",
         "bgp_match", "rdfs_entail", "scc", "neighbor_agg",
         "dup_spans", "stable_ids", "neg_sampling", "cluster_keep_best",
-        "conductance",
+        "conductance", "ppr", "clustering_coef", "wsp", "cocitation",
+        "salience",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
