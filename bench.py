@@ -104,6 +104,14 @@ HEADLINE = [
     "neg_sampling",
     "cluster_keep_best",
     "conductance",
+    "ppr",
+    "clustering_coef",
+    "wsp",
+    "cocitation",
+    "salience",
+    "verbalize",
+    "kg_qa",
+    "bpe_tokens",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

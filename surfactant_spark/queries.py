@@ -5497,6 +5497,99 @@ FROM per JOIN n USING (doc_id)
 """
 
 
+
+
+def _verb_edges(spark, sf):
+    """Deterministic KG edges for the verbalization gates: subj/obj
+    from order keys, predicate cycling through the three KG families
+    plus an untemplated one."""
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        F.concat(F.lit("e"), (k % 500).cast("string")).alias("subj"),
+        F.element_at(
+            F.array(F.lit("Uses"), F.lit("Contains"), F.lit("LinksTo"),
+                    F.lit("DependsOn")),
+            (k % 4 + 1).cast("int"),
+        ).alias("pred"),
+        F.concat(F.lit("e"), ((k * 7 + 3) % 500).cast("string")).alias("obj"),
+    ).distinct()
+
+
+_VERB_EDGES_SQL = """
+  SELECT DISTINCT 'e' || (o_orderkey % 500)::VARCHAR AS subj,
+         ['Uses', 'Contains', 'LinksTo', 'DependsOn'][(o_orderkey % 4 + 1)::INT]
+           AS pred,
+         'e' || ((o_orderkey * 7 + 3) % 500)::VARCHAR AS obj
+  FROM orders
+"""
+
+
+def q_verbalize(spark, sf):
+    """Triple verbalization (verbalize.verbalize_triples): KG →
+    training sentences via per-predicate templates, untemplated
+    predicates fall back to "s pred o." — pure codegen CASE chain."""
+    from .operators.verbalize import verbalize_triples
+
+    return verbalize_triples(_verb_edges(spark, sf))
+
+
+O_VERBALIZE = f"""
+WITH e AS ({_VERB_EDGES_SQL})
+SELECT subj, pred, obj,
+       CASE pred
+         WHEN 'Uses' THEN subj || ' uses ' || obj || '.'
+         WHEN 'Contains' THEN subj || ' contains ' || obj || '.'
+         WHEN 'LinksTo' THEN subj || ' links to ' || obj || '.'
+         ELSE subj || ' ' || pred || ' ' || obj || '.'
+       END AS sentence
+FROM e
+"""
+
+
+def q_kg_qa(spark, sf):
+    """QA-pair generation (verbalize.kg_qa_pairs): one multi-answer
+    example per (subj, pred), answers sorted and comma-joined;
+    untemplated predicates excluded."""
+    from .operators.verbalize import kg_qa_pairs
+
+    return kg_qa_pairs(_verb_edges(spark, sf))
+
+
+O_KG_QA = f"""
+WITH e AS ({_VERB_EDGES_SQL})
+SELECT subj, pred,
+       CASE pred
+         WHEN 'Uses' THEN 'What does ' || subj || ' use?'
+         WHEN 'Contains' THEN 'What does ' || subj || ' contain?'
+         WHEN 'LinksTo' THEN 'What does ' || subj || ' link to?'
+       END AS question,
+       string_agg(obj, ', ' ORDER BY obj) AS answer,
+       count(*)::BIGINT AS n_objects
+       -- e is DISTINCT triples, so objs are unique per (subj, pred)
+FROM e WHERE pred IN ('Uses', 'Contains', 'LinksTo')
+GROUP BY subj, pred
+"""
+
+
+_BPE_MERGES = [
+    ("a", "t"), ("t", "h"), ("th", "e"), ("d", "a"), ("da", "t"),
+    ("dat", "a"), ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"),
+    ("j", "o"), ("jo", "i"), ("joi", "n"), ("r", "o"), ("ro", "w"),
+]
+
+
+def q_bpe_tokens(spark, sf):
+    """Per-document BPE token budgets (bpe.bpe_token_counts) with a
+    fixed 15-rule merge table: distinct-word Arrow encode + join-back.
+    ROWS-ONLY gate — the iterative merge loop has no tractable SQL
+    oracle; unit tests pin hand-computed encodings
+    (tests/test_bpe.py)."""
+    from .operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(_t(spark, sf, "documents"), _BPE_MERGES)
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -5624,6 +5717,9 @@ REGISTRY: dict[str, tuple] = {
     "wsp": (q_wsp, O_WSP),
     "cocitation": (q_cocitation, O_COCITATION),
     "salience": (q_salience, O_SALIENCE),
+    "verbalize": (q_verbalize, O_VERBALIZE),
+    "kg_qa": (q_kg_qa, O_KG_QA),
+    "bpe_tokens": (q_bpe_tokens, None),
 }
 
 

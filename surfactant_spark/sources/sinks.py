@@ -243,3 +243,19 @@ def write_spdx_json(nodes: DataFrame, edges: DataFrame, path: str,
             rel, f, f"{path}.relationships.shards",
         )
         f.write("\n}\n")
+
+
+def write_training_jsonl(
+    df: DataFrame, out_dir: str, compress: bool = True
+) -> None:
+    """Cleaned-corpus JSONL export — the tokenizer-ready handoff
+    format of a training-data pipeline: one JSON object per line,
+    written as DISTRIBUTED shards by Spark's native json sink (every
+    executor writes its partition; the driver never materializes a
+    row).  ``compress`` gzips per-shard, the layout every loader
+    (webdataset, HF datasets, Megatron preprocessing) expects.
+    Re-read with ``spark.read.json(out_dir)``."""
+    w = df.write.mode("overwrite")
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(out_dir)

@@ -278,6 +278,13 @@ AUDITS = {
     # salience: literal-vocab filter (codegen), one groupBy + doc join
     "salience": ["HashAggregate", "!CartesianProduct",
                  "!BroadcastNestedLoopJoin"],
+    # verbalization: pure projection over the edge frame (the gate's
+    # edge synthesis contributes its own distinct exchange) — no join
+    "verbalize": ["Project", "!Join"],
+    "kg_qa": ["HashAggregate", "!CartesianProduct", "!Join"],
+    # bpe: ONE Arrow stage over DISTINCT words + join back
+    "bpe_tokens": ["MapInPandas", "HashAggregate", "!CartesianProduct",
+                   "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -321,7 +328,7 @@ def main() -> None:
         "bgp_match", "rdfs_entail", "scc", "neighbor_agg",
         "dup_spans", "stable_ids", "neg_sampling", "cluster_keep_best",
         "conductance", "ppr", "clustering_coef", "wsp", "cocitation",
-        "salience",
+        "salience", "verbalize", "kg_qa", "bpe_tokens",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
