@@ -112,6 +112,8 @@ HEADLINE = [
     "verbalize",
     "kg_qa",
     "bpe_tokens",
+    "lsh_eval",
+    "seq_pack",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

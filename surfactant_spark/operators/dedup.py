@@ -975,3 +975,51 @@ def keep_best_per_group(
         "quality",
         (F.col("id") == F.col("_wid")).alias("kept"),
     )
+
+
+def lsh_eval(
+    df: DataFrame,
+    min_jaccard_x1000: int = 500,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Measure, don't guess: precision/recall of the MinHash-LSH
+    candidate generator against the exact (hot-shingle-guarded) n-gram
+    Jaccard truth at a threshold — the tuning harness for (k, bands)
+    before a 100 TB dedup run.  Output is ONE row: (tp, fp, fn,
+    precision_x1000, recall_x1000), NULL rates when a denominator is
+    empty.
+
+    Both sides are the production sub-quadratic generators (inverted
+    index for truth, band join for candidates) — the evaluation never
+    goes all-pairs either; the confusion counts come from one full
+    outer join on the pair key + one global aggregate."""
+    truth = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, n=shingle_n,
+        min_jaccard_x1000=min_jaccard_x1000, max_df=max_df,
+    ).select("id_a", "id_b", F.lit(1).alias("_t"))
+    pred = lsh_candidate_pairs(
+        df, id_col=id_col, text_col=text_col, k=k, bands=bands,
+        shingle_n=shingle_n,
+    ).select("id_a", "id_b", F.lit(1).alias("_p"))
+    j = truth.join(pred, ["id_a", "id_b"], "full").select(
+        F.coalesce("_t", F.lit(0)).alias("t"),
+        F.coalesce("_p", F.lit(0)).alias("p"),
+    )
+    agg = j.agg(
+        F.sum(F.col("t") * F.col("p")).cast("long").alias("tp"),
+        F.sum((1 - F.col("t")) * F.col("p")).cast("long").alias("fp"),
+        F.sum(F.col("t") * (1 - F.col("p"))).cast("long").alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select(
+        "tp", "fp", "fn",
+        F.when(tp + fp > 0, F.floor(tp * 1000.0 / (tp + fp)).cast("long"))
+        .alias("precision_x1000"),
+        F.when(tp + fn > 0, F.floor(tp * 1000.0 / (tp + fn)).cast("long"))
+        .alias("recall_x1000"),
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["assign_stable_ids", "prefix_sums"]
+__all__ = ["assign_stable_ids", "prefix_sums", "pack_sequences"]
 
 
 def _with_partition_ranks(
@@ -121,4 +121,46 @@ def prefix_sums(
         (F.col("_off") + F.col("_lsum") - F.col("_v"))
         .cast("long")
         .alias(start_name),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    block: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int = 32,
+) -> DataFrame:
+    """GPT-style sequence packing: conceptually concatenate every
+    document's tokens in ``id_col`` order and chunk the stream into
+    fixed ``block``-token training sequences; report where each
+    document lands.  Output (id, n_tokens, tok_offset, first_seq,
+    last_seq) with tok_offset the document's start in the global
+    stream, first_seq/last_seq = offset div block / (offset +
+    n_tokens - 1) div block (NULL for zero-token docs — they occupy
+    no block).
+
+    This is the packing *plan*; a writer emits sequence shards by
+    grouping on first_seq..last_seq.  The global offsets are the
+    distributed two-phase prefix sum (range partition + per-partition
+    sums + broadcast offsets) — no single-partition window, no
+    driver-side token counting."""
+    counted = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).cast("long").alias("n_tokens"),
+    )
+    offs = prefix_sums(
+        counted, ["id"], "n_tokens", partitions=partitions,
+        start_name="tok_offset",
+    )
+    n = F.col("weight")
+    return offs.select(
+        F.col("id").alias(id_col),
+        n.alias("n_tokens"),
+        "tok_offset",
+        F.when(n > 0, F.expr(f"tok_offset div {block}")).alias("first_seq"),
+        F.when(n > 0, F.expr(f"(tok_offset + weight - 1) div {block}"))
+        .alias("last_seq"),
     )

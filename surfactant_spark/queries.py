@@ -5590,6 +5590,71 @@ def q_bpe_tokens(spark, sf):
     return bpe_token_counts(_t(spark, sf, "documents"), _BPE_MERGES)
 
 
+
+
+def q_lsh_eval(spark, sf):
+    """LSH tuning harness (dedup.lsh_eval): precision/recall of the
+    MinHash band-join candidates vs the exact hot-shingle-guarded
+    n-gram Jaccard truth at threshold 0.5 — one full outer join on the
+    pair key + one global aggregate; neither side goes all-pairs."""
+    return dd.lsh_eval(_t(spark, sf, "documents"), min_jaccard_x1000=500)
+
+
+O_LSH_EVAL = f"""
+WITH truth AS (
+  SELECT id_a, id_b FROM ( {O_NGRAM_JACCARD.strip()} ) tt
+  WHERE jaccard_x1000 >= 500
+),
+pred AS (
+  SELECT id_a, id_b FROM ( {O_MINHASH_LSH.strip()} ) pp
+),
+j AS (
+  SELECT (t.id_a IS NOT NULL)::INT AS t, (p.id_a IS NOT NULL)::INT AS p
+  FROM truth t FULL JOIN pred p
+    ON t.id_a = p.id_a AND t.id_b = p.id_b
+)
+SELECT sum(t * p)::BIGINT AS tp,
+       sum((1 - t) * p)::BIGINT AS fp,
+       sum(t * (1 - p))::BIGINT AS fn,
+       CASE WHEN sum(p) > 0
+            THEN floor(sum(t * p) * 1000.0 / sum(p))::BIGINT END
+         AS precision_x1000,
+       CASE WHEN sum(t) > 0
+            THEN floor(sum(t * p) * 1000.0 / sum(t))::BIGINT END
+         AS recall_x1000
+FROM j
+"""
+
+
+
+
+def q_seq_pack(spark, sf):
+    """GPT-style sequence packing plan (ids.pack_sequences, block=128):
+    global token offsets from the distributed two-phase prefix sum,
+    first/last training-sequence indexes per document."""
+    from .operators.ids import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), block=128)
+
+
+O_SEQ_PACK = r"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n,
+         (sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n) AS off
+  FROM c
+)
+SELECT doc_id, n AS n_tokens, off::BIGINT AS tok_offset,
+       CASE WHEN n > 0 THEN (off // 128)::BIGINT END AS first_seq,
+       CASE WHEN n > 0 THEN ((off + n - 1) // 128)::BIGINT END AS last_seq
+FROM o
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -5720,6 +5785,8 @@ REGISTRY: dict[str, tuple] = {
     "verbalize": (q_verbalize, O_VERBALIZE),
     "kg_qa": (q_kg_qa, O_KG_QA),
     "bpe_tokens": (q_bpe_tokens, None),
+    "lsh_eval": (q_lsh_eval, O_LSH_EVAL),
+    "seq_pack": (q_seq_pack, O_SEQ_PACK),
 }
 
 

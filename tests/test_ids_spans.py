@@ -118,3 +118,34 @@ def test_community_conductance_isolated_label_null(spark):
     got = {r.label: r for r in community_conductance(edges, labels).collect()}
     assert got["z"].internal_edges == 0 and got["z"].cut_edges == 0
     assert got["z"].conductance_x1000 is None
+
+
+def test_pack_sequences_offsets_and_blocks(spark):
+    from surfactant_spark.operators.ids import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, ""), (4, "h i")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.n_tokens, r.tok_offset, r.first_seq, r.last_seq)
+           for r in pack_sequences(docs, block=4).collect()}
+    # stream: doc1 [0..2], doc2 [3..6], doc3 empty at 7, doc4 [7..8]
+    assert got[1] == (3, 0, 0, 0)
+    assert got[2] == (4, 3, 0, 1)   # spans blocks 0 and 1
+    assert got[3] == (0, 7, None, None)
+    assert got[4] == (2, 7, 1, 2)
+
+
+def test_lsh_eval_perfect_on_exact_dups(spark):
+    from surfactant_spark.operators.dedup import lsh_eval
+
+    long = " ".join(f"w{i} tok{i%11} filler{i%7}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, long), (2, long), (3, "completely different text entirely"),
+         (4, "another unrelated document body here")],
+        ["doc_id", "text"],
+    )
+    r = lsh_eval(docs, min_jaccard_x1000=900).collect()[0]
+    # identical docs: the (1,2) pair is both truth and LSH candidate
+    assert r.tp == 1 and r.fn == 0
+    assert r.recall_x1000 == 1000

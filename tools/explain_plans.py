@@ -285,6 +285,13 @@ AUDITS = {
     # bpe: ONE Arrow stage over DISTINCT words + join back
     "bpe_tokens": ["MapInPandas", "HashAggregate", "!CartesianProduct",
                    "!BroadcastNestedLoopJoin"],
+    # eval harness: both pair generators sub-quadratic, confusion =
+    # one outer join + global agg
+    "lsh_eval": ["HashAggregate", "!CartesianProduct",
+                 "!BroadcastNestedLoopJoin"],
+    # packing: two-phase prefix sum (window behind checkpoint +
+    # broadcast offsets)
+    "seq_pack": ["Window", "BroadcastHashJoin", "!CartesianProduct"],
 }
 
 
@@ -329,6 +336,7 @@ def main() -> None:
         "dup_spans", "stable_ids", "neg_sampling", "cluster_keep_best",
         "conductance", "ppr", "clustering_coef", "wsp", "cocitation",
         "salience", "verbalize", "kg_qa", "bpe_tokens",
+        "lsh_eval", "seq_pack",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
