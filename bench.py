@@ -114,6 +114,8 @@ HEADLINE = [
     "bpe_tokens",
     "lsh_eval",
     "seq_pack",
+    "equi_depth",
+    "length_outliers",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

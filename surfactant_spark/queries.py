@@ -5655,6 +5655,61 @@ FROM o
 """
 
 
+
+
+def q_equi_depth(spark, sf):
+    """Exact equi-depth histogram boundaries (stats.equi_depth_bins,
+    8 bins) of a derived integer column over lineitem — the
+    approxQuantile statistic computed exactly with the two-phase rank
+    machinery; no single-partition sort."""
+    from .stats import equi_depth_bins
+
+    li = _t(spark, sf, "lineitem")
+    v = li.select(
+        ((F.col("l_partkey") * 13 + F.col("l_suppkey")) % 1000).alias("val")
+    )
+    return equi_depth_bins(v, "val", bins=8)
+
+
+O_EQUI_DEPTH = r"""
+WITH v AS (
+  SELECT (l_partkey * 13 + l_suppkey) % 1000 AS val FROM lineitem
+),
+r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v),
+n AS (SELECT count(*) AS c FROM v)
+SELECT i::BIGINT AS bin_idx, val::BIGINT AS boundary
+FROM r, n, UNNEST(range(1, 8)) u(i)
+WHERE rn = (i * c + 7) // 8
+"""
+
+
+def q_length_outliers(spark, sf):
+    """Integer-exact per-language length outliers
+    (stats.length_outliers, z=2): (len·n − sum)² > 4·(n·sumsq − sum²)
+    — no sqrt, no float, broadcast moment frame."""
+    from .stats import length_outliers
+
+    return length_outliers(_t(spark, sf, "documents"))
+
+
+O_LENGTH_OUTLIERS = r"""
+WITH lens AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+  FROM documents
+),
+m AS (
+  SELECT lang, count(*)::BIGINT AS n, sum(n_tokens)::BIGINT AS s,
+         sum(n_tokens * n_tokens)::BIGINT AS ss
+  FROM lens GROUP BY lang
+)
+SELECT doc_id, lang, n_tokens,
+       ((n_tokens * n - s) * (n_tokens * n - s) > 4 * (n * ss - s * s))
+         AS is_outlier
+FROM lens JOIN m USING (lang)
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -5787,6 +5842,8 @@ REGISTRY: dict[str, tuple] = {
     "bpe_tokens": (q_bpe_tokens, None),
     "lsh_eval": (q_lsh_eval, O_LSH_EVAL),
     "seq_pack": (q_seq_pack, O_SEQ_PACK),
+    "equi_depth": (q_equi_depth, O_EQUI_DEPTH),
+    "length_outliers": (q_length_outliers, O_LENGTH_OUTLIERS),
 }
 
 

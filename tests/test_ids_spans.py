@@ -149,3 +149,45 @@ def test_lsh_eval_perfect_on_exact_dups(spark):
     # identical docs: the (1,2) pair is both truth and LSH candidate
     assert r.tp == 1 and r.fn == 0
     assert r.recall_x1000 == 1000
+
+
+def test_equi_depth_bins_exact_boundaries(spark):
+    from surfactant_spark.stats import equi_depth_bins
+
+    # values 1..100: quartile boundaries at ranks 25/50/75
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], ["v"])
+    got = {r.bin_idx: r.boundary
+           for r in equi_depth_bins(df, "v", bins=4).collect()}
+    assert got == {1: 25, 2: 50, 3: 75}
+
+
+def test_equi_depth_bins_duplicates_and_skew(spark):
+    from surfactant_spark.stats import equi_depth_bins
+
+    # heavy duplication: 90x value 7, 10x value 99
+    rows = [(7,)] * 90 + [(99,)] * 10
+    df = spark.createDataFrame(rows, ["v"]).repartition(8)
+    got = {r.bin_idx: r.boundary
+           for r in equi_depth_bins(df, "v", bins=4).collect()}
+    assert got == {1: 7, 2: 7, 3: 7}
+
+
+def test_equi_depth_bins_small_n_raises(spark):
+    import pytest
+    from surfactant_spark.stats import equi_depth_bins
+
+    df = spark.createDataFrame([(1,), (2,)], ["v"])
+    with pytest.raises(ValueError, match="at least bins"):
+        equi_depth_bins(df, "v", bins=4)
+
+
+def test_length_outliers_integer_exact(spark):
+    from surfactant_spark.stats import length_outliers
+
+    # group en: nine 10-token docs + one 100-token doc (clear outlier)
+    docs = [(i, "t " * 10, "en") for i in range(9)]
+    docs.append((9, "t " * 100, "en"))
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    got = {r.doc_id: r.is_outlier for r in length_outliers(df).collect()}
+    assert got[9] is True
+    assert all(got[i] is False for i in range(9))

@@ -292,6 +292,12 @@ AUDITS = {
     # packing: two-phase prefix sum (window behind checkpoint +
     # broadcast offsets)
     "seq_pack": ["Window", "BroadcastHashJoin", "!CartesianProduct"],
+    # exact histogram: two-phase ranks, boundary filter; never a
+    # single-partition sort of the data
+    "equi_depth": ["Window", "BroadcastHashJoin", "!CartesianProduct"],
+    # outliers: broadcast moment frame + codegen integer verdict
+    "length_outliers": ["BroadcastHashJoin", "HashAggregate",
+                        "!CartesianProduct", "!SortMergeJoin"],
 }
 
 
@@ -336,7 +342,7 @@ def main() -> None:
         "dup_spans", "stable_ids", "neg_sampling", "cluster_keep_best",
         "conductance", "ppr", "clustering_coef", "wsp", "cocitation",
         "salience", "verbalize", "kg_qa", "bpe_tokens",
-        "lsh_eval", "seq_pack",
+        "lsh_eval", "seq_pack", "equi_depth", "length_outliers",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
