@@ -116,6 +116,7 @@ HEADLINE = [
     "seq_pack",
     "equi_depth",
     "length_outliers",
+    "seq_materialize",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

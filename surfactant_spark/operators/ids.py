@@ -164,3 +164,77 @@ def pack_sequences(
         F.when(n > 0, F.expr(f"(tok_offset + weight - 1) div {block}"))
         .alias("last_seq"),
     )
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    block: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int = 32,
+) -> DataFrame:
+    """The writer half of sequence packing: actually emit the fixed-
+    size training sequences — every document's token stream is cut at
+    the block boundaries pack_sequences planned, pieces regroup by
+    sequence id, and each sequence reports its length and a
+    fingerprint of its token stream.  Output (seq_id, seq_len,
+    seq_fp); the final sequence may be shorter than ``block``.
+
+    Shape: the plan joins back to the doc tokens (one equi-join), each
+    doc explodes to its ≤(n_tokens/block + 2) spanned blocks with the
+    piece cut by a pure array-slice expression, and ONE partial-agg
+    groupBy per sequence reassembles pieces in stream order (in-group
+    array_sort — no corpus window).  Every sequence holds ≤ block
+    tokens, so no group is hot by construction."""
+    plan = pack_sequences(docs, block, text_col, id_col, partitions)
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        .alias("_t"),
+    )
+    j = (
+        plan.where(F.col("n_tokens") > 0)
+        .select(
+            F.col(id_col).alias("_id"), "n_tokens", "tok_offset",
+            "first_seq", "last_seq",
+        )
+        .join(toks, "_id")
+    )
+    b = F.col("seq_id")
+    off = F.col("tok_offset")
+    gstart = F.greatest(b * block, off)
+    gend = F.least((b + 1) * block, off + F.col("n_tokens"))
+    pieces = j.select(
+        off,
+        "n_tokens",
+        F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).alias(
+            "seq_id"
+        ),
+        "_t",
+    ).select(
+        "seq_id",
+        off,
+        (gend - gstart).alias("piece_len"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("_t"),
+                (gstart - off + 1).cast("int"),
+                (gend - gstart).cast("int"),
+            ),
+        ).alias("piece"),
+    )
+    return pieces.groupBy("seq_id").agg(
+        F.sum("piece_len").cast("long").alias("seq_len"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tok_offset", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+            )
+        ).alias("seq_fp"),
+    )

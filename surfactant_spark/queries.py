@@ -5710,6 +5710,46 @@ FROM lens JOIN m USING (lang)
 """
 
 
+
+
+def q_seq_materialize(spark, sf):
+    """Materialized training sequences (ids.materialize_sequences,
+    block=128): documents cut at planned block boundaries, pieces
+    regrouped per sequence — (seq_id, seq_len, stream fingerprint);
+    proves the packing plan reassembles into the exact token
+    stream."""
+    from .operators.ids import materialize_sequences
+
+    return materialize_sequences(_t(spark, sf, "documents"), block=128)
+
+
+O_SEQ_MATERIALIZE = r"""
+WITH c AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+o AS (
+  SELECT doc_id, t, len(t)::BIGINT AS n,
+         (sum(len(t)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - len(t))::BIGINT AS off
+  FROM c
+),
+pieces AS (
+  SELECT b AS seq_id, off,
+         (least((b + 1) * 128, off + n) - greatest(b * 128, off))
+           AS piece_len,
+         array_to_string(
+           t[(greatest(b * 128, off) - off + 1)
+             :(least((b + 1) * 128, off + n) - off)], ' ') AS piece
+  FROM o, UNNEST(range(off // 128, ((off + n - 1) // 128) + 1)) u(b)
+  WHERE n > 0
+)
+SELECT seq_id::BIGINT AS seq_id, sum(piece_len)::BIGINT AS seq_len,
+       md5(string_agg(piece, ' ' ORDER BY off)) AS seq_fp
+FROM pieces GROUP BY seq_id
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -5844,6 +5884,7 @@ REGISTRY: dict[str, tuple] = {
     "seq_pack": (q_seq_pack, O_SEQ_PACK),
     "equi_depth": (q_equi_depth, O_EQUI_DEPTH),
     "length_outliers": (q_length_outliers, O_LENGTH_OUTLIERS),
+    "seq_materialize": (q_seq_materialize, O_SEQ_MATERIALIZE),
 }
 
 

@@ -191,3 +191,21 @@ def test_length_outliers_integer_exact(spark):
     got = {r.doc_id: r.is_outlier for r in length_outliers(df).collect()}
     assert got[9] is True
     assert all(got[i] is False for i in range(9))
+
+
+def test_materialize_sequences_exact_stream(spark):
+    import hashlib
+
+    from surfactant_spark.operators.ids import materialize_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, ""), (4, "h i")],
+        ["doc_id", "text"],
+    )
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    got = {(r.seq_id, r.seq_len, r.seq_fp)
+           for r in materialize_sequences(docs, block=4).collect()}
+    # stream a b c d | e f g h | i
+    assert got == {
+        (0, 4, md5("a b c d")), (1, 4, md5("e f g h")), (2, 1, md5("i"))
+    }

@@ -298,6 +298,11 @@ AUDITS = {
     # outliers: broadcast moment frame + codegen integer verdict
     "length_outliers": ["BroadcastHashJoin", "HashAggregate",
                         "!CartesianProduct", "!SortMergeJoin"],
+    # sequence write-out: explode + slice expressions + ONE groupBy
+    # with in-group array_sort (the Window nodes in the plan are the
+    # packing plan's per-pid prefix sums, not a corpus reassembly)
+    "seq_materialize": ["Generate", "HashAggregate",
+                        "!CartesianProduct"],
 }
 
 
@@ -343,6 +348,7 @@ def main() -> None:
         "conductance", "ppr", "clustering_coef", "wsp", "cocitation",
         "salience", "verbalize", "kg_qa", "bpe_tokens",
         "lsh_eval", "seq_pack", "equi_depth", "length_outliers",
+        "seq_materialize",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
