@@ -227,6 +227,27 @@ def cmd_find(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """documents parquet → cleaned training corpus (dedup keep-best,
+    Gopher gate, PII scrub, sequence packing) with per-stage counts —
+    the training-data counterpart of `generate`."""
+    import json as _json
+
+    from .plans.training import build_training_corpus
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    res = build_training_corpus(
+        docs,
+        out_dir=args.out,
+        block=args.block,
+        min_words=args.min_words,
+        min_stop_hits=args.min_stop_hits,
+    )
+    print(_json.dumps(res.counts))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="surfactant_spark")
     p.add_argument("--cores", default=None, help="local[N] cores (default: env/all)")
@@ -276,6 +297,16 @@ def main(argv: list[str] | None = None) -> int:
     fd.add_argument("--sha256", default=None)
     fd.add_argument("--limit", type=int, default=20)
     fd.set_defaults(fn=cmd_find)
+
+    cp = sub.add_parser(
+        "corpus", help="documents parquet → cleaned training corpus"
+    )
+    cp.add_argument("docs")
+    cp.add_argument("out")
+    cp.add_argument("--block", type=int, default=2048)
+    cp.add_argument("--min-words", type=int, default=50)
+    cp.add_argument("--min-stop-hits", type=int, default=2)
+    cp.set_defaults(fn=cmd_corpus)
 
     cf = sub.add_parser("config", help="get/set a section.option config value")
     cf.add_argument("key")

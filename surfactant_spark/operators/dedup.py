@@ -889,6 +889,7 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 5,
     min_count: int = 2,
+    cache_grams: bool = True,
 ) -> DataFrame:
     """Exact duplicated-substring SPANS at token granularity (the
     suffix-array substring dedup of Lee et al. 2022, re-expressed as a
@@ -904,13 +905,21 @@ def duplicate_spans(
     repeated 10^9 times combines map-side); flagged positions join
     back on the hash (AQE handles residual skew) and islands-merge
     with a PER-DOCUMENT window — partitions are document-sized, never
-    corpus-sized.  No suffix array, no driver state."""
+    corpus-sized.  No suffix array, no driver state.
+
+    ``cache_grams`` checkpoints the exploded gram frame so the
+    frequency pass and the join-back read it once instead of
+    re-running tokenize+md5 (measured ~2x at sf0.1).  At extreme
+    corpus scale where materializing ~n_tokens rows costs more than
+    recomputing them, pass False to trade CPU for storage."""
     from ..functions.textfx import ngram_strings
 
     g = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(ngram_strings(text_col, k)).alias("pos0", "gram"),
     ).select("id", (F.col("pos0") + 1).alias("start"), F.md5("gram").alias("h"))
+    if cache_grams:
+        g = g.localCheckpoint(eager=False)
     freq = g.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     dup = g.join(freq.where(F.col("c") >= min_count), "h").select("id", "start")
     w = Window.partitionBy("id").orderBy("start")

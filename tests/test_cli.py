@@ -152,3 +152,20 @@ def test_cli_generate_from_warc(spark, tmp_path, capsys):
                  "--corpus-fingerprint", "warc-150"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["nodes"] > 0 and rep["edges"] > 0
+
+
+def test_cli_corpus_builds_training_set(spark, tmp_path, capsys):
+    import glob
+    import json
+
+    out = str(tmp_path / "corpus")
+    assert main([
+        "corpus", "/root/testdata/sf0.001/documents.parquet", out,
+        "--block", "64", "--min-words", "10", "--min-stop-hits", "1",
+    ]) == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts["input"] == 500
+    assert 0 < counts["after_quality"] <= counts["after_dedup"] <= 500
+    assert counts["n_sequences"] > 0
+    assert glob.glob(out + "/docs/*.json.gz")
+    assert spark.read.parquet(out + "/sequences").count() == counts["n_sequences"]
