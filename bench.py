@@ -117,6 +117,7 @@ HEADLINE = [
     "equi_depth",
     "length_outliers",
     "seq_materialize",
+    "capture_drift",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

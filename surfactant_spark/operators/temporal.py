@@ -291,3 +291,48 @@ def scd2_intervals(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def capture_drift(
+    captures: DataFrame,
+    url_col: str = "url",
+    order_col: str = "capture_ts",
+    id_col: str = "capture_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content drift across a web archive: for every capture after a
+    url's first, the 64-bit SimHash hamming distance to the PREVIOUS
+    capture — the change-detection signal that decides recrawl
+    frequency and dedups unchanged snapshots (the CDX family's
+    companion: latest_capture picks one, drift measures churn).
+
+    Shape: one simhash64 pass over the capture corpus (explode + one
+    64-aggregate groupBy), one equi-join back, one PER-URL lag window
+    (partitions are capture-chain-sized).  hamming = bit_count(hi⊕hi')
+    + bit_count(lo⊕lo') — pure integer, engine-portable.
+    Output (url, capture id, order value, drift_bits)."""
+    from pyspark.sql import Window
+
+    from .dedup import simhash64
+
+    fp = simhash64(captures, id_col=id_col, text_col=text_col)
+    base = captures.select(url_col, order_col, id_col).join(fp, id_col)
+    w = Window.partitionBy(url_col).orderBy(order_col)
+    lagged = base.select(
+        url_col,
+        order_col,
+        id_col,
+        "sh_hi",
+        "sh_lo",
+        F.lag("sh_hi").over(w).alias("_ph"),
+        F.lag("sh_lo").over(w).alias("_pl"),
+    )
+    return lagged.where(F.col("_ph").isNotNull()).select(
+        url_col,
+        id_col,
+        order_col,
+        (
+            F.bit_count(F.col("sh_hi").bitwiseXOR(F.col("_ph")))
+            + F.bit_count(F.col("sh_lo").bitwiseXOR(F.col("_pl")))
+        ).cast("long").alias("drift_bits"),
+    )

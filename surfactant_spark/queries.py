@@ -5750,6 +5750,86 @@ FROM pieces GROUP BY seq_id
 """
 
 
+
+
+def q_capture_drift(spark, sf):
+    """Web-archive content drift (temporal.capture_drift): three
+    synthetic captures per document (k appended marker tokens), 64-bit
+    simhash hamming distance to the previous capture per url."""
+    from .operators.temporal import capture_drift
+
+    d = _t(spark, sf, "documents")
+    k = F.col("k")
+    caps = d.select(
+        "doc_id", "text", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    ).select(
+        (F.col("doc_id") * 10 + k).alias("capture_id"),
+        F.col("doc_id").alias("url"),
+        k.cast("long").alias("capture_ts"),
+        F.concat(
+            F.col("text"),
+            F.when(k >= 1, F.lit(" verandamarker")).otherwise(F.lit("")),
+            F.when(
+                k >= 2,
+                F.concat(F.lit(" zephyrtoken"), (F.col("doc_id") % 17).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return capture_drift(caps)
+
+
+def _capture_drift_sql() -> str:
+    parts = []
+    for half in ("hi", "lo"):
+        parts.append(
+            (
+                ", ".join(f"sum((h{half} >> {i}) & 1) AS {half}{i}" for i in range(32)),
+                " + ".join(
+                    f"(CASE WHEN {half}{i} * 2 >= n THEN {2**i} ELSE 0 END)"
+                    for i in range(32)
+                ),
+            )
+        )
+    (sums_hi, bits_hi), (sums_lo, bits_lo) = parts
+    return f"""
+WITH caps AS (
+  SELECT doc_id * 10 + k AS capture_id, doc_id AS url, k::BIGINT AS capture_ts,
+         text || CASE WHEN k >= 1 THEN ' verandamarker' ELSE '' END
+              || CASE WHEN k >= 2
+                      THEN ' zephyrtoken' || (doc_id % 17)::VARCHAR
+                      ELSE '' END AS text
+  FROM documents, UNNEST(range(0, 3)) u(k)
+), tok AS (
+  SELECT capture_id, url, capture_ts,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+  FROM caps
+), h AS (
+  SELECT capture_id, url, capture_ts,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hhi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hlo
+  FROM tok
+), agg AS (
+  SELECT capture_id, url, capture_ts, count(*) AS n, {sums_hi}, {sums_lo}
+  FROM h GROUP BY 1, 2, 3
+), fp AS (
+  SELECT capture_id, url, capture_ts,
+         ({bits_hi})::BIGINT AS sh_hi, ({bits_lo})::BIGINT AS sh_lo
+  FROM agg
+), lagged AS (
+  SELECT *, lag(sh_hi) OVER (PARTITION BY url ORDER BY capture_ts) AS ph,
+            lag(sh_lo) OVER (PARTITION BY url ORDER BY capture_ts) AS pl
+  FROM fp
+)
+SELECT url, capture_id, capture_ts,
+       (bit_count(xor(sh_hi, ph)) + bit_count(xor(sh_lo, pl)))::BIGINT
+         AS drift_bits
+FROM lagged WHERE ph IS NOT NULL
+"""
+
+
+O_CAPTURE_DRIFT = _capture_drift_sql()
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -5885,6 +5965,7 @@ REGISTRY: dict[str, tuple] = {
     "equi_depth": (q_equi_depth, O_EQUI_DEPTH),
     "length_outliers": (q_length_outliers, O_LENGTH_OUTLIERS),
     "seq_materialize": (q_seq_materialize, O_SEQ_MATERIALIZE),
+    "capture_drift": (q_capture_drift, O_CAPTURE_DRIFT),
 }
 
 

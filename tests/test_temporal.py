@@ -116,3 +116,30 @@ def test_latest_capture_collapses_and_picks_newest(spark):
         "http://a.com/x": (2, 3, d(2026, 2, 1)),
         "http://b.com/y": (4, 1, d(2026, 1, 15)),
     }
+
+
+def test_capture_drift_zero_for_identical_captures(spark):
+    from surfactant_spark.operators.temporal import capture_drift
+
+    caps = spark.createDataFrame(
+        [(10, 1, 0, "same text here"), (11, 1, 1, "same text here"),
+         (12, 1, 2, "same text here but changed a lot of words now")],
+        ["capture_id", "url", "capture_ts", "text"],
+    )
+    got = {r.capture_id: r.drift_bits for r in capture_drift(caps).collect()}
+    assert set(got) == {11, 12}   # first capture has no predecessor
+    assert got[11] == 0           # identical content -> zero drift
+    assert got[12] > 0
+
+
+def test_capture_drift_partitions_per_url(spark):
+    from surfactant_spark.operators.temporal import capture_drift
+
+    caps = spark.createDataFrame(
+        [(1, "a", 0, "alpha body text"), (2, "b", 0, "beta body text"),
+         (3, "a", 1, "alpha body text plus more")],
+        ["capture_id", "url", "capture_ts", "text"],
+    )
+    rows = capture_drift(caps).collect()
+    # url b has a single capture: no drift row; url a has one
+    assert [r.capture_id for r in rows] == [3]

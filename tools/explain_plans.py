@@ -303,6 +303,9 @@ AUDITS = {
     # packing plan's per-pid prefix sums, not a corpus reassembly)
     "seq_materialize": ["Generate", "HashAggregate",
                         "!CartesianProduct"],
+    # drift: one simhash groupBy + join + per-url lag window
+    "capture_drift": ["HashAggregate", "Window", "!CartesianProduct",
+                      "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -348,7 +351,7 @@ def main() -> None:
         "conductance", "ppr", "clustering_coef", "wsp", "cocitation",
         "salience", "verbalize", "kg_qa", "bpe_tokens",
         "lsh_eval", "seq_pack", "equi_depth", "length_outliers",
-        "seq_materialize",
+        "seq_materialize", "capture_drift",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
