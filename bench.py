@@ -118,6 +118,8 @@ HEADLINE = [
     "length_outliers",
     "seq_materialize",
     "capture_drift",
+    "entity_disambig",
+    "frecency",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

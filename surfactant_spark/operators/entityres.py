@@ -146,3 +146,61 @@ def fellegi_sunter_scores(
         )
         .where(F.col("score") >= min_score)
     )
+
+
+def disambiguate_by_context(
+    docs: DataFrame,
+    candidates: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-overlap entity disambiguation — the step after mention
+    detection when a surface form maps to SEVERAL entities ("spark"
+    the engine vs the plug): for each (document, ambiguous term),
+    pick the candidate entity whose profile vocabulary overlaps the
+    document's distinct tokens most; ties break to the
+    lexicographically smallest entity id, so the choice is
+    deterministic.  Output (id, term, entity, overlap).
+
+    Inputs: ``candidates`` (term, entity) and ``profiles``
+    (entity, ptok) are dictionary-sized — both ride BROADCAST joins;
+    the corpus pays one distinct-token explode read twice (mention
+    hits + profile overlap), one partial-agg count, and the keep-best
+    two-groupBy argmax (no per-group window)."""
+    ctx = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+            )
+        ).alias("tok"),
+    ).localCheckpoint(eager=False)
+    cand = candidates.select(F.col("term").alias("tok"), "entity")
+    hits = ctx.join(F.broadcast(cand), "tok").select(
+        "id", F.col("tok").alias("term"), "entity"
+    )
+    prof = profiles.select("entity", F.col("ptok").alias("tok"))
+    overlaps = (
+        ctx.join(F.broadcast(prof), "tok")
+        .groupBy("id", "entity")
+        .agg(F.count(F.lit(1)).cast("long").alias("ov"))
+    )
+    scored = hits.join(overlaps, ["id", "entity"], "left").select(
+        "id", "term", "entity", F.coalesce("ov", F.lit(0)).alias("overlap")
+    ).localCheckpoint(eager=False)
+    gmax = scored.groupBy("id", "term").agg(F.max("overlap").alias("_m"))
+    winners = (
+        scored.join(gmax, ["id", "term"])
+        .where(F.col("overlap") == F.col("_m"))
+        .groupBy("id", "term")
+        .agg(F.min("entity").alias("_w"))
+    )
+    return (
+        scored.join(winners, ["id", "term"])
+        .where(F.col("entity") == F.col("_w"))
+        .select(
+            F.col("id").alias(id_col), "term", "entity",
+            F.col("overlap").cast("long").alias("overlap"),
+        )
+    )

@@ -336,3 +336,39 @@ def capture_drift(
             + F.bit_count(F.col("sh_lo").bitwiseXOR(F.col("_pl")))
         ).cast("long").alias("drift_bits"),
     )
+
+
+def frecency_scores(
+    events: DataFrame,
+    ref_date: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    half_life_days: int = 7,
+) -> DataFrame:
+    """Frecency (frequency × recency) ranking in EXACT integer
+    arithmetic: each event contributes 1_000_000 >> (age_days div
+    half_life) — a power-of-two decay staircase instead of the float
+    2^(-age/λ) exponential, so scores are bit-identical across
+    engines and aggregation orders while preserving the halving-per-
+    half-life semantics.  Contributions beyond 30 half-lives clamp to
+    0-ish (shift capped) rather than overflowing.
+
+    One partial-agg groupBy over the event stream; ``ref_date`` is an
+    explicit parameter (not now()) so runs are reproducible.  Output
+    (user, n_events, frecency)."""
+    age = F.datediff(F.lit(ref_date).cast("date"), F.col(ts_col).cast("date"))
+    bucket = F.least(
+        F.floor(age / half_life_days).cast("int"), F.lit(30)
+    )
+    staged = events.select(
+        F.col(user_col).alias("user"), age.alias("_age"), bucket.alias("_b")
+    )
+    # pyspark's shiftright only takes a LITERAL bit count — the
+    # column-valued shift has to go through the SQL expression
+    contrib = F.when(F.col("_age") < 0, F.lit(0)).otherwise(
+        F.expr("1000000 div (cast(1 as bigint) << _b)")
+    )
+    return staged.groupBy("user").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(contrib).cast("long").alias("frecency"),
+    )

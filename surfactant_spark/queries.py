@@ -5830,6 +5830,92 @@ FROM lagged WHERE ph IS NOT NULL
 O_CAPTURE_DRIFT = _capture_drift_sql()
 
 
+
+
+_DISAMBIG_CANDS = [
+    ("spark", "ent_engine"), ("spark", "ent_plug"),
+    ("row", "ent_db"), ("row", "ent_boat"),
+]
+_DISAMBIG_PROFS = [
+    ("ent_engine", "query"), ("ent_engine", "join"), ("ent_engine", "table"),
+    ("ent_plug", "ignition"), ("ent_plug", "engine"),
+    ("ent_db", "column"), ("ent_db", "table"), ("ent_db", "scan"),
+    ("ent_boat", "oar"), ("ent_boat", "water"),
+]
+
+
+def q_entity_disambig(spark, sf):
+    """Context-overlap disambiguation (entityres.disambiguate_by_context):
+    ambiguous surface forms ("spark", "row") resolve to the candidate
+    entity whose profile vocabulary overlaps the document context most,
+    smallest entity id on ties — broadcast dictionaries, two-groupBy
+    argmax."""
+    from .operators.entityres import disambiguate_by_context
+
+    cands = spark.createDataFrame(_DISAMBIG_CANDS, ["term", "entity"])
+    profs = spark.createDataFrame(_DISAMBIG_PROFS, ["entity", "ptok"])
+    return disambiguate_by_context(_t(spark, sf, "documents"), cands, profs)
+
+
+def _disambig_sql() -> str:
+    cands = ", ".join(f"('{t}', '{e}')" for t, e in _DISAMBIG_CANDS)
+    profs = ", ".join(f"('{e}', '{p}')" for e, p in _DISAMBIG_PROFS)
+    return f"""
+WITH ctx AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           AS tok
+  FROM documents
+),
+cand(tok, entity) AS (VALUES {cands}),
+prof(entity, tok) AS (VALUES {profs}),
+hits AS (
+  SELECT id, ctx.tok AS term, entity FROM ctx JOIN cand USING (tok)
+),
+ov AS (
+  SELECT id, entity, count(*)::BIGINT AS ov
+  FROM ctx JOIN prof USING (tok) GROUP BY 1, 2
+),
+scored AS (
+  SELECT hits.id, term, hits.entity, coalesce(ov.ov, 0) AS overlap
+  FROM hits LEFT JOIN ov ON hits.id = ov.id AND hits.entity = ov.entity
+),
+gmax AS (SELECT id, term, max(overlap) AS m FROM scored GROUP BY 1, 2),
+winners AS (
+  SELECT scored.id, scored.term, min(entity) AS w
+  FROM scored JOIN gmax ON scored.id = gmax.id AND scored.term = gmax.term
+  WHERE overlap = m GROUP BY 1, 2
+)
+SELECT scored.id AS doc_id, scored.term, scored.entity,
+       overlap::BIGINT AS overlap
+FROM scored JOIN winners
+  ON scored.id = winners.id AND scored.term = winners.term
+WHERE scored.entity = winners.w
+"""
+
+
+O_ENTITY_DISAMBIG = _disambig_sql()
+
+
+def q_frecency(spark, sf):
+    """Integer-exact frecency ranking (temporal.frecency_scores):
+    per-user sum of 1e6 >> (age_days div 7) at a fixed reference
+    date — power-of-two decay staircase, no float exponential."""
+    from .operators.temporal import frecency_scores
+
+    return frecency_scores(_t(spark, sf, "events"), ref_date="2024-03-01")
+
+
+O_FRECENCY = r"""
+SELECT user_id AS user, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN datediff('day', ts::DATE, DATE '2024-03-01') < 0 THEN 0
+                ELSE 1000000 // (1 << least(
+                     (datediff('day', ts::DATE, DATE '2024-03-01') // 7), 30))
+           END)::BIGINT AS frecency
+FROM events GROUP BY user_id
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
@@ -5966,6 +6052,8 @@ REGISTRY: dict[str, tuple] = {
     "length_outliers": (q_length_outliers, O_LENGTH_OUTLIERS),
     "seq_materialize": (q_seq_materialize, O_SEQ_MATERIALIZE),
     "capture_drift": (q_capture_drift, O_CAPTURE_DRIFT),
+    "entity_disambig": (q_entity_disambig, O_ENTITY_DISAMBIG),
+    "frecency": (q_frecency, O_FRECENCY),
 }
 
 

@@ -306,6 +306,13 @@ AUDITS = {
     # drift: one simhash groupBy + join + per-url lag window
     "capture_drift": ["HashAggregate", "Window", "!CartesianProduct",
                       "!BroadcastNestedLoopJoin"],
+    # disambiguation: dictionary sides broadcast (behind the scored
+    # frame's localCheckpoint — plans as Scan ExistingRDD), argmax =
+    # two groupBys, never a per-group window
+    "entity_disambig": ["HashAggregate", "!CartesianProduct",
+                        "!Window", "!BroadcastNestedLoopJoin"],
+    # frecency: ONE partial-agg groupBy over the event stream
+    "frecency": ["HashAggregate", "!Join", "!CartesianProduct"],
 }
 
 
@@ -351,7 +358,8 @@ def main() -> None:
         "conductance", "ppr", "clustering_coef", "wsp", "cocitation",
         "salience", "verbalize", "kg_qa", "bpe_tokens",
         "lsh_eval", "seq_pack", "equi_depth", "length_outliers",
-        "seq_materialize", "capture_drift",
+        "seq_materialize", "capture_drift", "entity_disambig",
+        "frecency",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
