@@ -129,22 +129,25 @@ SCALE_PAGES_DIR = os.environ.get(
 )
 
 
-def _time_query(fn, reps: int = 2) -> float:
-    """Time plan CONSTRUCTION + execution together, best-of-``reps``.
+def _run_once(fn) -> float:
+    """One timed run: plan CONSTRUCTION + execution together.
 
     Construction is timed because several operators run eager jobs
     while building the plan (connected-components localCheckpoint
     rounds, lsh_near_pairs dup-rate/overflow probes) — timing only the
-    final write would silently exclude that work.  Best-of-2 for the
-    same reason the kg measurement is: this host's intermittent steal
-    storms make single-shot numbers lie (SCALING.md), and min-of-2 is
-    the steady-state estimator used everywhere else in this harness."""
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.monotonic()
-        fn().write.format("noop").mode("overwrite").save()
-        best = min(best, time.monotonic() - t0)
-    return best
+    final write would silently exclude that work."""
+    t0 = time.monotonic()
+    fn().write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+# ≥3 INTERLEAVED trials per query (r5 VERDICT bench-stability item):
+# the whole headline list runs as trial ROUNDS (q1..qN, q1..qN, ...) so
+# a host steal storm pollutes one round, not every trial of one query.
+# Headline per-query number = MEDIAN of trials (robust to one bad
+# window); min and the full per-trial distribution are persisted in
+# BENCH_full.json so round-over-round deltas are adjudicable.
+TRIALS = max(3, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
 
 
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
@@ -279,11 +282,16 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_regionkey").count(
     ).write.format("noop").mode("overwrite").save()
 
+    import statistics
+
     registry = q.queries()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry[name]
-        times[name] = round(_time_query(lambda: fn(spark, sf_dir)), 3)
+    trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _round in range(TRIALS):
+        for name in HEADLINE:
+            fn = registry[name]
+            trials[name].append(round(_run_once(lambda: fn(spark, sf_dir)), 3))
+    times = {n: round(statistics.median(v), 3) for n, v in trials.items()}
+    times_min = {n: round(min(v), 3) for n, v in trials.items()}
 
     # KG pipeline end-to-end (compute + edge/node materialization to noop).
     # Best-of-2 with per-stage wall times: the r2 driver run measured this
@@ -377,7 +385,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "semantics": f"median of {TRIALS} interleaved trials, construction-inclusive",
         "queries": times,
+        "queries_min": times_min,
+        "query_trials": trials,
         "sf": sf,
         "cores": cores,
         "kg": kg,
@@ -432,15 +443,21 @@ def main() -> None:
         f.write("# BENCH — latest local run\n\n")
         f.write(f"sf={sf}, local[{cores}], shuffle={max(2*cores,8)}\n\n")
         f.write(
-            "Timing semantics (since r4): best-of-2 including plan\n"
-            "CONSTRUCTION (eager probe/checkpoint jobs are billed) — not\n"
-            "comparable to r3-and-earlier per-query numbers, which timed\n"
-            "only the final action.  Full run distributions and\n"
-            "micro-benches: BENCH_full.json.\n\n"
+            f"Timing semantics (since r6): MEDIAN of {TRIALS} interleaved\n"
+            "trial rounds, each including plan CONSTRUCTION (eager\n"
+            "probe/checkpoint jobs are billed).  Interleaving means a host\n"
+            "steal storm pollutes one round, not one query; the median\n"
+            "absorbs it.  min and spread columns expose the noise floor —\n"
+            "a round-over-round delta smaller than the spread is weather,\n"
+            "not regression.  Per-trial distributions: BENCH_full.json.\n"
+            "(r4-r5 numbers were best-of-2; r3 and earlier timed only the\n"
+            "final action — neither is directly comparable.)\n\n"
         )
-        f.write("| query | sec |\n|---|---|\n")
+        f.write("| query | median s | min s | spread |\n|---|---|---|---|\n")
         for k, v in times.items():
-            f.write(f"| {k} | {v} |\n")
+            tr = trials.get(k, [])
+            spread = round(max(tr) - min(tr), 2) if tr else ""
+            f.write(f"| {k} | {v} | {times_min.get(k, '')} | {spread} |\n")
         f.write(
             "\nNote: anchor_agg and url_canon are regexp-BOUND map-side "
             "work (≈10 regexp ops per url for canonicalization) — cost "

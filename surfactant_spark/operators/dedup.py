@@ -67,7 +67,13 @@ def passage_dedup(
     """
     from ..functions.textfx import passage_strings
 
-    key = (F.col(id_col).cast("long") * 1_000_000 + F.col("p_idx")).alias("okey")
+    # first-occurrence key is a (doc_id, p_idx) STRUCT min — lexicographic
+    # over the id's native type — not an arithmetic encoding: casting a
+    # non-numeric string id to long would NULL the key (every doc reports
+    # n_kept=0), and docs with ≥1e6 passages would collide across ids
+    key = F.struct(
+        F.col(id_col).alias("d"), F.col("p_idx").alias("i")
+    ).alias("okey")
     p = df.select(
         id_col, F.posexplode(passage_strings(text_col, chunk)).alias("p_idx", "p_txt")
     ).select(id_col, "p_idx", "p_txt", F.md5("p_txt").alias("p_h"), key)

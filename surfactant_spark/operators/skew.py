@@ -142,13 +142,17 @@ def bloom_predicate(
     per hash.  Bloom filters have no false negatives: every true match
     passes; false positives are removed by the exact join that follows.
     """
-    # xxhash64 hashes TYPED values: the key is normalized to BIGINT and
-    # the seed literal to INT on BOTH sides, or build/probe hashes
-    # silently disagree and true matches are dropped (caught by
-    # tools/bloom_audit.py's result-equality assert)
+    # xxhash64 hashes TYPED values: build and probe sides must hash the
+    # SAME type or they silently disagree — true matches drop (caught by
+    # tools/bloom_audit.py's result-equality assert).  Keys are
+    # normalized to STRING on both sides: a BIGINT cast would NULL
+    # non-numeric string keys, making every probe hash identical and
+    # the pre-filter a silent no-op.  Any key type whose string form is
+    # value-stable (ints, strings, dates) is supported; the seed literal
+    # stays INT on both sides.
     pos_cols = [
         F.pmod(
-            F.xxhash64(F.col(small_key).cast("long"), F.lit(s)), F.lit(m)
+            F.xxhash64(F.col(small_key).cast("string"), F.lit(s)), F.lit(m)
         ).cast("int")
         for s in seeds
     ]
@@ -162,7 +166,7 @@ def bloom_predicate(
     for p in positions:
         bits[p] = "1"
     hashes = ",".join(
-        f"xxhash64(CAST({big_key} AS BIGINT), {s})" for s in seeds
+        f"xxhash64(CAST({big_key} AS STRING), {s})" for s in seeds
     )
     return F.expr(
         f"forall(array({hashes}), h -> element_at(array({','.join(bits)}), "

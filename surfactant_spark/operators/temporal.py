@@ -44,6 +44,10 @@ def asof_join(
     since the frame is unbounded-preceding only.
     """
     lcols = left.columns
+    # a right row with NULL ts would sort before everything (ASC NULLS
+    # FIRST) and be carried as the "most recent prior" payload for left
+    # rows that should match nothing — drop it before the union
+    right = right.where(F.col(ts).isNotNull())
     r = right.select(
         F.col(on),
         F.col(ts),

@@ -52,6 +52,7 @@ class SnapshotCatalog:
         fingerprint: str,
         partition_by: list[str] | None = None,
         mode: str = "overwrite",
+        applied_delta: str | None = None,
     ) -> str:
         """Write df as a new snapshot of ``table`` and commit it to the
         manifest.  The data write and the manifest update are separate
@@ -63,7 +64,13 @@ class SnapshotCatalog:
         the committed entry's ``paths`` list GROWS — readers see base ∪
         delta, but only delta bytes were written.  This is what makes
         incremental corpus updates O(Δ) for the per-document stages at
-        100 TB: the base extraction is never rewritten."""
+        100 TB: the base extraction is never rewritten.
+
+        ``applied_delta`` records the delta fingerprint this commit
+        incorporates — the idempotency ledger for at-least-once callers
+        (foreachBatch replays a crashed micro-batch): before appending,
+        check :meth:`applied_deltas` and skip the write when the delta
+        id is already present, or the replay double-appends rows."""
         m = self._manifest()
         prev = m.get(table, {})
         snap = int(prev.get("snapshot", -1)) + 1
@@ -73,6 +80,7 @@ class SnapshotCatalog:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
         prev_paths = prev.get("paths", [prev["path"]] if prev else [])
+        prev_deltas = prev.get("applied_deltas", [])
         ent = {
             "snapshot": snap,
             "path": path,
@@ -82,6 +90,14 @@ class SnapshotCatalog:
             # schema travels with the snapshot so empty tables (or
             # partition-pruned reads) reconstruct exactly
             "schema": df.schema.json(),
+            # delta ledger: ids of every delta folded into this state —
+            # appends extend it, overwrites that carry a delta restart it
+            "applied_deltas": (
+                prev_deltas + [applied_delta]
+                if mode == "append" and applied_delta
+                else ([applied_delta] if applied_delta else
+                      (prev_deltas if mode == "append" else []))
+            ),
         }
         # snapshot log — the Iceberg metadata history analog: every
         # commit is recorded with the paths visible AT that commit, so
@@ -93,6 +109,7 @@ class SnapshotCatalog:
                 "fingerprint": fingerprint,
                 "committed_at": ent["committed_at"],
                 "schema": ent["schema"],
+                "applied_delta": applied_delta,
             }
         ]
         m[table] = ent
@@ -141,6 +158,13 @@ class SnapshotCatalog:
     def snapshot_info(self, table: str) -> dict | None:
         return self._manifest().get(table)
 
+    def applied_deltas(self, table: str) -> list[str]:
+        """Delta fingerprints already folded into the committed state of
+        ``table`` — the check that makes at-least-once delta application
+        exactly-once (skip the append when the id is present)."""
+        ent = self._manifest().get(table)
+        return list(ent.get("applied_deltas", [])) if ent else []
+
     def history(self, table: str) -> list[dict]:
         """The snapshot log, oldest first — (snapshot, fingerprint,
         committed_at, paths) per commit; the Iceberg table-history
@@ -149,7 +173,13 @@ class SnapshotCatalog:
         if not ent:
             return []
         return [
-            {k: h[k] for k in ("snapshot", "fingerprint", "committed_at", "paths")}
+            {
+                k: h.get(k)
+                for k in (
+                    "snapshot", "fingerprint", "committed_at", "paths",
+                    "applied_delta",
+                )
+            }
             for h in ent.get("history", [])
         ]
 

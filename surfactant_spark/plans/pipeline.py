@@ -203,16 +203,50 @@ def run_pipeline_incremental(
             "incremental update needs committed 'extracted' and 'mentions' "
             "snapshots — run run_pipeline on the base corpus first"
         )
-    base_extracted = catalog.read(spark, "extracted")
+    stages_skipped: list[str] = []
 
-    # extract: delta only, appended
-    fp_extract = _fingerprint(
-        __version__, "extract+", base_ext_info["fingerprint"], delta_fingerprint
-    )
-    delta_ext = lineage.wrap(extract_pages(delta_pages), "extract_delta")
-    catalog.write(delta_ext, "extracted", fp_extract,
-                  partition_by=["lang"], mode="append")
-    stages_run.append("extract_delta")
+    # Idempotency ledger (ADVICE r5): foreachBatch delivery is
+    # at-least-once, so a crash between the catalog commit and the
+    # stream-checkpoint commit REPLAYS this whole function with the same
+    # delta_fingerprint.  Each append records the delta id it folds in
+    # (catalog.applied_deltas); a replayed append is skipped instead of
+    # double-appending corpus rows.  The two appends are checked
+    # independently — a crash BETWEEN them replays with extract already
+    # applied, in which case the pre-delta base is reconstructed from
+    # the snapshot log (time travel) so the mentions anti-join still
+    # sees the delta contents as new.
+    ext_applied = delta_fingerprint in catalog.applied_deltas("extracted")
+    ment_applied = delta_fingerprint in catalog.applied_deltas("mentions")
+
+    # extract: delta only, appended (skipped on replay)
+    if not ext_applied:
+        base_extracted = catalog.read(spark, "extracted")
+        fp_extract = _fingerprint(
+            __version__, "extract+", base_ext_info["fingerprint"],
+            delta_fingerprint,
+        )
+        delta_ext = lineage.wrap(extract_pages(delta_pages), "extract_delta")
+        catalog.write(delta_ext, "extracted", fp_extract,
+                      partition_by=["lang"], mode="append",
+                      applied_delta=delta_fingerprint)
+        stages_run.append("extract_delta")
+    else:
+        stages_skipped.append("extract_delta")
+        fp_extract = base_ext_info["fingerprint"]
+        if not ment_applied:
+            # crash window: delta landed in 'extracted' but not in
+            # 'mentions'.  Anti-join must run against the PRE-delta
+            # base or the replayed delta looks already-seen; the
+            # snapshot log pins that state.
+            hist = catalog.history("extracted")
+            idx = next(
+                i for i, h in enumerate(hist)
+                if h.get("applied_delta") == delta_fingerprint
+            )
+            base_extracted = catalog.read(
+                spark, "extracted", snapshot=hist[idx - 1]["snapshot"]
+            )
+            delta_ext = extract_pages(delta_pages)  # recompute, unwritten
     extracted = catalog.read(spark, "extracted")
 
     # mentions: only delta contents never seen in the base.  The
@@ -220,17 +254,22 @@ def run_pipeline_incremental(
     # base's distinct-hash projection, no text shuffled.
     from ..operators.mentions import unique_content
 
-    new_content = unique_content(delta_ext).join(
-        base_extracted.select("content_sha256").distinct(),
-        "content_sha256",
-        "left_anti",
-    )
-    fp_mentions = _fingerprint(__version__, "mentions+", fp_extract, dict_fp)
-    delta_mentions = lineage.wrap(
-        detect_mentions(new_content, compiled), "mentions_delta"
-    )
-    catalog.write(delta_mentions, "mentions", fp_mentions, mode="append")
-    stages_run.append("mentions_delta")
+    if not ment_applied:
+        new_content = unique_content(delta_ext).join(
+            base_extracted.select("content_sha256").distinct(),
+            "content_sha256",
+            "left_anti",
+        )
+        fp_mentions = _fingerprint(__version__, "mentions+", fp_extract, dict_fp)
+        delta_mentions = lineage.wrap(
+            detect_mentions(new_content, compiled), "mentions_delta"
+        )
+        catalog.write(delta_mentions, "mentions", fp_mentions, mode="append",
+                      applied_delta=delta_fingerprint)
+        stages_run.append("mentions_delta")
+    else:
+        stages_skipped.append("mentions_delta")
+        fp_mentions = catalog.snapshot_info("mentions")["fingerprint"]
     mentions = catalog.read(spark, "mentions")
 
     # entity map: dictionary-scoped, rebuilt (dictionary-sized work)
@@ -266,5 +305,5 @@ def run_pipeline_incremental(
         edges=edges,
         lineage=lin_df,
         stages_run=stages_run,
-        stages_skipped=[],
+        stages_skipped=stages_skipped,
     )

@@ -103,9 +103,41 @@ def parse_warc_records(data: bytes) -> list[dict]:
     return records
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode a Transfer-Encoding: chunked HTTP body (RFC 9112 §7.1):
+    ``<hex-size>[;ext]CRLF <data> CRLF`` repeated until a 0-size chunk.
+    Real Common Crawl response records carry chunked bodies, and leaving
+    the hex framing interleaved in the html corrupts extraction.
+    Lenient on malformed framing: returns the chunks decoded so far plus
+    nothing else (truncated tail dropped, matching the record walker's
+    truncation policy)."""
+    out = []
+    pos = 0
+    n = len(body)
+    while pos < n:
+        ln_end = body.find(CRLF, pos)
+        if ln_end < 0:
+            break
+        size_tok = body[pos:ln_end].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break  # terminal chunk; trailers ignored
+        start = ln_end + 2
+        if start + size > n:
+            break  # truncated chunk
+        out.append(body[start:start + size])
+        pos = start + size + 2  # skip trailing CRLF
+    return b"".join(out)
+
+
 def split_http_response(block: bytes) -> tuple[int | None, str, bytes]:
     """HTTP response block → (status, content_type header, body).
-    Returns ``(None, "", block)`` when the block is not HTTP."""
+    Chunked transfer coding is decoded (Common Crawl records preserve
+    the on-wire framing).  Returns ``(None, "", block)`` when the block
+    is not HTTP."""
     if not block.startswith(b"HTTP/"):
         return None, "", block
     hdr_end = block.find(CRLF + CRLF)
@@ -117,11 +149,20 @@ def split_http_response(block: bytes) -> tuple[int | None, str, bytes]:
     except (IndexError, ValueError):
         return None, "", block
     ctype = ""
+    chunked = False
     for ln in head[1:]:
         k, sep, v = ln.partition(b":")
-        if sep and k.strip().lower() == b"content-type":
+        if not sep:
+            continue
+        key = k.strip().lower()
+        if key == b"content-type":
             ctype = v.strip().decode("latin-1")
-    return status, ctype, block[hdr_end + 4:]
+        elif key == b"transfer-encoding" and b"chunked" in v.lower():
+            chunked = True
+    body = block[hdr_end + 4:]
+    if chunked:
+        body = _dechunk(body)
+    return status, ctype, body
 
 
 WARC_PAGE_SCHEMA = (

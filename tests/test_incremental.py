@@ -120,3 +120,62 @@ def test_incremental_chains(spark, corpus, tmp_path):
     assert _canon_nodes(inc.nodes) == _canon_nodes(scratch.nodes)
     assert _canon_edges(inc.edges) == _canon_edges(scratch.edges)
     assert len(cat.snapshot_info("extracted")["paths"]) == 3
+
+
+def test_incremental_replay_idempotent(spark, corpus, tmp_path):
+    """foreachBatch delivery is at-least-once: replaying the SAME delta
+    (same delta_fingerprint) must not double-append corpus rows.  The
+    catalog's applied-delta ledger skips both appends; graph joins
+    recompute to identical outputs."""
+    _full, base, delta = corpus
+    cat = SnapshotCatalog(str(tmp_path / "replay"))
+    run_pipeline(spark, base, cat, corpus_fingerprint="base")
+    first = run_pipeline_incremental(spark, delta, cat, delta_fingerprint="d1")
+    n_ext = cat.read(spark, "extracted").count()
+    n_ment = cat.read(spark, "mentions").count()
+
+    replay = run_pipeline_incremental(spark, delta, cat, delta_fingerprint="d1")
+    assert replay.stages_skipped == ["extract_delta", "mentions_delta"]
+    assert cat.read(spark, "extracted").count() == n_ext
+    assert cat.read(spark, "mentions").count() == n_ment
+    assert len(cat.snapshot_info("extracted")["paths"]) == 2
+    assert cat.applied_deltas("extracted") == ["d1"]
+    assert _canon_nodes(replay.nodes) == _canon_nodes(first.nodes)
+    assert _canon_edges(replay.edges) == _canon_edges(first.edges)
+
+
+def test_incremental_crash_between_appends(spark, corpus, tmp_path):
+    """Crash AFTER the extracted append commits but BEFORE the mentions
+    append (the at-least-once window ADVICE r5 flagged): the replay
+    skips the extracted append, reconstructs the PRE-delta base from the
+    snapshot log for the mentions anti-join, and ends equal to a
+    from-scratch rebuild."""
+    full, base, delta = corpus
+    cat = SnapshotCatalog(str(tmp_path / "crash"))
+    run_pipeline(spark, base, cat, corpus_fingerprint="base")
+
+    real_write = cat.write
+
+    def crashing_write(df, table, fingerprint, **kw):
+        if table == "mentions":
+            raise RuntimeError("injected crash before mentions commit")
+        return real_write(df, table, fingerprint, **kw)
+
+    cat.write = crashing_write
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_pipeline_incremental(spark, delta, cat, delta_fingerprint="dx")
+    cat.write = real_write
+    assert cat.applied_deltas("extracted") == ["dx"]
+    assert "dx" not in cat.applied_deltas("mentions")
+
+    inc = run_pipeline_incremental(spark, delta, cat, delta_fingerprint="dx")
+    assert inc.stages_skipped == ["extract_delta"]
+    assert "mentions_delta" in inc.stages_run
+    assert len(cat.snapshot_info("extracted")["paths"]) == 2
+
+    scratch = run_pipeline(
+        spark, full, SnapshotCatalog(str(tmp_path / "crash-scratch")),
+        corpus_fingerprint="full",
+    )
+    assert _canon_nodes(inc.nodes) == _canon_nodes(scratch.nodes)
+    assert _canon_edges(inc.edges) == _canon_edges(scratch.edges)

@@ -78,3 +78,22 @@ def test_gopher_repetition_signals(spark):
     assert (agg[1].n, agg[1].d, agg[1].top) == (2, 2, 1)
     # doc 2: too short → no grams at all
     assert 2 not in agg
+
+
+def test_passage_dedup_string_ids(spark):
+    """First-occurrence resolution uses a (doc_id, p_idx) struct min, not
+    an arithmetic cast — non-numeric string ids must work (the r5 cast
+    NULLed them: every doc reported n_kept=0) with lexicographic order."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [("url-b", base), ("url-a", base), ("url-c", base + " kilo")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in passage_dedup(docs, chunk=10).collect()}
+    # 'url-a' is the lexicographic first holder of the shared passage
+    assert out["url-a"].n_kept == 1
+    assert out["url-b"].n_kept == 0
+    assert out["url-b"].kept_fp is None
+    # url-c keeps only its residual 1-token passage
+    assert (out["url-c"].n_passages, out["url-c"].n_kept) == (2, 1)
+    assert out["url-c"].kept_fp == hashlib.md5(b"kilo").hexdigest()

@@ -68,3 +68,28 @@ def test_salted_groupby_sets_matches_plain(spark):
     salted = salted_groupby_sets(probe, ["k"], "v", "vs", buckets=8)
     assert plain.join(salted, "k").where(plain["vs"] != salted["vs"]).count() == 0
     assert plain.count() == salted.count()
+
+
+def test_bloom_predicate_string_keys(spark):
+    """Non-numeric string keys: the r5 BIGINT normalization cast every
+    string to NULL so all probe rows hashed identically and the filter
+    passed everything.  Keys now hash as strings — every true match
+    passes AND the filter actually rejects non-members."""
+    from surfactant_spark.operators.skew import bloom_predicate, bloom_semi_join
+
+    small = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], ["k"]
+    )
+    big = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(500)] + [("alpha",), ("gamma",)], ["k"]
+    )
+    pred = bloom_predicate(small, "k", "k", m=4096)
+    candidates = big.where(pred)
+    n_cand = candidates.count()
+    # no false negatives: both true matches survive
+    assert {r.k for r in candidates.collect()} >= {"alpha", "gamma"}
+    # the pre-filter does real work on string keys (not a pass-everything
+    # no-op): FP rate at m=4096, k=3, n=3 is well under 1%
+    assert n_cand < 50
+    out = bloom_semi_join(big, small, "k", "k", m=4096)
+    assert sorted(r.k for r in out.collect()) == ["alpha", "gamma"]

@@ -143,3 +143,20 @@ def test_capture_drift_partitions_per_url(spark):
     rows = capture_drift(caps).collect()
     # url b has a single capture: no drift row; url a has one
     assert [r.capture_id for r in rows] == [3]
+
+
+def test_asof_join_null_right_ts_dropped(spark):
+    """A right row with NULL ts sorts before everything (ASC NULLS
+    FIRST) and must NOT be carried as the most-recent-prior payload —
+    it is filtered before the union (ADVICE r5)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:00:05"))], ["id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(10, None, 999), (10, _ts("2024-01-01 00:00:09"), 100)],
+        "user_id int, ts timestamp, val int",
+    )
+    rows = asof_join(left, right, on="user_id", ts="ts", payload=["val"]).collect()
+    assert len(rows) == 1
+    # the only valid right row is AFTER the left row -> no match, not 999
+    assert rows[0].asof_val is None

@@ -206,3 +206,31 @@ def test_read_cdx_parses_and_casts(spark, tmp_path):
         "20260102000000", "http://a.com/x", 200, 1234, 0
     )
     assert rows["com,b)/y"].filename == "seg-01.warc.gz"
+
+
+def test_split_http_response_dechunks():
+    """Transfer-Encoding: chunked bodies (real Common Crawl records) are
+    de-chunked — hex framing must not leak into the html column."""
+    from surfactant_spark.sources.warc import split_http_response
+
+    body = b"7\r\n<html>h\r\n6\r\nello</\r\n5\r\nhtml>\r\n0\r\n\r\n"
+    block = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + body
+    )
+    status, ctype, out = split_http_response(block)
+    assert (status, ctype) == (200, "text/html")
+    assert out == b"<html>hello</html>"
+
+    # non-chunked responses unchanged
+    plain = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>x</p>"
+    )
+    assert split_http_response(plain)[2] == b"<p>x</p>"
+
+    # malformed framing: decoded prefix survives, garbage tail dropped
+    bad = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"4\r\ngood\r\nZZ\r\nnope"
+    )
+    assert split_http_response(bad)[2] == b"good"
