@@ -13,9 +13,13 @@ by broadcast, and per-document counts come from one equi-join back on
 the word plus one partial-agg groupBy.  A 10^12-token corpus with a
 10^6-word vocabulary pays 10^6 Python-side encodes, not 10^12.
 
-No DuckDB oracle exists for the iterative merge loop, so the gate for
-this operator is rows-only; correctness is pinned by unit tests
-against hand-computed encodings (tests/test_bpe.py).
+The gate's DuckDB oracle unrolls the merge loop: for a rank-ordered
+table (every rule's output appears only in higher-rank rules — true of
+any trained BPE table), the best-rank loop equals sequential rank-order
+merge-all passes, and each pass is one string ``replace`` over a
+delimiter-wrapped symbol sequence (queries._bpe_sql, asserted +
+hash-checked at two scale factors); unit tests additionally pin
+hand-computed encodings (tests/test_bpe_verbalize.py).
 """
 
 from __future__ import annotations
@@ -117,3 +121,65 @@ def bpe_token_counts(
         F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
         F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
     )
+
+
+def learn_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Distributed BPE TRAINING (the learn side of the GPT-2 tokenizer;
+    the apply side is ``bpe_word``): repeatedly pick the adjacent
+    symbol pair with the highest frequency-weighted corpus count and
+    append it to the merge table.  Deterministic tie-break: count desc,
+    then (x, y) lexicographic asc.
+
+    100-TB shape: ONE corpus scan builds the weighted distinct-word
+    frame (vocabulary-sized — a 10^12-token corpus with a 10^6-word
+    vocabulary collapses 6 orders of magnitude here), checkpointed and
+    reused every round.  Each of the k rounds re-encodes DISTINCT words
+    under the current table (broadcast ranks, one Arrow stage), explodes
+    adjacent piece pairs weighted by word frequency, and resolves the
+    argmax with a partial-agg groupBy + 1-row collect.  The corpus is
+    never rescanned; driver state is the k-row merge table itself.
+
+    Returns [(x, y, weighted_count), ...] in learned (rank) order.
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)  # vocab-sized, probed k times
+    )
+    merges: list[tuple[str, str]] = []
+    learned: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        enc = encode_distinct_words(words, merges)
+        pairs = (
+            enc.where(F.size("pieces") >= 2)  # sequence(1,0) runs BACKWARD
+            .join(words, "word")
+            .select(
+                "w",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(pieces) - 1), "
+                        "i -> struct(pieces[i - 1] AS x, pieces[i] AS y))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("w").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.desc("cnt"), F.asc("x"), F.asc("y")
+        ).limit(1).collect()
+        if not top:
+            break
+        r = top[0]
+        merges.append((r.x, r.y))
+        learned.append((r.x, r.y, int(r.cnt)))
+    return learned

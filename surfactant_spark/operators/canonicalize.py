@@ -124,14 +124,20 @@ def connected_components(
     # the symmetric edge list is probed by EVERY round's propagation
     # join — checkpoint it once so the union+distinct shuffle doesn't
     # re-execute per iteration (it did until r5: each round silently
-    # re-ran the distinct over the full edge set).  LAZY checkpoint:
-    # the init-labels job below is its first action and materializes
-    # the blocks, so setup costs one job, not two.
+    # re-ran the distinct over the full edge set).  Checkpointed
+    # PRE-PARTITIONED on the probe key ``v``: the checkpoint preserves
+    # output partitioning, so each round's propagation join shuffles
+    # only the compact (node, label) side — the EDGE frame (the big one
+    # at 100 TB) never moves again after setup (r6; was re-exchanged
+    # per prop hop per round).  LAZY checkpoint: the init-labels job
+    # below is its first action and materializes the blocks, so setup
+    # costs one job, not two.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .repartition(F.col("v"))
     )
     if checkpoint_dir is not None:
         sc = sym.sparkSession.sparkContext
@@ -151,13 +157,16 @@ def connected_components(
     )
     converged = False
     for it in range(max_iter):
-        # (a) min label over the 2-hop neighborhood: two chained
-        # propagate+min steps per round double the hop distance the
-        # component min travels per (checkpoint, probe) cycle — rounds
-        # are the expensive unit (one job each), shuffles within a
-        # round pipeline through AQE
+        # (a) min label over the 1-hop neighborhood.  ONE propagation
+        # per round (r6; was two): the pointer jumps below already
+        # double the hop distance per round for deep label chains, so a
+        # second propagation only helped prop-limited graphs while
+        # adding two shuffle stages to EVERY round — and real alias
+        # graphs (the workload this serves) are star-shaped/shallow,
+        # where rounds are bounded by the confirm pass, not label
+        # travel.  A/B at sf0.1: same round count, ~20% less wall.
         new_labels = labels
-        for _p in range(2):
+        for _p in range(1):
             prop = (
                 sym.join(new_labels, sym["v"] == new_labels["node"], "inner")
                 .select(F.col("u").alias("node"), "label")

@@ -5,13 +5,23 @@ partition sizing, magic-byte sniffing.  The decode step is REAL for
 BMP / P6 PPM / PNG (zlib) / GIF (pure-Python LZW) / baseline JPEG
 (from-scratch Huffman+IDCT, functions/jpegdec.py) / 16-bit PCM WAV /
 Y4M video — struct-level pixel and sample decoding + luminance-grid /
-RMS-envelope features (functions/mediadec.py) — and a deterministic
-stub ONLY for formats needing DSP this repo doesn't implement
-(MP3/H.264, progressive JPEG), because no codec libraries ship in
-this container.  Swapping in a real codec means replacing `_fake_decode`
-inside the same mapInPandas signature; nothing upstream or downstream
-changes.  The `real_decode` output column says which path each row
-took — the stub is never silent.
+RMS-envelope features (functions/mediadec.py) — plus REAL container
+metadata for MP3 (frame-header walk) and MP4 (ISO-BMFF box walk).
+
+PERMANENT NON-GOAL — compressed SAMPLE decode (MP3/H.264/progressive
+JPEG): these codecs' synthesis stages are defined by large normative
+coefficient tables (the MPEG-1 audio polyphase window, AVC's
+context-adaptive entropy tables) that cannot be re-derived from first
+principles; a from-scratch implementation round-tripped only against
+its own forward encoder would be self-consistent yet silently wrong on
+real streams — worse than an honest boundary.  The reference performs
+NO media decoding at all, so everything above is beyond-reference
+surface; the supported contract for compressed formats is container
+metadata + the deterministic per-row-flagged stub.  Swapping in a real
+codec at deploy time means replacing `_fake_decode` inside the same
+mapInPandas signature; nothing upstream or downstream changes.  The
+`real_decode` output column says which path each row took — the stub
+is never silent.
 
 Mirrors how the reference treats opaque formats: identify by magic
 bytes first (surfactant/filetypeid/id_magic.py:53-256), then dispatch

@@ -5479,6 +5479,38 @@ FROM p GROUP BY a, b HAVING count(*) >= 2
 """
 
 
+def q_biblio_coupling(spark, sf):
+    """Bibliographic coupling — the dual of co-citation (pairs of
+    TARGETS sharing a pointing source, counted over shared sources):
+    the same flood-proof capped-array operator with src/dst swapped
+    (graphquery.cocitation_pairs docstring names exactly this call).
+    Complements the cocitation gate by exercising the fan-OUT cap."""
+    from .operators.graphquery import cocitation_pairs
+
+    o = _t(spark, sf, "orders")
+    e = o.select(
+        (F.col("o_custkey") % 400).alias("src"),
+        (F.col("o_orderkey") % 160).alias("dst"),
+    )
+    return cocitation_pairs(e, src="dst", dst="src")
+
+
+O_BIBLIO_COUPLING = r"""
+WITH e AS (
+  SELECT DISTINCT o_custkey % 400 AS s, o_orderkey % 160 AS t FROM orders
+),
+r AS (
+  SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY t) AS rn FROM e
+),
+c AS (SELECT s, t FROM r WHERE rn <= 64),
+p AS (
+  SELECT x.t AS a, y.t AS b FROM c x JOIN c y ON x.s = y.s AND x.t < y.t
+)
+SELECT a, b, count(*)::BIGINT AS n_shared
+FROM p GROUP BY a, b HAVING count(*) >= 2
+"""
+
+
 def q_salience(spark, sf):
     """Entity salience (indexing.entity_salience): frequency +
     first-mention position over a fixed vocabulary, integral divisions
@@ -5600,14 +5632,109 @@ _BPE_MERGES = [
 def q_bpe_tokens(spark, sf):
     """Per-document BPE token budgets (bpe.bpe_token_counts) with a
     fixed 15-rule merge table: distinct-word Arrow encode + join-back.
-    ROWS-ONLY gate — the iterative merge loop has no tractable SQL
-    oracle; unit tests pin hand-computed encodings
-    (tests/test_bpe.py)."""
+    Oracle: the GPT-2 best-rank apply loop is provably equivalent to
+    applying the merge table as SEQUENTIAL rank-order passes when every
+    rule's output appears only as a component of higher-rank rules
+    (true for any trained BPE table, asserted for this one below) — and
+    one merge-all pass over a delimiter-wrapped symbol string is an
+    exact SQL ``replace('|x||y|' → '|xy|')``, because same-pair
+    occurrences cannot overlap (x ≠ y) and both scans are
+    left-to-right.  So the whole loop unrolls into 15 nested replaces
+    (_bpe_sql)."""
     from .operators.bpe import bpe_token_counts
 
     return bpe_token_counts(_t(spark, sf, "documents"), _BPE_MERGES)
 
 
+def _bpe_sql() -> str:
+    """Unrolled-merge-loop DuckDB oracle for q_bpe_tokens; generated
+    from the SAME merge table the Spark side broadcasts."""
+    # precondition for rank-order unrolling: no rule's output is a
+    # component of an equal-or-lower-rank rule (see q_bpe_tokens doc)
+    for k, (x, y) in enumerate(_BPE_MERGES):
+        out = x + y
+        assert all(
+            out not in (a, b) for a, b in _BPE_MERGES[: k + 1]
+        ), f"merge table not rank-ordered at rule {k}"
+    expr = "'|' || array_to_string(regexp_extract_all(word, '.'), '||') || '|'"
+    for x, y in _BPE_MERGES:
+        expr = f"replace({expr}, '|{x}||{y}|', '|{x}{y}|')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+),
+words AS (SELECT DISTINCT word FROM toks),
+enc AS (
+  SELECT word, len(string_split({expr}, '||'))::BIGINT AS n_pieces
+  FROM words
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         sum(n_pieces)::BIGINT AS n_bpe_tokens
+  FROM toks JOIN enc USING (word) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.n_words, 0)::BIGINT AS n_words,
+       coalesce(per.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+
+
+def q_bpe_learn(spark, sf):
+    """Distributed BPE TRAINING (bpe.learn_merges): 8 learned merge
+    rules over the documents vocabulary — per round, re-encode distinct
+    words under the current table and argmax the frequency-weighted
+    adjacent-pair counts (tie-break count desc, pair asc).  Corpus is
+    scanned ONCE; every round is vocabulary-sized.  Oracle: 8 unrolled
+    CTE rounds — the round's winning pair applies to the previous
+    round's encoding via the delimiter-string replace trick (see
+    q_bpe_tokens), which equals Spark's from-scratch re-encode because
+    a learned table is rank-ordered by construction."""
+    from .operators.bpe import learn_merges
+
+    learned = learn_merges(_t(spark, sf, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [(i, x, y, c) for i, (x, y, c) in enumerate(learned)],
+        "merge_rank long, x string, y string, cnt long",
+    )
+
+
+def _bpe_learn_sql(k: int = 8) -> str:
+    blocks = ["""toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+),
+w0 AS (SELECT word, count(*)::BIGINT AS w FROM toks GROUP BY 1),
+e0 AS (
+  SELECT word, w,
+         '|' || array_to_string(regexp_extract_all(word, '.'), '||') || '|' AS s
+  FROM w0
+)"""]
+    for r in range(1, k + 1):
+        blocks.append(f"""t{r} AS (
+  SELECT w, string_split(trim(s, '|'), '||') AS tk FROM e{r - 1}
+),
+p{r} AS (
+  SELECT tk[i] AS x, tk[i + 1] AS y, sum(w)::BIGINT AS cnt
+  FROM t{r}, UNNEST(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT x, y, cnt FROM p{r} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+e{r} AS (
+  SELECT word, w,
+         replace(s, '|' || b.x || '||' || b.y || '|',
+                    '|' || b.x || b.y || '|') AS s
+  FROM e{r - 1}, b{r} b
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r - 1}::BIGINT AS merge_rank, x, y, cnt FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(blocks) + "\n" + sel
 
 
 def q_lsh_eval(spark, sf):
@@ -6040,7 +6167,7 @@ REGISTRY: dict[str, tuple] = {
     "delta_dedup": (q_delta_dedup, O_DELTA_DEDUP),
     "seq_pack": (q_seq_pack, O_SEQ_PACK),
     "seq_materialize": (q_seq_materialize, O_SEQ_MATERIALIZE),
-    "bpe_tokens": (q_bpe_tokens, None),
+    "bpe_tokens": (q_bpe_tokens, _bpe_sql),  # callable → generated SQL
     "verbalize": (q_verbalize, O_VERBALIZE),
     "kg_qa": (q_kg_qa, O_KG_QA),
     "contamination": (q_contamination, O_CONTAMINATION),
@@ -6069,6 +6196,8 @@ REGISTRY: dict[str, tuple] = {
     "triangle_count": (q_triangle_count, O_TRIANGLE_COUNT),
     "label_prop": (q_label_prop, O_LABEL_PROP),
     # --- never-attested remainder (next round's window) -------------
+    "bpe_learn": (q_bpe_learn, _bpe_learn_sql),  # callable → generated SQL
+    "biblio_coupling": (q_biblio_coupling, O_BIBLIO_COUPLING),
     "hash_sample": (q_hash_sample, O_HASH_SAMPLE),
     "stratified_sample": (q_stratified_sample, O_STRATIFIED_SAMPLE),
     "group_topk_sample": (q_group_topk_sample, O_GROUP_TOPK_SAMPLE),

@@ -105,3 +105,23 @@ def test_write_training_jsonl_roundtrip(spark, tmp_path):
     assert got == {(1, "alpha"), (2, "beta")}
     import glob
     assert glob.glob(out + "/*.json.gz"), "expected gzipped shards"
+
+
+def test_learn_merges_hand_computed(spark):
+    """BPE training argmax + tie-break, hand-computed: corpus
+    'the the cat' / 'the cat sat' → pair counts (a,t)=3 (t,h)=3 (h,e)=3
+    (c,a)=2 (s,a)=1; ties resolve (x,y)-lexicographic, later rounds
+    merge against re-encoded words."""
+    from surfactant_spark.operators.bpe import learn_merges
+
+    docs = spark.createDataFrame(
+        [(1, "the the cat"), (2, "the cat sat")], ["doc_id", "text"]
+    )
+    got = learn_merges(docs, n_merges=6)
+    assert got == [
+        ("a", "t", 3),
+        ("h", "e", 3),
+        ("t", "he", 3),
+        ("c", "at", 2),
+        ("s", "at", 1),
+    ]

@@ -99,9 +99,15 @@ AUDITS = {
     "tfidf_topk": ["HashAggregate", "WindowGroupLimit",
                    "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # percentile keep: the cumulative window runs over the compact
-    # distinct-score frame; the join back to docs must broadcast
+    # distinct-score frame; the join back to docs must broadcast.
+    # ONE corpus scan total (r5 VERDICT): the scored projection is
+    # checkpointed eagerly at construction — the final plan reads the
+    # materialized RDD and must contain NO parquet scan at all (the old
+    # shape paid the per-token scoring twice: a count action plus the
+    # probe-side rescan)
     "quality_percentile": ["BroadcastHashJoin", "!CartesianProduct",
-                           "!SortMergeJoin"],
+                           "!SortMergeJoin", "Scan ExistingRDD",
+                           "!Scan parquet"],
     # bloom semi-join: bitmap predicate filters inside the scan stage,
     # exact pass is a broadcast semi-join — nothing nested-loops
     "bloom_join": ["Filter", "BroadcastHashJoin", "!CartesianProduct",
