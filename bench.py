@@ -120,6 +120,7 @@ HEADLINE = [
     "capture_drift",
     "entity_disambig",
     "frecency",
+    "dsir_select",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

@@ -6137,6 +6137,93 @@ SELECT * FROM (VALUES
 """
 
 
+_DSIR_LR: list[int] | None = None
+_DSIR_BUCKETS = 256
+
+
+def _dsir_model() -> list[int]:
+    """The DSIR hashed-bigram model (operators/dsir.py), fit ONCE
+    driver-side at the oracle sf — target distribution = non-English
+    documents, raw = the whole corpus — and injected as literals into
+    BOTH the Spark plan and the DuckDB oracle (the pre-trained-model
+    pattern of ``_ivf_centroids``; at production scale the fit is
+    ``dsir.bucket_counts`` — two ≤256-row aggregations)."""
+    global _DSIR_LR
+    if _DSIR_LR is None:
+        import os
+
+        from .operators.dsir import log_ratios
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        path = os.path.join(sf_dir, "documents.parquet")
+        tgt: dict[int, int] = {}
+        raw: dict[int, int] = {}
+        if os.path.exists(path):
+            import duckdb
+
+            for dest, pred in ((tgt, "lang <> 'en'"), (raw, "TRUE")):
+                rows = duckdb.sql(
+                    f"""
+WITH d AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM '{path}' WHERE {pred}
+), grams AS (
+  SELECT unnest(t) AS g FROM d
+  UNION ALL
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM d
+)
+SELECT ('0x' || substr(md5(g), 1, 4))::BIGINT % {_DSIR_BUCKETS} AS bucket,
+       count(*) AS cnt
+FROM grams GROUP BY 1
+"""
+                ).fetchall()
+                dest.update({int(b): int(c) for b, c in rows})
+        _DSIR_LR = log_ratios(tgt, raw, _DSIR_BUCKETS)
+    return _DSIR_LR
+
+
+def q_dsir_select(spark, sf):
+    """DSIR data selection (Xie et al. 2023; operators/dsir.py): score
+    every document by its hashed unigram+bigram importance weight under
+    the pre-fit target-vs-raw model and keep the top 50.  Scoring is a
+    zero-shuffle codegen projection (single-pass token aggregate with a
+    prev-token accumulator); selection is TakeOrderedAndProject."""
+    from .operators.dsir import dsir_select
+
+    docs = _t(spark, sf, "documents")
+    return dsir_select(docs, _dsir_model(), k=50, n_buckets=_DSIR_BUCKETS)
+
+
+def _dsir_sql() -> str:
+    lr = _dsir_model()
+    lits = "[" + ", ".join(str(x) for x in lr) + "]::BIGINT[]"
+    bkt = f"(('0x' || substr(md5({{g}}), 1, 4))::BIGINT % {_DSIR_BUCKETS})"
+    uni = bkt.format(g="g")
+    big = bkt.format(g="t[i] || ' ' || t[i + 1]")
+    return f"""
+WITH m AS (SELECT {lits} AS lr),
+d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    coalesce(list_sum(list_transform(t, g -> m.lr[{uni} + 1])), 0)
+    + coalesce(list_sum(list_transform(
+        generate_series(1, greatest(len(t) - 1, 0)),
+        i -> m.lr[{big} + 1])), 0) AS score_u
+  FROM d CROSS JOIN m
+)
+SELECT doc_id, score_u::BIGINT AS score_u
+FROM s ORDER BY score_u DESC, doc_id ASC LIMIT 50
+"""
+
+
 # name → (callable, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     # --- DRIVER ATTESTATION WINDOW ---------------------------------
@@ -6235,6 +6322,7 @@ REGISTRY: dict[str, tuple] = {
     "salience": (q_salience, O_SALIENCE),
     "equi_depth": (q_equi_depth, O_EQUI_DEPTH),
     "length_outliers": (q_length_outliers, O_LENGTH_OUTLIERS),
+    "dsir_select": (q_dsir_select, _dsir_sql),  # callable → generated SQL
     # --- driver-attested r1-r5 (green in CORRECTNESS_r01..r05) ------
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),

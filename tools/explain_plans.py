@@ -319,6 +319,10 @@ AUDITS = {
                         "!Window", "!BroadcastNestedLoopJoin"],
     # frecency: ONE partial-agg groupBy over the event stream
     "frecency": ["HashAggregate", "!Join", "!CartesianProduct"],
+    # DSIR selection: scoring is a zero-shuffle codegen projection
+    # (model = literal array), selection = per-partition top-k
+    "dsir_select": ["TakeOrderedAndProject", "!Exchange", "!Join",
+                    "!Window"],
 }
 
 
@@ -365,7 +369,7 @@ def main() -> None:
         "salience", "verbalize", "kg_qa", "bpe_tokens",
         "lsh_eval", "seq_pack", "equi_depth", "length_outliers",
         "seq_materialize", "capture_drift", "entity_disambig",
-        "frecency",
+        "frecency", "dsir_select",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
