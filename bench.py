@@ -121,6 +121,7 @@ HEADLINE = [
     "entity_disambig",
     "frecency",
     "dsir_select",
+    "textrank",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

@@ -359,3 +359,51 @@ def entity_salience(
             + F.expr("(_n - first_pos + 1) * 1000 div _n")
         ).cast("long").alias("salience_x1000"),
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 25,
+    iterations: int = 3,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, "TextRank:
+    Bringing Order into Text", EMNLP 2004): build the unweighted
+    undirected word co-occurrence graph (window = 2, i.e. adjacent
+    token pairs anywhere in the corpus), run PageRank over it, return
+    the top-``k`` terms → (term, rank_u).
+
+    Spark-first shape: adjacent pairs come from a zip_with over two
+    slices of the token array (array expressions — pair extraction is
+    map-side, cost = number of token positions; the tokenizer regex is
+    inlined 3x by CollapseProject, a linear CPU cost paid once at graph
+    build, never per PageRank round).  The graph is the corpus-DISTINCT
+    symmetric pair set — bounded by vocab², in practice ≪ corpus size —
+    and the rank loop is graphquery.pagerank_int (integer micro-units,
+    engine-exact, one partial-agg shuffle + one equi-join per round).
+    Top-k is TakeOrderedAndProject.  Composition gate: co-occurrence
+    extraction ∘ pagerank, both independently oracle-gated."""
+    from .graphquery import pagerank_int
+
+    toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    pairs = (
+        f"zip_with(slice({toks}, 1, greatest(size({toks}) - 1, 0)), "
+        f"slice({toks}, 2, greatest(size({toks}) - 1, 0)), "
+        "(a, b) -> struct(a, b))"
+    )
+    adj = (
+        docs.select(F.explode(F.expr(pairs)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    sym = (
+        adj.union(adj.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    r = pagerank_int(sym, iterations=iterations)
+    return (
+        r.select(F.col("node").alias("term"), F.col("rank").alias("rank_u"))
+        .orderBy(F.desc("rank_u"), F.asc("term"))
+        .limit(k)
+    )

@@ -6137,6 +6137,61 @@ SELECT * FROM (VALUES
 """
 
 
+def q_textrank(spark, sf):
+    """TextRank keywords (indexing.textrank_keywords): adjacent-token
+    co-occurrence graph → integer-exact PageRank → top-25 terms.  The
+    classic unsupervised keyword extractor as a composition of two
+    already-gated operators (pair extraction ∘ pagerank_int)."""
+    from .operators.indexing import textrank_keywords
+
+    docs = _t(spark, sf, "documents")
+    return textrank_keywords(docs, k=25, iterations=3)
+
+
+def _textrank_sql() -> str:
+    head = """
+WITH d AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+adj0 AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> {'a': t[i], 'b': t[i + 1]})) AS s
+  FROM d
+),
+adj AS (SELECT s.a AS a, s.b AS b FROM adj0 WHERE s.a <> s.b),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a AS src, b AS dst FROM adj
+    UNION ALL SELECT b, a FROM adj
+  )
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+e2 AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    iters = []
+    for i in range(1, 4):
+        iters.append(f"""
+s{i} AS (
+  SELECT dst, sum(rank // outdeg) AS s
+  FROM e2 JOIN r{i-1} ON e2.src = r{i-1}.node GROUP BY 1
+),
+r{i} AS (
+  SELECT node,
+         CAST(150000 + ((85 * coalesce(s, 0)) // 100) AS BIGINT) AS rank
+  FROM nodes LEFT JOIN s{i} ON node = dst
+)""")
+    return (
+        head + "," + ",".join(iters)
+        + "\nSELECT node AS term, rank AS rank_u FROM r3"
+        + "\nORDER BY rank_u DESC, term ASC LIMIT 25"
+    )
+
+
+O_TEXTRANK = _textrank_sql()
+
+
 _DSIR_LR: list[int] | None = None
 _DSIR_BUCKETS = 256
 
@@ -6323,6 +6378,7 @@ REGISTRY: dict[str, tuple] = {
     "equi_depth": (q_equi_depth, O_EQUI_DEPTH),
     "length_outliers": (q_length_outliers, O_LENGTH_OUTLIERS),
     "dsir_select": (q_dsir_select, _dsir_sql),  # callable → generated SQL
+    "textrank": (q_textrank, O_TEXTRANK),
     # --- driver-attested r1-r5 (green in CORRECTNESS_r01..r05) ------
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),

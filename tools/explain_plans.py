@@ -323,6 +323,10 @@ AUDITS = {
     # (model = literal array), selection = per-partition top-k
     "dsir_select": ["TakeOrderedAndProject", "!Exchange", "!Join",
                     "!Window"],
+    # TextRank: pair extraction is map-side array exprs; rank loop =
+    # partial-agg sum + equi-join per round; top-k never a global sort
+    "textrank": ["TakeOrderedAndProject", "HashAggregate",
+                 "!CartesianProduct", "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -369,7 +373,7 @@ def main() -> None:
         "salience", "verbalize", "kg_qa", "bpe_tokens",
         "lsh_eval", "seq_pack", "equi_depth", "length_outliers",
         "seq_materialize", "capture_drift", "entity_disambig",
-        "frecency", "dsir_select",
+        "frecency", "dsir_select", "textrank",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
