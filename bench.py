@@ -122,6 +122,7 @@ HEADLINE = [
     "frecency",
     "dsir_select",
     "textrank",
+    "mp_topk",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

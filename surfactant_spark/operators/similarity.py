@@ -627,3 +627,104 @@ def label_centroids(
         ).alias("ssum"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+def _probes_expr(
+    vec_col_name: str, planes: list[list[float]], nprobe: int
+) -> Column:
+    """Multi-probe LSH probe sequence (Lv et al., "Multi-Probe LSH",
+    VLDB 2007) as ONE parsed SQL expression → array<bigint> of
+    ``1 + nprobe`` buckets: the base hyperplane bucket plus the buckets
+    reached by flipping the ``nprobe`` sign bits with the smallest
+    |projection margin| (the buckets a near-miss neighbor most likely
+    landed in).  Single-bit perturbations — the standard first-order
+    probe set.
+
+    The margin array is LET-BOUND via a singleton ``transform`` lambda
+    (``transform(array(d_exprs), d -> ...)[0]``), so each projection is
+    computed once even though the expression uses it three times
+    (CollapseProject would otherwise inline the dot products per use).
+    Sort key is (|margin|, bit index): doubles are identical across
+    engines (same left-fold sum), so the probe order is engine-exact.
+    """
+    bits = len(planes)
+    ds = []
+    for p in planes:
+        arr = ",".join(repr(float(x)) + "D" for x in p)
+        ds.append(
+            f"aggregate(zip_with(`{vec_col_name}`, array({arr}), "
+            "(x, y) -> double(x) * y), 0D, (acc, v) -> acc + v)"
+        )
+    d_arr = "array(" + ", ".join(ds) + ")"
+    bucket = (
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
+        "acc + IF(element_at(d, i + 1) >= 0D, shiftleft(1L, i), 0L))"
+    )
+    srt = (
+        f"slice(array_sort(transform(sequence(0, {bits - 1}), "
+        "i -> named_struct('m', abs(element_at(d, i + 1)), 'i', i))), "
+        f"1, {nprobe})"
+    )
+    inner = (
+        f"transform(array({bucket}), bkt -> "
+        f"concat(array(bkt), transform({srt}, s -> bkt ^ shiftleft(1L, s.i))))"
+    )
+    return F.expr(
+        f"element_at(transform(array({d_arr}), d -> element_at({inner}, 1)), 1)"
+    )
+
+
+def multiprobe_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 6,
+    tables: int = 1,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k where each query probes ``1 + nprobe`` buckets
+    per table instead of relying on many tables — the memory-lean ANN
+    index shape at 100 TB: the TARGET index is built (and shuffled)
+    once per table, so halving the table count halves index storage
+    and build shuffle, while the extra probes cost only query-side
+    fan-out (queries ≪ corpus).  Candidates = bucket equi-join, then
+    exact cosine rerank; same output contract as :func:`lsh_topk`."""
+    from pyspark.sql.window import Window
+
+    planes = table_planes(dim, bits, tables)
+    t = _bucketed(targets, id_col, vec_col, "target_id", "tv", planes).withColumn(
+        "nt", _norm(F.col("tv"))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.posexplode(
+                F.array(*[_probes_expr(vec_col, p, nprobe) for p in planes])
+            ).alias("tbl", "probes"),
+        )
+        .select(
+            "query_id", "qv", "tbl", F.explode("probes").alias("bucket")
+        )
+        .withColumn("nq", _norm(F.col("qv")))
+    )
+    cand = t.join(F.broadcast(q), ["tbl", "bucket"]).where(
+        F.col("query_id") != F.col("target_id")
+    )
+    scored = cand.select(
+        "query_id", "target_id",
+        _cosine_from_norms(
+            F.col("qv"), F.col("tv"), F.col("nq"), F.col("nt")
+        ).alias("cos_x10000"),
+    ).dropDuplicates(["query_id", "target_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_x10000"), F.asc("target_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "target_id", "cos_x10000")
+    )

@@ -6137,6 +6137,72 @@ SELECT * FROM (VALUES
 """
 
 
+_MP = dict(k=5, dim=64, bits=6, tables=1, nprobe=2)
+
+
+def q_mp_topk(spark, sf):
+    """Multi-probe LSH top-k (similarity.multiprobe_topk; Lv et al.
+    2007): ONE 6-bit hyperplane table, each query probing its base
+    bucket plus the 2 lowest-|margin| bit-flip buckets — the
+    memory-lean ANN shape (fewer index tables, query-side fan-out
+    instead).  Deterministic md5 hyperplanes; the oracle replays the
+    identical projections, probe ordering, and rerank."""
+    emb = _t(spark, sf, "embeddings")
+    return sim.multiprobe_topk(
+        emb.where(F.col("vec_id") < 8), emb, **_MP
+    ).withColumnRenamed("rank", "rnk")
+
+
+def _mp_sql() -> str:
+    planes = sim.table_planes(_MP["dim"], _MP["bits"], _MP["tables"])[0]
+    dots = []
+    for p in planes:
+        lits = ", ".join(repr(float(x)) for x in p)
+        dots.append(f"list_dot_product(embedding::DOUBLE[], [{lits}]::DOUBLE[])")
+    d_list = "[" + ",\n    ".join(dots) + "]"
+    bits = _MP["bits"]
+    bkt_from_d = " + ".join(
+        f"(CASE WHEN d[{i + 1}] >= 0 THEN {2 ** i}::BIGINT ELSE 0 END)"
+        for i in range(bits)
+    )
+    cos = (
+        "floor(list_dot_product(qv::DOUBLE[], tv::DOUBLE[])"
+        " / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))"
+        " * sqrt(list_dot_product(tv::DOUBLE[], tv::DOUBLE[]))) * 10000 + 0.5)::BIGINT"
+    )
+    return f"""
+WITH q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv, {d_list} AS d
+  FROM embeddings WHERE vec_id < 8
+),
+q1 AS (
+  SELECT query_id, qv, ({bkt_from_d}) AS bkt,
+         list_sort(list_transform(generate_series(1, {bits}),
+                   i -> {{'m': abs(d[i]), 'i': i - 1}})) AS srt
+  FROM q0
+),
+probes AS (
+  SELECT query_id, qv,
+         unnest(list_concat([bkt], list_transform(srt[1:{_MP["nprobe"]}],
+                s -> xor(bkt, (1::BIGINT << s.i))))) AS bucket
+  FROM q1
+),
+t0 AS (SELECT vec_id AS target_id, embedding AS tv, {d_list} AS d FROM embeddings),
+t AS (SELECT target_id, tv, ({bkt_from_d}) AS bucket FROM t0),
+cand AS (
+  SELECT DISTINCT query_id, target_id, qv, tv
+  FROM probes JOIN t USING (bucket) WHERE query_id <> target_id
+),
+ranked AS (
+  SELECT query_id, target_id, {cos} AS cos_x10000,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cos} DESC, target_id ASC) AS rnk
+  FROM cand
+)
+SELECT query_id, rnk, target_id, cos_x10000 FROM ranked WHERE rnk <= {_MP["k"]}
+"""
+
+
 def q_textrank(spark, sf):
     """TextRank keywords (indexing.textrank_keywords): adjacent-token
     co-occurrence graph → integer-exact PageRank → top-25 terms.  The
@@ -6379,6 +6445,7 @@ REGISTRY: dict[str, tuple] = {
     "length_outliers": (q_length_outliers, O_LENGTH_OUTLIERS),
     "dsir_select": (q_dsir_select, _dsir_sql),  # callable → generated SQL
     "textrank": (q_textrank, O_TEXTRANK),
+    "mp_topk": (q_mp_topk, _mp_sql),  # callable → generated SQL
     # --- driver-attested r1-r5 (green in CORRECTNESS_r01..r05) ------
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),

@@ -327,6 +327,10 @@ AUDITS = {
     # partial-agg sum + equi-join per round; top-k never a global sort
     "textrank": ["TakeOrderedAndProject", "HashAggregate",
                  "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # multi-probe LSH: bucket equi-join with the small probe side
+    # broadcast; never a cross join
+    "mp_topk": ["BroadcastHashJoin", "!CartesianProduct",
+                "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -373,7 +377,7 @@ def main() -> None:
         "salience", "verbalize", "kg_qa", "bpe_tokens",
         "lsh_eval", "seq_pack", "equi_depth", "length_outliers",
         "seq_materialize", "capture_drift", "entity_disambig",
-        "frecency", "dsir_select", "textrank",
+        "frecency", "dsir_select", "textrank", "mp_topk",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
