@@ -123,6 +123,7 @@ HEADLINE = [
     "dsir_select",
     "textrank",
     "mp_topk",
+    "shacl",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

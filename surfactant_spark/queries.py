@@ -6137,6 +6137,99 @@ SELECT * FROM (VALUES
 """
 
 
+def q_shacl(spark, sf):
+    """SHACL-style KG validation (graphquery.shacl_validate): five
+    constraint kinds — domain, range, maxCount, minCount, pattern —
+    over a synthetic person/knows/hasName/bornOn triple store derived
+    from customer; violations = anti-joins / partial-agg HAVING /
+    codegen regexp, one report row per violating focus node."""
+    from .operators.graphquery import shacl_validate
+
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("ck"))
+    e = F.concat(F.lit("e"), F.col("ck").cast("string"))
+    types = c.where(F.col("ck") % 3 != 0).select(
+        e.alias("entity"), F.lit("person").alias("type")
+    )
+    t_name = c.where(F.col("ck") % 11 != 0).select(
+        e.alias("subj"),
+        F.lit("hasName").alias("pred"),
+        F.concat(F.lit("name"), F.col("ck").cast("string")).alias("obj"),
+    ).unionByName(
+        c.where(F.col("ck") % 50 == 0).select(
+            e.alias("subj"),
+            F.lit("hasName").alias("pred"),
+            F.concat(F.lit("namex"), F.col("ck").cast("string")).alias("obj"),
+        )
+    )
+    t_knows = c.select(
+        e.alias("subj"),
+        F.lit("knows").alias("pred"),
+        F.concat(
+            F.lit("e"), ((F.col("ck") * 7 + 1) % 1500).cast("string")
+        ).alias("obj"),
+    )
+    t_born = c.select(
+        e.alias("subj"),
+        F.lit("bornOn").alias("pred"),
+        F.when(F.col("ck") % 20 == 0, F.lit("1990-1-2"))
+        .otherwise(F.lit("1990-01-02"))
+        .alias("obj"),
+    )
+    triples = t_name.unionByName(t_knows).unionByName(t_born)
+    shapes = [
+        ("dom_knows", "domain", "knows", "person"),
+        ("rng_knows", "range", "knows", "person"),
+        ("max_name", "maxcount", "hasName", 1),
+        ("min_name", "mincount", "person", "hasName"),
+        ("pat_born", "pattern", "bornOn", "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ]
+    return shacl_validate(triples, types, shapes)
+
+
+O_SHACL = r"""
+WITH c AS (SELECT c_custkey AS ck FROM customer),
+types AS (
+  SELECT 'e' || ck::VARCHAR AS entity FROM c WHERE ck % 3 <> 0
+),
+t_name AS (
+  SELECT 'e' || ck::VARCHAR AS subj, 'name' || ck::VARCHAR AS obj
+  FROM c WHERE ck % 11 <> 0
+  UNION ALL
+  SELECT 'e' || ck::VARCHAR, 'namex' || ck::VARCHAR FROM c WHERE ck % 50 = 0
+),
+t_knows AS (
+  SELECT 'e' || ck::VARCHAR AS subj,
+         'e' || ((ck * 7 + 1) % 1500)::VARCHAR AS obj
+  FROM c
+),
+t_born AS (
+  SELECT 'e' || ck::VARCHAR AS subj,
+         CASE WHEN ck % 20 = 0 THEN '1990-1-2' ELSE '1990-01-02' END AS obj
+  FROM c
+)
+SELECT 'dom_knows' AS shape_id, 'domain' AS kind, focus FROM (
+  SELECT DISTINCT subj AS focus FROM t_knows
+  WHERE subj NOT IN (SELECT entity FROM types)
+)
+UNION ALL
+SELECT 'rng_knows', 'range', focus FROM (
+  SELECT DISTINCT obj AS focus FROM t_knows
+  WHERE obj NOT IN (SELECT entity FROM types)
+)
+UNION ALL
+SELECT 'max_name', 'maxcount', subj
+FROM t_name GROUP BY subj HAVING count(*) > 1
+UNION ALL
+SELECT 'min_name', 'mincount', entity FROM types
+WHERE entity NOT IN (SELECT subj FROM t_name)
+UNION ALL
+SELECT 'pat_born', 'pattern', focus FROM (
+  SELECT DISTINCT subj AS focus FROM t_born
+  WHERE NOT regexp_matches(obj, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+)
+"""
+
+
 _MP = dict(k=5, dim=64, bits=6, tables=1, nprobe=2)
 
 
@@ -6446,6 +6539,7 @@ REGISTRY: dict[str, tuple] = {
     "dsir_select": (q_dsir_select, _dsir_sql),  # callable → generated SQL
     "textrank": (q_textrank, O_TEXTRANK),
     "mp_topk": (q_mp_topk, _mp_sql),  # callable → generated SQL
+    "shacl": (q_shacl, O_SHACL),
     # --- driver-attested r1-r5 (green in CORRECTNESS_r01..r05) ------
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),

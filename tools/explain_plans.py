@@ -331,6 +331,10 @@ AUDITS = {
     # broadcast; never a cross join
     "mp_topk": ["BroadcastHashJoin", "!CartesianProduct",
                 "!BroadcastNestedLoopJoin"],
+    # SHACL validation: anti-joins + partial-agg HAVING + codegen
+    # regexp; the shape list is driver metadata, never a cross join
+    "shacl": ["HashAggregate", "!CartesianProduct",
+              "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -377,7 +381,7 @@ def main() -> None:
         "salience", "verbalize", "kg_qa", "bpe_tokens",
         "lsh_eval", "seq_pack", "equi_depth", "length_outliers",
         "seq_materialize", "capture_drift", "entity_disambig",
-        "frecency", "dsir_select", "textrank", "mp_topk",
+        "frecency", "dsir_select", "textrank", "mp_topk", "shacl",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
