@@ -124,6 +124,7 @@ HEADLINE = [
     "textrank",
     "mp_topk",
     "shacl",
+    "cdc_chunks",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

@@ -1038,3 +1038,83 @@ def lsh_eval(
         F.when(tp + fn > 0, F.floor(tp * 1000.0 / (tp + fn)).cast("long"))
         .alias("recall_x1000"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC family, over the
+    token stream): split every document at positions where the k-token
+    gram hash ≡ 0 (mod ``divisor``) → (doc_id, chunk_idx, n_toks,
+    chunk_hash).  Because cut points depend only on a k-token window,
+    inserting or deleting one token re-chunks ONLY the ±k
+    neighborhood — every other chunk hash survives, which is what
+    makes chunk-level dedup work on shifted near-duplicates where
+    fixed-size blocks all change (the storage-dedup / delta-encoding
+    primitive at 100 TB; avg chunk ≈ ``divisor`` tokens).
+
+    Pure column expressions end-to-end (grams → boundary filter →
+    slice spans → md5 per chunk): no UDF, no shuffle — rides the scan;
+    cross-doc dedup is then ONE partial-agg groupBy on chunk_hash
+    (see tests).  Docs with < k tokens form a single chunk; token-less
+    docs emit nothing."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    staged = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+    n = F.size(F.col("_t"))
+    gram_idx = F.sequence(F.lit(0), n - k)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            gram_idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("_t"), (i + j + 1).cast("int"))
+                    for j in range(k)
+                ],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    h = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    )
+    # boundary gram (0-based) i cuts AFTER token i → next chunk starts
+    # at token i+1 (0-based); starts always include 0
+    bpos = F.filter(
+        F.transform(F.sequence(F.lit(0), F.greatest(F.size(h) - 1, F.lit(0))),
+                    lambda i: i),
+        lambda i: (F.size(h) > 0)
+        & (F.element_at(h, (i + 1).cast("int")) % divisor == 0),
+    )
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform(bpos, lambda p: (p + 1).cast("int"))
+    )
+    chunks = staged.where(n > 0).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(starts) - 1),
+                lambda j: F.slice(
+                    F.col("_t"),
+                    F.element_at(starts, (j + 1).cast("int")) + 1,
+                    F.when(
+                        j < F.size(starts) - 1,
+                        F.element_at(starts, (j + 2).cast("int"))
+                        - F.element_at(starts, (j + 1).cast("int")),
+                    ).otherwise(n - F.element_at(starts, (j + 1).cast("int"))),
+                ),
+            )
+        ).alias("cidx", "ctoks"),
+    )
+    return chunks.select(
+        F.col("id").alias(id_col),
+        (F.col("cidx") + 1).cast("long").alias("chunk_idx"),
+        F.size("ctoks").cast("long").alias("n_toks"),
+        F.md5(F.array_join("ctoks", " ")).alias("chunk_hash"),
+    )

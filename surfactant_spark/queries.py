@@ -6137,6 +6137,54 @@ SELECT * FROM (VALUES
 """
 
 
+def q_cdc_chunks(spark, sf):
+    """Content-defined chunking (dedup.cdc_chunks): k=3 token-gram
+    rolling hash, cut where hash ≡ 0 (mod 16) — the storage-dedup /
+    shifted-near-dup primitive.  Pure array expressions riding the
+    scan; the oracle replays gram hashes, boundary filter, and chunk
+    slicing with DuckDB list functions."""
+    from .operators.dedup import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf, "documents"))
+
+
+O_CDC_CHUNKS = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+d1 AS (SELECT doc_id, t FROM d WHERE len(t) > 0),
+g AS (
+  SELECT doc_id, t,
+    list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+      i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8))::BIGINT
+    ) AS h
+  FROM d1
+),
+s AS (
+  SELECT doc_id, t,
+    list_concat([1], list_transform(
+      list_filter(generate_series(1, len(h)), i -> h[i] % 16 = 0),
+      p -> p + 1)) AS starts
+  FROM g
+),
+e0 AS (
+  SELECT doc_id, t, starts,
+         unnest(generate_series(1, len(starts))) AS j
+  FROM s
+),
+e1 AS (
+  SELECT doc_id, j, starts[j] AS st,
+         CASE WHEN j < len(starts) THEN starts[j+1] - 1 ELSE len(t) END AS en,
+         t
+  FROM e0
+)
+SELECT doc_id, j::BIGINT AS chunk_idx, (en - st + 1)::BIGINT AS n_toks,
+       md5(array_to_string(t[st:en], ' ')) AS chunk_hash
+FROM e1
+"""
+
+
 def q_shacl(spark, sf):
     """SHACL-style KG validation (graphquery.shacl_validate): five
     constraint kinds — domain, range, maxCount, minCount, pattern —
@@ -6540,6 +6588,7 @@ REGISTRY: dict[str, tuple] = {
     "textrank": (q_textrank, O_TEXTRANK),
     "mp_topk": (q_mp_topk, _mp_sql),  # callable → generated SQL
     "shacl": (q_shacl, O_SHACL),
+    "cdc_chunks": (q_cdc_chunks, O_CDC_CHUNKS),
     # --- driver-attested r1-r5 (green in CORRECTNESS_r01..r05) ------
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),

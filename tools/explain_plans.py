@@ -335,6 +335,9 @@ AUDITS = {
     # regexp; the shape list is driver metadata, never a cross join
     "shacl": ["HashAggregate", "!CartesianProduct",
               "!BroadcastNestedLoopJoin"],
+    # content-defined chunking: pure array expressions riding the
+    # scan — posexplode only, no shuffle, no join
+    "cdc_chunks": ["Generate", "!Exchange", "!Join"],
 }
 
 
@@ -382,6 +385,7 @@ def main() -> None:
         "lsh_eval", "seq_pack", "equi_depth", "length_outliers",
         "seq_materialize", "capture_drift", "entity_disambig",
         "frecency", "dsir_select", "textrank", "mp_topk", "shacl",
+        "cdc_chunks",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
