@@ -125,6 +125,7 @@ HEADLINE = [
     "mp_topk",
     "shacl",
     "cdc_chunks",
+    "hyperball",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

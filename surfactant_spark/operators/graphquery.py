@@ -1199,3 +1199,121 @@ def shacl_validate(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def hll16_linear_counting_table() -> list[int]:
+    """Linear-counting estimates ×1000 for m=16 registers, indexed by
+    V = number of EMPTY registers (1..15): round(1000·16·ln(16/V)).
+    ln is evaluated here ONCE, driver-side — the runtime (and the
+    DuckDB oracle) only ever reads these 15 integers, so both engines
+    share them by construction."""
+    import math
+
+    return [round(1000 * 16 * math.log(16 / v)) for v in range(1, 16)]
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", 2013 — the HyperANF/web-graph
+    standard): per-node neighborhood-function estimates and harmonic
+    centrality via HyperLogLog registers propagated along out-edges,
+    → (node, reach_x1000, harmonic_x1000).
+
+    B(v,t) — the set of nodes reachable from v in ≤ t hops — is
+    represented as 16 HLL registers; round t merges each node's
+    registers with its out-neighbors' (register-wise max), so
+    |B(v,t)| needs no per-node set materialization: state is
+    O(nodes × 16) REGARDLESS of reachability size, which is the whole
+    point at web scale (exact per-node reach sets are O(n²)).
+    harmonic(v) = Σ_t (|B(v,t)| − |B(v,t−1)|) / t.
+
+    Engine-exact integer variant: register index/rank come from md5
+    bits (rank = 33 − length(bin(x)) over a 32-bit slice; x=0 capped
+    at 32); the raw-HLL estimate is the integral division
+    ``(⌊α₁₆·m²·1000⌋ · 2³²) div Σⱼ 2^(32−rⱼ)``; the standard
+    small-range linear-counting correction ``m·ln(m/V)`` (V = empty
+    registers) applies below the published 2.5·m threshold — and stays
+    integer-exact because with m = 16 it has only 15 possible values,
+    precomputed as a literal lookup table shared with the oracle.  No
+    float is evaluated at runtime anywhere.  Registers only grow so
+    both regimes are monotone; across the LC→raw seam HLL is not
+    strictly monotone, so per-round deltas clamp at 0
+    (``greatest(Δ,0) div t``) — pinned, engine-identical.
+
+    Shape per round: one equi-join (register rows × edges, both keyed
+    on the node) + one partial-agg max-groupBy on (node, register) —
+    register rows ≤ 16·|V|; rounds checkpoint lazily.  The reference
+    has no graph centralities; this is beyond-reference surface
+    (SURVEY §2 graph family)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    x = F.conv(F.substring(F.md5("node"), 3, 8), 16, 10).cast("long")
+    reg = nodes.select(
+        "node",
+        (F.conv(F.substring(F.md5("node"), 1, 2), 16, 10).cast("long") % 16)
+        .cast("int")
+        .alias("j"),
+        F.when(x == 0, F.lit(32))
+        .otherwise(F.lit(33) - F.length(F.bin(x)))
+        .cast("int")
+        .alias("r"),
+    )
+
+    def est(reg_df, t):
+        # raw = ⌊0.673·256·1000⌋·2^32 div Σ 2^(32−r) (all-BIGINT; Spark
+        # `/` on BIGINTs would return DOUBLE and break engine parity);
+        # linear counting below the published 2.5·m (=40, x1000=40000)
+        # threshold via the 15-entry integer table — every register row
+        # has r ≥ 1, so V = 16 − count(rows) and V ≥ 1 ⇔ correctable
+        num = 172288 * (1 << 32)
+        lc = ", ".join(str(v) for v in hll16_linear_counting_table())
+        return reg_df.groupBy("node").agg(
+            F.expr(
+                f"CASE WHEN {num}L div (sum(shiftleft(1L, 32 - r))"
+                f" + (16 - count(1)) * {1 << 32}L) <= 40000"
+                " AND count(1) < 16"
+                f" THEN element_at(array({lc}), cast(16 - count(1) as int))"
+                f" ELSE {num}L div (sum(shiftleft(1L, 32 - r))"
+                f" + (16 - count(1)) * {1 << 32}L) END"
+            )
+            .cast("long")
+            .alias(f"e{t}")
+        )
+
+    ests = [est(reg, 0)]
+    for t in range(1, rounds + 1):
+        prop = e.join(reg, e["v"] == reg["node"], "inner").select(
+            F.col("u").alias("node"), "j", "r"
+        )
+        reg = (
+            reg.unionByName(prop)
+            .groupBy("node", "j")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint(eager=False)
+        )
+        ests.append(est(reg, t))
+    out = ests[0]
+    for t in range(1, rounds + 1):
+        out = out.join(ests[t], "node")
+    harmonic = None
+    for t in range(1, rounds + 1):
+        term = F.expr(f"greatest(e{t} - e{t - 1}, 0L) div {t}")
+        harmonic = term if harmonic is None else harmonic + term
+    return out.select(
+        "node",
+        F.col(f"e{rounds}").alias("reach_x1000"),
+        harmonic.cast("long").alias("harmonic_x1000"),
+    )

@@ -6137,6 +6137,93 @@ SELECT * FROM (VALUES
 """
 
 
+def q_hyperball(spark, sf):
+    """HyperBall neighborhood function + harmonic centrality
+    (graphquery.hyperball_harmonic): HLL registers propagated 3 rounds
+    along the order-derived functional graph — O(16·|V|) state instead
+    of per-node reach sets; integer-exact estimator pinned to the raw
+    HLL formula so DuckDB replays it bit-for-bit."""
+    from .operators.graphquery import hyperball_harmonic
+
+    o = _t(spark, sf, "orders")
+    u = F.concat(F.lit("n"), (F.col("o_orderkey") % 1500).cast("string"))
+    e = o.select(
+        u.alias("src"),
+        F.concat(
+            F.lit("n"), ((F.col("o_orderkey") * 11 + 5) % 1500).cast("string")
+        ).alias("dst"),
+    ).unionByName(
+        o.select(
+            u.alias("src"),
+            F.concat(
+                F.lit("n"),
+                ((F.col("o_orderkey") * 7 + 13) % 1500).cast("string"),
+            ).alias("dst"),
+        )
+    )
+    return hyperball_harmonic(e, rounds=3)
+
+
+def _hyperball_sql() -> str:
+    from .operators.graphquery import hll16_linear_counting_table
+
+    num = 172288 * (1 << 32)
+    raw = (
+        f"{num} // (sum(1::BIGINT << (32 - r))"
+        " + (16 - count(*)) * (1::BIGINT << 32))"
+    )
+    lc = "[" + ", ".join(str(v) for v in hll16_linear_counting_table()) + "]"
+    est = (
+        f"CASE WHEN {raw} <= 40000 AND count(*) < 16"
+        f" THEN ({lc})[(16 - count(*))::INT]"
+        f" ELSE {raw} END"
+    )
+    head = f"""
+WITH e AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT 'n' || (o_orderkey % 1500)::VARCHAR AS u,
+           'n' || ((o_orderkey * 11 + 5) % 1500)::VARCHAR AS v
+    FROM orders
+    UNION ALL
+    SELECT 'n' || (o_orderkey % 1500)::VARCHAR,
+           'n' || ((o_orderkey * 7 + 13) % 1500)::VARCHAR
+    FROM orders
+  ) t
+),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+r0 AS (
+  SELECT node,
+         (('0x' || substr(md5(node), 1, 2))::BIGINT % 16)::INT AS j,
+         CASE WHEN x = 0 THEN 32 ELSE 33 - length(bin(x)) END AS r
+  FROM (SELECT node, ('0x' || substr(md5(node), 3, 8))::BIGINT AS x
+        FROM nodes)
+),
+e0 AS (SELECT node, {est} AS est FROM r0 GROUP BY node)"""
+    parts = []
+    for t in range(1, 4):
+        parts.append(f"""
+r{t} AS (
+  SELECT node, j, max(r) AS r FROM (
+    SELECT * FROM r{t-1}
+    UNION ALL SELECT e.u AS node, r{t-1}.j, r{t-1}.r
+    FROM e JOIN r{t-1} ON e.v = r{t-1}.node
+  ) t GROUP BY node, j
+),
+e{t} AS (SELECT node, {est} AS est FROM r{t} GROUP BY node)""")
+    return (
+        head + "," + ",".join(parts)
+        + """
+SELECT e3.node, e3.est::BIGINT AS reach_x1000,
+       (greatest(e1.est - e0.est, 0) // 1 + greatest(e2.est - e1.est, 0) // 2
+        + greatest(e3.est - e2.est, 0) // 3)::BIGINT AS harmonic_x1000
+FROM e0 JOIN e1 USING (node) JOIN e2 USING (node) JOIN e3 USING (node)
+"""
+    )
+
+
+O_HYPERBALL = _hyperball_sql()
+
+
 def q_cdc_chunks(spark, sf):
     """Content-defined chunking (dedup.cdc_chunks): k=3 token-gram
     rolling hash, cut where hash ≡ 0 (mod 16) — the storage-dedup /
@@ -6589,6 +6676,7 @@ REGISTRY: dict[str, tuple] = {
     "mp_topk": (q_mp_topk, _mp_sql),  # callable → generated SQL
     "shacl": (q_shacl, O_SHACL),
     "cdc_chunks": (q_cdc_chunks, O_CDC_CHUNKS),
+    "hyperball": (q_hyperball, O_HYPERBALL),
     # --- driver-attested r1-r5 (green in CORRECTNESS_r01..r05) ------
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),

@@ -338,6 +338,10 @@ AUDITS = {
     # content-defined chunking: pure array expressions riding the
     # scan — posexplode only, no shuffle, no join
     "cdc_chunks": ["Generate", "!Exchange", "!Join"],
+    # HyperBall: per-round register join + partial-agg max groupBy;
+    # state O(16|V|), never a cross join
+    "hyperball": ["HashAggregate", "!CartesianProduct",
+                  "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -385,7 +389,7 @@ def main() -> None:
         "lsh_eval", "seq_pack", "equi_depth", "length_outliers",
         "seq_materialize", "capture_drift", "entity_disambig",
         "frecency", "dsir_select", "textrank", "mp_topk", "shacl",
-        "cdc_chunks",
+        "cdc_chunks", "hyperball",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
