@@ -126,6 +126,8 @@ HEADLINE = [
     "shacl",
     "cdc_chunks",
     "hyperball",
+    "pmi",
+    "microdata",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

@@ -407,3 +407,88 @@ def textrank_keywords(
         .orderBy(F.desc("rank_u"), F.asc("term"))
         .limit(k)
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+    max_terms: int = 64,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` collocations by document-level PMI — the
+    relation-candidate miner of the KG side (two terms that co-occur
+    far more than chance are the edges worth verbalizing/linking).
+
+    Integer-exact PMI ORDER: PMI(a,b) = log(n_ab·N / (n_a·n_b)) is
+    monotone in n_ab/(n_a·n_b) at fixed corpus size, so the rank key
+    ``score_u = n_ab·10¹² div (n_a·n_b)`` reproduces the PMI ordering
+    without evaluating any log (integral-division ties are pinned by
+    the (term_a, term_b) tie-break — the documented variant).
+
+    Shape: ONE capped distinct-term projection feeds both the pair
+    expansion and the unigram document frequencies (the same
+    no-self-join array expansion as :func:`cooccurrence_pairs`; the
+    cap bounds pair fan-out per doc); two partial-agg groupBys; counts
+    joined back onto the (min_count-filtered, therefore much smaller)
+    pair frame; top-k = TakeOrderedAndProject."""
+    terms = docs.select(
+        id_col,
+        F.slice(
+            F.array_sort(
+                F.array_distinct(
+                    F.expr(
+                        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+                    )
+                )
+            ),
+            1,
+            max_terms,
+        ).alias("ts"),
+    )
+    ts = F.col("ts")
+    pairs_expr = F.flatten(
+        F.transform(
+            ts,
+            lambda x, i: F.transform(
+                F.slice(ts, i + F.lit(2), F.size(ts)),
+                lambda y: F.struct(x.alias("term_a"), y.alias("term_b")),
+            ),
+        )
+    )
+    pair_counts = (
+        terms.select(F.explode(pairs_expr).alias("p"))
+        .select("p.term_a", "p.term_b")
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    term_counts = (
+        terms.select(F.explode(ts).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    )
+    scored = (
+        pair_counts.join(
+            term_counts.select(
+                F.col("term").alias("term_a"), F.col("n_t").alias("n_a")
+            ),
+            "term_a",
+        )
+        .join(
+            term_counts.select(
+                F.col("term").alias("term_b"), F.col("n_t").alias("n_b")
+            ),
+            "term_b",
+        )
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.expr("n_ab * 1000000000000L div (n_a * n_b)").alias("score_u"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("score_u"), F.asc("term_a"), F.asc("term_b")
+    ).limit(k)

@@ -218,3 +218,145 @@ def extract_svo(
         )
         .where(F.col("rel") != "")
     )
+
+
+# --- HTML microdata (schema.org itemscope/itemprop) -------------------
+
+_MD_TAG_RE = None  # built lazily below
+
+
+def parse_microdata(html: str) -> list[tuple[str, str, str]]:
+    """From-scratch HTML-microdata walk (WHATWG microdata model,
+    well-formed-markup subset: quoted attributes, properly nested
+    tags; no comment/script escaping — the honest boundary is
+    documented, and the oracle synthesizes markup inside it).
+
+    Returns (subj, pred, obj) with LOCAL subjects: an item's subject is
+    its ``itemid`` attribute verbatim when present, else ``#m{i}`` by
+    document order of itemscope — the caller absolutizes against the
+    page url.  Property values: ``content`` attr (meta), ``href``
+    (a/link), ``src`` (img), else the whitespace-normalized text
+    content of the element; nested itemscope under itemprop links the
+    child item as the object.  ``itemtype`` emits a ``type`` triple."""
+    import re as _re
+
+    global _MD_TAG_RE
+    if _MD_TAG_RE is None:
+        _MD_TAG_RE = _re.compile(
+            r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
+            r"((?:\s+[a-zA-Z-]+(?:=\"[^\"]*\")?)*)\s*(/?)>"
+        )
+    attr_re = _re.compile(r"([a-zA-Z-]+)(?:=\"([^\"]*)\")?")
+    void = {"meta", "link", "img", "br", "input", "hr"}
+
+    out: list[tuple[str, str, str]] = []
+    n_items = 0
+    # stack frames: [tag, item_subj_or_None, capture_(subj,prop,buf)_or_None]
+    stack: list[list] = []
+    pos = 0
+    for m in _MD_TAG_RE.finditer(html):
+        text = html[pos:m.start()]
+        if text.strip():
+            for fr in reversed(stack):
+                if fr[2] is not None:
+                    fr[2][2].append(text)
+                    break
+        pos = m.end()
+        closing, tag, rawattrs, selfclose = m.groups()
+        tag = tag.lower()
+        if closing:
+            while stack:
+                fr = stack.pop()
+                if fr[2] is not None:
+                    subj, prop, buf = fr[2]
+                    out.append((subj, prop, " ".join("".join(buf).split())))
+                if fr[0] == tag:
+                    break
+            continue
+        attrs = {k.lower(): (v if v is not None else "")
+                 for k, v in attr_re.findall(rawattrs)}
+        enclosing = next(
+            (fr[1] for fr in reversed(stack) if fr[1] is not None), None
+        )
+        item_subj = None
+        if "itemscope" in attrs:
+            item_subj = attrs.get("itemid") or f"#m{n_items}"
+            n_items += 1
+            if attrs.get("itemtype"):
+                out.append((item_subj, "type", attrs["itemtype"]))
+        prop = attrs.get("itemprop")
+        capture = None
+        if prop and enclosing is not None and item_subj is not None:
+            out.append((enclosing, prop, item_subj))  # nested item link
+        elif prop and enclosing is not None:
+            if tag == "meta":
+                out.append((enclosing, prop, attrs.get("content", "")))
+            elif tag in ("a", "link", "area"):
+                out.append((enclosing, prop, attrs.get("href", "")))
+            elif tag in ("img", "audio", "video", "source", "iframe"):
+                out.append((enclosing, prop, attrs.get("src", "")))
+            elif tag not in void and not selfclose:
+                capture = (enclosing, prop, [])
+        if tag not in void and not selfclose:
+            stack.append([tag, item_subj, capture])
+    tail = html[pos:]
+    if tail.strip():
+        for fr in reversed(stack):
+            if fr[2] is not None:
+                fr[2][2].append(tail)
+                break
+    while stack:  # unclosed capture at EOF: emit what was buffered
+        fr = stack.pop()
+        if fr[2] is not None:
+            subj, prop, buf = fr[2]
+            out.append((subj, prop, " ".join("".join(buf).split())))
+    return out
+
+
+def extract_microdata(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Pages → distinct (url, subj, pred, obj) microdata triples —
+    the itemscope/itemprop sibling of :func:`extract_jsonld`, same
+    plan shape: distinct-page Arrow parse keyed by content hash,
+    equi-join back, codegen subject absolutization (local ``#m{i}``
+    ids become ``url#m{i}``; ``itemid`` subjects pass verbatim)."""
+    hashed = pages.select(
+        F.col(url_col).alias("url"),
+        F.md5(F.col(html_col)).alias("hhash"),
+        F.col(html_col).alias("_html"),
+    )
+    uniq = hashed.select("hhash", "_html").distinct()
+
+    def parse_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for hhash, html in zip(pdf["hhash"], pdf["_html"]):
+                for subj, pred, obj in parse_microdata(html or ""):
+                    rows.append((hhash, subj, pred, obj))
+            yield pd.DataFrame(
+                rows, columns=["hhash", "subj", "pred", "obj"]
+            )
+
+    flat = uniq.mapInPandas(
+        parse_batches,
+        "hhash string, subj string, pred string, obj string",
+    )
+    joined = hashed.select("url", "hhash").join(flat, "hhash")
+
+    def absolutize(c):
+        return F.when(
+            c.startswith("#"), F.concat(F.col("url"), c)
+        ).otherwise(c)
+
+    return (
+        joined.select(
+            "url",
+            absolutize(F.col("subj")).alias("subj"),
+            "pred",
+            absolutize(F.col("obj")).alias("obj"),
+        )
+        .distinct()
+    )

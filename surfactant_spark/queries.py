@@ -6137,6 +6137,103 @@ SELECT * FROM (VALUES
 """
 
 
+def q_microdata(spark, sf):
+    """HTML microdata extraction (structdata.extract_microdata):
+    schema.org Product markup synthesized from part — nested Brand
+    itemscope, itemid on every 5th part, meta/content + a/href + text
+    property values — parsed once per DISTINCT page by the from-scratch
+    stack walker, triples absolutized against the url.  Oracle
+    enumerates the same triples directly from part columns."""
+    from .operators.structdata import extract_microdata
+
+    p = _t(spark, sf, "part")
+    k = F.col("p_partkey").cast("string")
+    html = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Product"'),
+        F.when(
+            F.col("p_partkey") % 5 == 0,
+            F.concat(F.lit(' itemid="urn:part:'), k, F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.lit('><span itemprop="name">'),
+        F.col("p_name"),
+        F.lit('</span><meta itemprop="sku" content="'),
+        k,
+        F.lit('"><a itemprop="url" href="/p/'),
+        k,
+        F.lit('">x</a><div itemprop="brand" itemscope'
+              ' itemtype="https://schema.org/Brand">'
+              '<span itemprop="name">'),
+        F.col("p_brand"),
+        F.lit("</span></div></div>"),
+    )
+    pages = p.select(
+        F.concat(F.lit("https://ex.com/p/"), k).alias("url"),
+        html.alias("html"),
+    )
+    return extract_microdata(pages)
+
+
+O_MICRODATA = """
+WITH p0 AS (
+  SELECT p_partkey AS k, p_name, p_brand,
+         'https://ex.com/p/' || p_partkey::VARCHAR AS url,
+         CASE WHEN p_partkey % 5 = 0
+              THEN 'urn:part:' || p_partkey::VARCHAR
+              ELSE 'https://ex.com/p/' || p_partkey::VARCHAR || '#m0'
+         END AS s,
+         'https://ex.com/p/' || p_partkey::VARCHAR || '#m1' AS b
+  FROM part
+)
+SELECT DISTINCT url, subj, pred, obj FROM (
+  SELECT url, s AS subj, 'type' AS pred,
+         'https://schema.org/Product' AS obj FROM p0
+  UNION ALL SELECT url, s, 'name', p_name FROM p0
+  UNION ALL SELECT url, s, 'sku', k::VARCHAR FROM p0
+  UNION ALL SELECT url, s, 'url', '/p/' || k::VARCHAR FROM p0
+  UNION ALL SELECT url, s, 'brand', b FROM p0
+  UNION ALL SELECT url, b, 'type', 'https://schema.org/Brand' FROM p0
+  UNION ALL SELECT url, b, 'name', p_brand FROM p0
+) t
+"""
+
+
+def q_pmi(spark, sf):
+    """Top-50 PMI collocations (indexing.pmi_collocations): integer
+    rank key n_ab·10¹² div (n_a·n_b) reproduces the PMI ordering with
+    no log; capped distinct-term arrays feed both pair and unigram
+    counts — never a token-table self-join."""
+    from .operators.indexing import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf, "documents"))
+
+
+O_PMI = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+rk AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn
+  FROM toks
+),
+kept AS (SELECT doc_id, term FROM rk WHERE rn <= 64),
+pc AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_ab
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+tc AS (SELECT term, count(*)::BIGINT AS n_t FROM kept GROUP BY 1)
+SELECT term_a, term_b, n_ab,
+       (n_ab * 1000000000000 // (ta.n_t * tb.n_t))::BIGINT AS score_u
+FROM pc
+JOIN tc ta ON pc.term_a = ta.term
+JOIN tc tb ON pc.term_b = tb.term
+ORDER BY score_u DESC, term_a ASC, term_b ASC LIMIT 50
+"""
+
+
 def q_hyperball(spark, sf):
     """HyperBall neighborhood function + harmonic centrality
     (graphquery.hyperball_harmonic): HLL registers propagated 3 rounds
@@ -6677,6 +6774,8 @@ REGISTRY: dict[str, tuple] = {
     "shacl": (q_shacl, O_SHACL),
     "cdc_chunks": (q_cdc_chunks, O_CDC_CHUNKS),
     "hyperball": (q_hyperball, O_HYPERBALL),
+    "pmi": (q_pmi, O_PMI),
+    "microdata": (q_microdata, O_MICRODATA),
     # --- driver-attested r1-r5 (green in CORRECTNESS_r01..r05) ------
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),

@@ -342,6 +342,13 @@ AUDITS = {
     # state O(16|V|), never a cross join
     "hyperball": ["HashAggregate", "!CartesianProduct",
                   "!BroadcastNestedLoopJoin"],
+    # PMI: count joins back onto the min_count-filtered pair frame;
+    # top-k never a global sort
+    "pmi": ["TakeOrderedAndProject", "HashAggregate",
+            "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # microdata: one Arrow parse per DISTINCT page, equi-joined back
+    "microdata": ["MapInPandas", "!CartesianProduct",
+                  "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -389,7 +396,7 @@ def main() -> None:
         "lsh_eval", "seq_pack", "equi_depth", "length_outliers",
         "seq_materialize", "capture_drift", "entity_disambig",
         "frecency", "dsir_select", "textrank", "mp_topk", "shacl",
-        "cdc_chunks", "hyperball",
+        "cdc_chunks", "hyperball", "pmi", "microdata",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
