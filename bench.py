@@ -128,6 +128,7 @@ HEADLINE = [
     "hyperball",
     "pmi",
     "microdata",
+    "bcubed",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

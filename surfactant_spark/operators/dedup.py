@@ -1118,3 +1118,52 @@ def cdc_chunks(
         F.size("ctoks").cast("long").alias("n_toks"),
         F.md5(F.array_join("ctoks", " ")).alias("chunk_hash"),
     )
+
+
+def bcubed_scores(
+    items: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "pred",
+    true_col: str = "truth",
+) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998; the
+    Amigó et al. 2009 survey's recommended extrinsic metric): per item
+    P(i) = |C(i)∩L(i)|/|C(i)|, R(i) = |C(i)∩L(i)|/|L(i)| with C/L the
+    predicted/true cluster of i; scores are the averages.  → ONE row
+    (n_items, b3_precision_x1e6, b3_recall_x1e6, b3_f1_x1e6).
+
+    Integer-exact pinned variant: per-item ratios are micro-scaled
+    integral divisions, averages divide the sums integrally, F1 =
+    2·P·R div (P+R) — identical in any engine, no float.
+
+    Shape: three partial-agg groupBys (predicted sizes, true sizes,
+    intersection sizes) + equi-joins back onto the items — every stage
+    keyed, nothing quadratic, so the metric runs at corpus scale (the
+    eval harness for dedup clustering quality, complementing the
+    pair-level lsh_eval gate)."""
+    pred = F.col(pred_col)
+    true = F.col(true_col)
+    base = items.select(
+        F.col(id_col).alias("_id"), pred.alias("_p"), true.alias("_t")
+    )
+    sz_p = base.groupBy("_p").agg(F.count(F.lit(1)).alias("_np"))
+    sz_t = base.groupBy("_t").agg(F.count(F.lit(1)).alias("_nt"))
+    inter = base.groupBy("_p", "_t").agg(F.count(F.lit(1)).alias("_ni"))
+    per = (
+        base.join(inter, ["_p", "_t"])
+        .join(sz_p, "_p")
+        .join(sz_t, "_t")
+        .select(
+            F.expr("_ni * 1000000L div _np").alias("_pi"),
+            F.expr("_ni * 1000000L div _nt").alias("_ri"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.expr("sum(_pi) div count(1)").cast("long").alias("b3_precision_x1e6"),
+        F.expr("sum(_ri) div count(1)").cast("long").alias("b3_recall_x1e6"),
+        F.expr(
+            "2 * (sum(_pi) div count(1)) * (sum(_ri) div count(1))"
+            " div ((sum(_pi) div count(1)) + (sum(_ri) div count(1)))"
+        ).cast("long").alias("b3_f1_x1e6"),
+    )

@@ -6137,6 +6137,47 @@ SELECT * FROM (VALUES
 """
 
 
+def q_bcubed(spark, sf):
+    """B-cubed evaluation (dedup.bcubed_scores) of the MinHash-LSH
+    near-dup grouping against exact-content truth (truth cluster =
+    md5(text)): recall measures whether LSH recovers every exact-dup
+    family (expected high), precision drops where near-dups merge
+    beyond exact equality.  One summary row, integer-exact."""
+    from .operators.dedup import bcubed_scores
+
+    docs = _t(spark, sf, "documents")
+    pred = dd.lsh_dup_groups(docs, k=8, bands=4).select(
+        "doc_id", F.col("group_id").alias("pred")
+    )
+    items = docs.select("doc_id", F.md5("text").alias("truth")).join(
+        pred, "doc_id"
+    )
+    return bcubed_scores(items)
+
+
+O_BCUBED = f"""
+WITH RECURSIVE {_LSH_G_CTES},
+items AS (
+  SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS p, md5(d.text) AS t
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+szp AS (SELECT p, count(*) AS np FROM items GROUP BY p),
+szt AS (SELECT t, count(*) AS nt FROM items GROUP BY t),
+inter AS (SELECT p, t, count(*) AS ni FROM items GROUP BY p, t),
+per AS (
+  SELECT ni * 1000000 // np AS pi, ni * 1000000 // nt AS ri
+  FROM items JOIN inter USING (p, t) JOIN szp USING (p) JOIN szt USING (t)
+)
+SELECT count(*)::BIGINT AS n_items,
+       (sum(pi) // count(*))::BIGINT AS b3_precision_x1e6,
+       (sum(ri) // count(*))::BIGINT AS b3_recall_x1e6,
+       (2 * (sum(pi) // count(*)) * (sum(ri) // count(*))
+        // ((sum(pi) // count(*)) + (sum(ri) // count(*))))::BIGINT
+         AS b3_f1_x1e6
+FROM per
+"""
+
+
 def q_microdata(spark, sf):
     """HTML microdata extraction (structdata.extract_microdata):
     schema.org Product markup synthesized from part — nested Brand
@@ -6776,6 +6817,7 @@ REGISTRY: dict[str, tuple] = {
     "hyperball": (q_hyperball, O_HYPERBALL),
     "pmi": (q_pmi, O_PMI),
     "microdata": (q_microdata, O_MICRODATA),
+    "bcubed": (q_bcubed, O_BCUBED),
     # --- driver-attested r1-r5 (green in CORRECTNESS_r01..r05) ------
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),

@@ -349,6 +349,9 @@ AUDITS = {
     # microdata: one Arrow parse per DISTINCT page, equi-joined back
     "microdata": ["MapInPandas", "!CartesianProduct",
                   "!BroadcastNestedLoopJoin"],
+    # B-cubed: three partial-agg groupBys + keyed joins, one-row agg
+    "bcubed": ["HashAggregate", "!CartesianProduct",
+               "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -396,7 +399,7 @@ def main() -> None:
         "lsh_eval", "seq_pack", "equi_depth", "length_outliers",
         "seq_materialize", "capture_drift", "entity_disambig",
         "frecency", "dsir_select", "textrank", "mp_topk", "shacl",
-        "cdc_chunks", "hyperball", "pmi", "microdata",
+        "cdc_chunks", "hyperball", "pmi", "microdata", "bcubed",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
