@@ -129,6 +129,7 @@ HEADLINE = [
     "pmi",
     "microdata",
     "bcubed",
+    "leak_split",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

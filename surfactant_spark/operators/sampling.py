@@ -135,3 +135,35 @@ def mixture_weights(
             ).alias("weight_ppm"),
         )
     )
+
+
+def group_aware_split(
+    df: DataFrame,
+    group_col: str,
+    splits: list[tuple[str, int]] | None = None,
+    salt: str = "split0",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: the split key is the
+    md5 of the GROUP label (e.g. a near-dup cluster id), not the
+    document id, so every member of a duplicate family lands in the
+    same split — the standard guard against train→test contamination
+    through near-duplicates (naive per-doc hashing leaks: two 95 %-
+    identical pages split across train and test are a measured-eval
+    lie).  ``splits`` are (name, weight) pairs; assignment is
+    ``md5(salt|group) % Σweights`` mapped to cumulative ranges —
+    deterministic, engine-replayable, a pure codegen projection (no
+    shuffle beyond whatever produced the group labels)."""
+    splits = splits or [("train", 8), ("val", 1), ("test", 1)]
+    total = sum(w for _, w in splits)
+    bucket = sample_key(F.col(group_col), salt) % total
+    expr = None
+    acc = 0
+    for name, w in splits:
+        cond = bucket < F.lit(acc + w)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+        acc += w
+    return df.withColumn("split", expr)

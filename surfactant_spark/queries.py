@@ -6137,6 +6137,40 @@ SELECT * FROM (VALUES
 """
 
 
+def q_leak_split(spark, sf):
+    """Dedup-aware train/val/test split (sampling.group_aware_split):
+    assignment keys on the md5 of the LSH near-dup GROUP id, so
+    duplicate families never straddle splits (the train→test leakage
+    guard); 8/1/1 weights.  tests/test_split.py proves the leak-pair
+    count is 0 here and >0 under naive per-doc hashing."""
+    from .operators.sampling import group_aware_split
+
+    docs = _t(spark, sf, "documents")
+    grp = dd.lsh_dup_groups(docs, k=8, bands=4)
+    return group_aware_split(grp, "group_id").select(
+        "doc_id", "group_id", "split"
+    )
+
+
+O_LEAK_SPLIT = f"""
+WITH RECURSIVE {_LSH_G_CTES},
+grp AS (
+  SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+b AS (
+  SELECT doc_id, group_id,
+         ('0x' || substr(md5('split0|' || group_id), 1, 4))::BIGINT % 10
+           AS bk
+  FROM grp
+)
+SELECT doc_id, group_id,
+       CASE WHEN bk < 8 THEN 'train' WHEN bk < 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def q_bcubed(spark, sf):
     """B-cubed evaluation (dedup.bcubed_scores) of the MinHash-LSH
     near-dup grouping against exact-content truth (truth cluster =
@@ -6818,6 +6852,7 @@ REGISTRY: dict[str, tuple] = {
     "pmi": (q_pmi, O_PMI),
     "microdata": (q_microdata, O_MICRODATA),
     "bcubed": (q_bcubed, O_BCUBED),
+    "leak_split": (q_leak_split, O_LEAK_SPLIT),
     # --- driver-attested r1-r5 (green in CORRECTNESS_r01..r05) ------
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),

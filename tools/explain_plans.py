@@ -352,6 +352,9 @@ AUDITS = {
     # B-cubed: three partial-agg groupBys + keyed joins, one-row agg
     "bcubed": ["HashAggregate", "!CartesianProduct",
                "!BroadcastNestedLoopJoin"],
+    # split assignment itself is a pure projection over the group
+    # labels (the CC machinery upstream owns the shuffles)
+    "leak_split": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -400,6 +403,7 @@ def main() -> None:
         "seq_materialize", "capture_drift", "entity_disambig",
         "frecency", "dsir_select", "textrank", "mp_topk", "shacl",
         "cdc_chunks", "hyperball", "pmi", "microdata", "bcubed",
+        "leak_split",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
