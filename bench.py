@@ -130,6 +130,7 @@ HEADLINE = [
     "microdata",
     "bcubed",
     "leak_split",
+    "hard_negatives",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

@@ -728,3 +728,60 @@ def multiprobe_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "target_id", "cos_x10000")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cos_x10000: int = 9000,
+    dim: int = 64,
+    bits: int = 4,
+    tables: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    MOST similar corpus vector that is still below the near-dup
+    threshold → (anchor_id, negative_id, cos_x10000).  "Hard" =
+    highest cosine among non-duplicates; random negatives are easy and
+    teach the model nothing — the published contrastive-training
+    recipe (e.g. DPR/SimCSE hard-negative selection) re-expressed over
+    the LSH candidate seam.
+
+    Shape: the SAME bucketed self-join as :func:`lsh_near_pairs`
+    (candidates share a hyperplane bucket in ≥1 table — never a cross
+    join), exact cosine rerank inside candidates, threshold filter,
+    then ONE max_by per anchor (partial-agg, no per-group window).
+    Anchors whose candidates are all duplicates (or that collide with
+    nothing) yield no row — mine with more tables/fewer bits if
+    coverage matters more than cost."""
+    planes = table_planes(dim, bits, tables)
+    b = _bucketed(df, id_col, vec_col, "id", "v", planes).withColumn(
+        "nv", _norm(F.col("v"))
+    )
+    a, c = b.alias("a"), b.alias("b")
+    cand = (
+        a.join(c, ["tbl", "bucket"])
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("anchor_id"),
+            F.col("b.id").alias("negative_id"),
+            _cosine_from_norms(
+                F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")
+            ).alias("cos_x10000"),
+        )
+        .dropDuplicates(["anchor_id", "negative_id"])
+        .where(F.col("cos_x10000") < max_cos_x10000)
+    )
+    # hardest negative = max cosine, deterministic min-id tie-break:
+    # two partial-agg groupBys (the cluster_keep_best pattern), never
+    # a per-anchor window sort
+    best = cand.groupBy("anchor_id").agg(F.max("cos_x10000").alias("_mc"))
+    return (
+        cand.join(best, "anchor_id")
+        .where(F.col("cos_x10000") == F.col("_mc"))
+        .groupBy("anchor_id")
+        .agg(
+            F.min("negative_id").alias("negative_id"),
+            F.min("cos_x10000").alias("cos_x10000"),
+        )
+    )

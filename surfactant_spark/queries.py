@@ -6137,6 +6137,61 @@ SELECT * FROM (VALUES
 """
 
 
+def q_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining (similarity.hard_negatives):
+    per anchor the most-similar NON-duplicate (cos < 0.9) from the LSH
+    candidate seam — bucketed self-join, exact rerank, one max_by per
+    anchor (two partial-agg groupBys, no per-anchor window)."""
+    emb = _t(spark, sf, "embeddings")
+    return sim.hard_negatives(emb, max_cos_x10000=9000, bits=4, tables=4)
+
+
+def _hard_negatives_sql(
+    max_cos_x10000: int = 9000, dim: int = 64, bits: int = 4, tables: int = 4
+) -> str:
+    planes = sim.table_planes(dim, bits, tables)
+    cos = (
+        "floor(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
+        " * 10000 + 0.5)"
+    )
+    selects = []
+    for t_i, tp in enumerate(planes):
+        terms = " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+            + ", ".join(repr(x) for x in p)
+            + "]::DOUBLE[]) >= 0 THEN " + str(2 ** i) + " ELSE 0 END)"
+            for i, p in enumerate(tp)
+        )
+        selects.append(
+            f"SELECT vec_id, {t_i} AS tbl, ({terms})::BIGINT AS bucket FROM e"
+        )
+    buckets = "\n  UNION ALL ".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+b AS (
+  {buckets}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, b2.vec_id AS negative_id
+  FROM b a JOIN b b2
+    ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+),
+scored AS (
+  SELECT anchor_id, negative_id, {cos}::BIGINT AS cos_x10000
+  FROM cand JOIN e ea ON ea.vec_id = cand.anchor_id
+            JOIN e eb ON eb.vec_id = cand.negative_id
+  WHERE {cos} < {max_cos_x10000}
+),
+mx AS (SELECT anchor_id, max(cos_x10000) AS mc FROM scored GROUP BY 1)
+SELECT anchor_id, min(negative_id) AS negative_id,
+       min(cos_x10000) AS cos_x10000
+FROM scored JOIN mx USING (anchor_id)
+WHERE cos_x10000 = mc GROUP BY anchor_id
+"""
+
+
 def q_leak_split(spark, sf):
     """Dedup-aware train/val/test split (sampling.group_aware_split):
     assignment keys on the md5 of the LSH near-dup GROUP id, so
@@ -6853,6 +6908,7 @@ REGISTRY: dict[str, tuple] = {
     "microdata": (q_microdata, O_MICRODATA),
     "bcubed": (q_bcubed, O_BCUBED),
     "leak_split": (q_leak_split, O_LEAK_SPLIT),
+    "hard_negatives": (q_hard_negatives, _hard_negatives_sql),  # callable
     # --- driver-attested r1-r5 (green in CORRECTNESS_r01..r05) ------
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),

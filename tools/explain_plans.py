@@ -355,6 +355,9 @@ AUDITS = {
     # split assignment itself is a pure projection over the group
     # labels (the CC machinery upstream owns the shuffles)
     "leak_split": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # hard negatives: bucketed self-join + two partial-agg groupBys
+    "hard_negatives": ["HashAggregate", "!CartesianProduct",
+                       "!BroadcastNestedLoopJoin", "!Window"],
 }
 
 
@@ -403,7 +406,7 @@ def main() -> None:
         "seq_materialize", "capture_drift", "entity_disambig",
         "frecency", "dsir_select", "textrank", "mp_topk", "shacl",
         "cdc_chunks", "hyperball", "pmi", "microdata", "bcubed",
-        "leak_split",
+        "leak_split", "hard_negatives",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
