@@ -131,6 +131,7 @@ HEADLINE = [
     "bcubed",
     "leak_split",
     "hard_negatives",
+    "ivfpq_topk",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

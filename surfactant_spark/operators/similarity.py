@@ -785,3 +785,157 @@ def hard_negatives(
             F.min("cos_x10000").alias("cos_x10000"),
         )
     )
+
+
+def train_pq_codebooks(
+    vecs: list[list[float]],
+    n_sub: int = 8,
+    k: int = 16,
+    iters: int = 5,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    space is split into ``n_sub`` contiguous sub-spaces and each gets
+    its own deterministic k-means codebook — trained driver-side on the
+    same bounded sample the IVF coarse quantizer uses, shipped as
+    literals.  A 64-d float32 vector becomes ``n_sub`` small codes
+    (here 8 × 4-bit): ~32× less data to scan/shuffle at rerank time."""
+    if not vecs:
+        return [[] for _ in range(n_sub)]
+    d = len(vecs[0])
+    sub = d // n_sub
+    return [
+        _kmeans([v[s * sub:(s + 1) * sub] for v in vecs], k, iters)
+        for s in range(n_sub)
+    ]
+
+
+def _dot_slice_sql(vec_col: str, start0: int, cent: list[float]) -> str:
+    """dot(vec[start0 : start0+len(cent)], cent) as one SQL string —
+    same zip_with/left-fold shape whose DuckDB list_dot_product parity
+    the embed gates established (string build: single py4j call, see
+    _bucket_expr)."""
+    lits = ", ".join(repr(float(x)) + "D" for x in cent)
+    return (
+        f"aggregate(zip_with(slice(`{vec_col}`, {start0 + 1}, {len(cent)}), "
+        f"array({lits}), (x, y) -> double(x) * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _pq_code_sql(vec_col: str, s: int, cents: list[list[float]]) -> str:
+    """argmin-centroid code of sub-space ``s`` (first-min tie, matching
+    list_position in the oracle) via the ‖v−c‖² ∝ cc − 2·v·c proxy."""
+    sub = len(cents[0])
+    ds = ", ".join(
+        f"({repr(float(sum(x * x for x in c)))}D - 2.0D * "
+        f"{_dot_slice_sql(vec_col, s * sub, c)})"
+        for c in cents
+    )
+    return (
+        f"cast(array_position(array({ds}), array_min(array({ds}))) - 1 "
+        "as int)"
+    )
+
+
+def _pq_adc_sql(
+    qv_col: str, codes_col: str, codebooks: list[list[list[float]]]
+) -> str:
+    """Asymmetric-distance proxy Σₛ (ccₛ,c − 2·q_subₛ·centₛ,c) selected
+    by the target's code per sub-space.  The per-query ‖q_subₛ‖² terms
+    are constant across targets, so the RANKING equals true ADC."""
+    terms = []
+    for s, cents in enumerate(codebooks):
+        sub = len(cents[0])
+        dps = ", ".join(
+            f"({repr(float(sum(x * x for x in c)))}D - 2.0D * "
+            f"{_dot_slice_sql(qv_col, s * sub, c)})"
+            for c in cents
+        )
+        terms.append(
+            f"element_at(array({dps}), element_at(`{codes_col}`, {s + 1}) + 1)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _query_probe_clusters(q: DataFrame, centroids: list[list[float]],
+                          nprobe: int) -> DataFrame:
+    """(query_id, qv, cluster) with ``nprobe`` rows per query — the
+    nprobe-nearest coarse clusters, repeated first-position-of-min with
+    taken slots masked (identical tie semantics to the SQL oracle)."""
+    qd = q.withColumn(
+        "dists", F.array(*[_dist_proxy(F.col("qv"), c) for c in centroids])
+    )
+
+    def _mask(taken):
+        return lambda d, i: F.when(i == taken, F.lit(float("inf"))).otherwise(d)
+
+    probes = []
+    masked = F.col("dists")
+    for _p in range(nprobe):
+        idx = (F.array_position(masked, F.array_min(masked)) - 1).cast("int")
+        probes.append(idx)
+        masked = F.transform(masked, _mask(idx))
+    return qd.select(
+        "query_id", "qv", F.explode(F.array(*probes)).alias("cluster")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (the FAISS IndexIVFPQ shape): targets
+    live in IVF inverted lists AND are product-quantized, so the
+    rerank inside probed lists reads ``n_sub`` small codes per target
+    instead of the raw vector — at 10¹² rows the raw vectors never
+    leave storage; the candidate join moves ~32× fewer bytes.  This
+    variant quantizes RAW vectors (not coarse residuals — the
+    residual refinement is a documented extension, same plan shape).
+    → (query_id, rank, target_id, adc_x1000); ranking is by the
+    asymmetric-distance proxy (per-query constant offset dropped),
+    ascending, target-id ties pinned.  Deterministic: codebooks and
+    coarse centroids are driver-trained literals in BOTH engines."""
+    from pyspark.sql.window import Window
+
+    t = targets.select(
+        F.col(id_col).alias("target_id"), F.col(vec_col).alias("tv")
+    )
+    t = t.select(
+        "target_id",
+        _nearest_cluster(F.col("tv"), coarse).alias("cluster"),
+        F.array(
+            *[F.expr(_pq_code_sql("tv", s, cb))
+              for s, cb in enumerate(codebooks)]
+        ).alias("codes"),
+    )  # raw vector DROPPED here — the whole point of PQ
+    q = _query_probe_clusters(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        coarse,
+        nprobe,
+    )
+    cand = t.join(F.broadcast(q), "cluster").where(
+        F.col("query_id") != F.col("target_id")
+    )
+    adc = F.expr(
+        "cast(floor(" + _pq_adc_sql("qv", "codes", codebooks)
+        + " * 1000D + 0.5D) as bigint)"
+    )
+    scored = cand.select(
+        "query_id", "target_id", adc.alias("adc_x1000")
+    ).dropDuplicates(["query_id", "target_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_x1000"), F.asc("target_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "target_id", "adc_x1000")
+    )

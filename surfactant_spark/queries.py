@@ -6137,6 +6137,131 @@ SELECT * FROM (VALUES
 """
 
 
+_PQ_CB: list[list[list[float]]] | None = None
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    """PQ codebooks (similarity.train_pq_codebooks) trained ONCE
+    driver-side on the same bounded 256-row sample as the IVF coarse
+    quantizer and injected as literals into both engines."""
+    global _PQ_CB
+    if _PQ_CB is None:
+        import os
+
+        from .operators.similarity import train_pq_codebooks
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        vecs: list[list[float]] = []
+        if os.path.exists(path):
+            import duckdb
+
+            rows = duckdb.sql(
+                f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 256"
+            ).fetchall()
+            vecs = [[float(x) for x in r[0]] for r in rows]
+        if not vecs:
+            from .operators.similarity import _hyperplanes
+
+            vecs = _hyperplanes(64, 256, salt=7)
+        _PQ_CB = train_pq_codebooks(vecs, n_sub=8, k=16, iters=5)
+    return _PQ_CB
+
+
+def q_ivfpq(spark, sf):
+    """IVF-PQ top-k (similarity.ivfpq_topk — the FAISS IndexIVFPQ
+    shape): IVF inverted lists gate candidates, product-quantized
+    codes replace raw vectors in the rerank (8×4-bit codes per 64-d
+    vector ≈ 32× less data moved); ranking by the asymmetric-distance
+    proxy with driver-trained codebooks as literals in BOTH engines."""
+    emb = _t(spark, sf, "embeddings")
+    return sim.ivfpq_topk(
+        emb.where(F.col("vec_id") < 8), emb, _ivf_centroids(),
+        _pq_codebooks(), k=5, nprobe=2,
+    ).withColumnRenamed("rank", "rnk")
+
+
+def _ivfpq_sql() -> str:
+    cents = _ivf_centroids()
+    cbs = _pq_codebooks()
+
+    def dlist(col: str) -> str:
+        parts = []
+        for c in cents:
+            cc = repr(float(sum(x * x for x in c)))
+            lits = ", ".join(repr(float(x)) for x in c)
+            parts.append(
+                f"{cc} - 2.0 * list_dot_product({col}::DOUBLE[], [{lits}]::DOUBLE[])"
+            )
+        return "[" + ",\n    ".join(parts) + "]"
+
+    def sub_dists(col: str, s: int) -> str:
+        sub = len(cbs[s][0])
+        a, b = s * sub + 1, (s + 1) * sub
+        parts = []
+        for c in cbs[s]:
+            cc = repr(float(sum(x * x for x in c)))
+            lits = ", ".join(repr(float(x)) for x in c)
+            parts.append(
+                f"{cc} - 2.0 * list_dot_product(({col})[{a}:{b}]::DOUBLE[],"
+                f" [{lits}]::DOUBLE[])"
+            )
+        return "[" + ", ".join(parts) + "]"
+
+    codes = ", ".join(
+        f"(list_position(ds{s}, list_min(ds{s})) - 1) AS c{s}"
+        for s in range(len(cbs))
+    )
+    ds_cols = ", ".join(f"{sub_dists('tv', s)} AS ds{s}" for s in range(len(cbs)))
+    adc = " + ".join(
+        f"({sub_dists('qv', s)})[c{s} + 1]" for s in range(len(cbs))
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+t0 AS (
+  SELECT vec_id AS target_id, embedding AS tv,
+         (list_position(d, list_min(d)) - 1) AS cluster
+  FROM (SELECT vec_id, embedding, {dlist("embedding")} AS d FROM e)
+),
+t1 AS (SELECT target_id, cluster, {ds_cols} FROM t0),
+t AS (SELECT target_id, cluster, {codes} FROM t1),
+q1 AS (
+  SELECT query_id, qv, d, (list_position(d, list_min(d)) - 1) AS c1
+  FROM (SELECT vec_id AS query_id, embedding AS qv, {dlist("embedding")} AS d FROM e
+        WHERE vec_id < 8)
+),
+q2 AS (
+  SELECT query_id, qv, c1, (list_position(d2, list_min(d2)) - 1) AS c2
+  FROM (SELECT *, list_transform(d, (x, i) -> CASE WHEN i = c1 + 1 THEN 1e308 ELSE x END) AS d2
+        FROM q1)
+),
+probes AS (
+  SELECT query_id, qv, c1 AS cluster FROM q2
+  UNION ALL SELECT query_id, qv, c2 FROM q2
+),
+cand AS (
+  SELECT DISTINCT query_id, target_id, qv,
+         {", ".join(f"c{s}" for s in range(len(cbs)))}
+  FROM t JOIN probes USING (cluster)
+  WHERE query_id != target_id
+),
+scored AS (
+  SELECT query_id, target_id,
+         floor(({adc}) * 1000 + 0.5)::BIGINT AS adc_x1000
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, target_id, adc_x1000,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_x1000 ASC, target_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, target_id, adc_x1000 FROM ranked WHERE rnk <= 5
+"""
+
+
 def q_hard_negatives(spark, sf):
     """Contrastive hard-negative mining (similarity.hard_negatives):
     per anchor the most-similar NON-duplicate (cos < 0.9) from the LSH
@@ -6909,6 +7034,7 @@ REGISTRY: dict[str, tuple] = {
     "bcubed": (q_bcubed, O_BCUBED),
     "leak_split": (q_leak_split, O_LEAK_SPLIT),
     "hard_negatives": (q_hard_negatives, _hard_negatives_sql),  # callable
+    "ivfpq_topk": (q_ivfpq, _ivfpq_sql),  # callable → generated SQL
     # --- driver-attested r1-r5 (green in CORRECTNESS_r01..r05) ------
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),

@@ -358,6 +358,9 @@ AUDITS = {
     # hard negatives: bucketed self-join + two partial-agg groupBys
     "hard_negatives": ["HashAggregate", "!CartesianProduct",
                        "!BroadcastNestedLoopJoin", "!Window"],
+    # IVF-PQ: cluster-gated candidate join over code columns (raw
+    # vectors dropped before the join), never a cross join
+    "ivfpq_topk": ["BroadcastHashJoin", "!CartesianProduct"],
 }
 
 
@@ -406,7 +409,7 @@ def main() -> None:
         "seq_materialize", "capture_drift", "entity_disambig",
         "frecency", "dsir_select", "textrank", "mp_topk", "shacl",
         "cdc_chunks", "hyperball", "pmi", "microdata", "bcubed",
-        "leak_split", "hard_negatives",
+        "leak_split", "hard_negatives", "ivfpq_topk",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
