@@ -1061,62 +1061,62 @@ def cdc_chunks(
     slice spans → md5 per chunk): no UDF, no shuffle — rides the scan;
     cross-doc dedup is then ONE partial-agg groupBy on chunk_hash
     (see tests).  Docs with < k tokens form a single chunk; token-less
-    docs emit nothing."""
-    toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
-    )
-    staged = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
-    n = F.size(F.col("_t"))
-    gram_idx = F.sequence(F.lit(0), n - k)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            gram_idx,
-            lambda i: F.concat_ws(
-                " ",
-                *[
-                    F.element_at(F.col("_t"), (i + j + 1).cast("int"))
-                    for j in range(k)
-                ],
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    h = F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-    )
-    # boundary gram (0-based) i cuts AFTER token i → next chunk starts
-    # at token i+1 (0-based); starts always include 0
-    bpos = F.filter(
-        F.transform(F.sequence(F.lit(0), F.greatest(F.size(h) - 1, F.lit(0))),
-                    lambda i: i),
-        lambda i: (F.size(h) > 0)
-        & (F.element_at(h, (i + 1).cast("int")) % divisor == 0),
-    )
-    starts = F.concat(
-        F.array(F.lit(0)), F.transform(bpos, lambda p: (p + 1).cast("int"))
-    )
-    chunks = staged.where(n > 0).select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(starts) - 1),
-                lambda j: F.slice(
-                    F.col("_t"),
-                    F.element_at(starts, (j + 1).cast("int")) + 1,
-                    F.when(
-                        j < F.size(starts) - 1,
-                        F.element_at(starts, (j + 2).cast("int"))
-                        - F.element_at(starts, (j + 1).cast("int")),
-                    ).otherwise(n - F.element_at(starts, (j + 1).cast("int"))),
-                ),
-            )
-        ).alias("cidx", "ctoks"),
+    docs emit nothing.
+
+    The tokens / gram-hash / start-offset intermediates are LET-BOUND
+    through nested singleton-``transform`` lambdas, so each is
+    evaluated once per row.  The first formulation built them as
+    chained column expressions — CollapseProject inlined every
+    reference (starts inside each chunk slice, h inside each boundary
+    test, toks inside everything), multiplying the per-row cost into
+    effectively O(tokens·chunks): measured 234 docs/s at 20k docs vs
+    >20k docs/s after the rewrite, identical output."""
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(t, cast(i + {j + 1} as int))" for j in range(k)
+    ) + ")"
+    expr = f"""
+element_at(transform(
+  array(regexp_extract_all(lower(`{text_col}`), '[a-z0-9]+', 0)), t ->
+  element_at(transform(
+    array(CASE WHEN size(t) >= {k}
+          THEN transform(sequence(0, size(t) - {k}), i ->
+               cast(conv(substring(md5({gram}), 1, 8), 16, 10) as bigint))
+          ELSE cast(array() as array<bigint>) END), h ->
+    element_at(transform(
+      array(concat(array(0),
+            transform(filter(sequence(0, greatest(size(h) - 1, 0)),
+                             i -> size(h) > 0
+                                  AND element_at(h, cast(i + 1 as int))
+                                      % {divisor} = 0),
+                      p -> cast(p + 1 as int)))), starts ->
+      transform(sequence(1, size(starts)), j ->
+        named_struct(
+          'n', IF(j < size(starts),
+                  element_at(starts, cast(j + 1 as int)),
+                  size(t)) - element_at(starts, cast(j as int)),
+          'h', md5(array_join(slice(t,
+                 element_at(starts, cast(j as int)) + 1,
+                 IF(j < size(starts),
+                    element_at(starts, cast(j + 1 as int)),
+                    size(t)) - element_at(starts, cast(j as int))), ' '))
+        ))), 1)), 1)), 1)
+"""
+    chunks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(expr).alias("_chunks"),
+            F.expr(
+                f"size(regexp_extract_all(lower(`{text_col}`), '[a-z0-9]+', 0))"
+            ).alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+        .select("id", F.posexplode("_chunks").alias("cidx", "c"))
     )
     return chunks.select(
         F.col("id").alias(id_col),
         (F.col("cidx") + 1).cast("long").alias("chunk_idx"),
-        F.size("ctoks").cast("long").alias("n_toks"),
-        F.md5(F.array_join("ctoks", " ")).alias("chunk_hash"),
+        F.col("c.n").cast("long").alias("n_toks"),
+        F.col("c.h").alias("chunk_hash"),
     )
 
 
