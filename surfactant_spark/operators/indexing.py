@@ -469,17 +469,22 @@ def pmi_collocations(
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
     )
+    # BOTH join sides are corpus-scaled (term_counts is vocab-sized,
+    # pair_counts can be ~doc·cap² before the HAVING bites), so pin
+    # sort-merge: the static planner has no stats here and at 1M docs
+    # it guessed a broadcast of a >1 GiB side into the driver
+    # (maxResultSize abort) — measured, tools/scale_new_ops.py
     scored = (
         pair_counts.join(
             term_counts.select(
                 F.col("term").alias("term_a"), F.col("n_t").alias("n_a")
-            ),
+            ).hint("merge"),
             "term_a",
         )
         .join(
             term_counts.select(
                 F.col("term").alias("term_b"), F.col("n_t").alias("n_b")
-            ),
+            ).hint("merge"),
             "term_b",
         )
         .select(
