@@ -132,6 +132,7 @@ HEADLINE = [
     "leak_split",
     "hard_negatives",
     "ivfpq_topk",
+    "ktruss",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

@@ -1317,3 +1317,81 @@ def hyperball_harmonic(
         F.col(f"e{rounds}").alias("reach_x1000"),
         harmonic.cast("long").alias("harmonic_x1000"),
     )
+
+
+def ktruss_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 4,
+    rounds: int = 2,
+) -> DataFrame:
+    """Fixed-round k-truss peeling: repeatedly delete edges whose
+    SUPPORT (number of triangles containing them) is < k−2, and return
+    the surviving edges with their last-computed support → (lo, hi,
+    support).  The truss is the edge-level density backbone — stricter
+    than the k-core (every surviving edge sits in ≥ k−2 triangles), the
+    community-core / spam-ring detector of the web-graph family
+    (Cohen, "Trusses: cohesive subgraphs for social network analysis",
+    2008).
+
+    ``rounds`` is fixed (like ``kcore_peel``) so an unrolled-CTE SQL
+    oracle replays it bit-for-bit; production iterates to fixpoint
+    with reliable checkpoints.
+
+    Shape per round: one wedge self-join on the LOWEST-id endpoint of
+    the ordered edge list (each triangle (x<y<z) enumerated exactly
+    once as wedge (x→y, x→z) closed by (y,z)), one equi-join against
+    the closing edge, a 3-way explode + partial-agg support count, and
+    a semi-join filter — no nested loop anywhere; the edge frame
+    shrinks monotonically and is lazily checkpointed per round (round
+    r references round r−1 three times).  Id-ordered orientation; swap
+    in degree-ordered ids (stable_ids by degree) upstream when hub
+    skew matters."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sup = None
+    for _ in range(rounds):
+        w1, w2 = e.alias("w1"), e.alias("w2")
+        wedges = (
+            w1.join(
+                w2,
+                (F.col("w1.lo") == F.col("w2.lo"))
+                & (F.col("w1.hi") < F.col("w2.hi")),
+            )
+            .select(
+                F.col("w1.lo").alias("apex"),
+                F.col("w1.hi").alias("lo"),
+                F.col("w2.hi").alias("hi"),
+            )
+        )
+        tri = wedges.join(e, ["lo", "hi"])  # closing edge exists
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("apex").alias("lo"), F.col("lo").alias("hi")
+                        ),
+                        F.struct(
+                            F.col("apex").alias("lo"), F.col("hi").alias("hi")
+                        ),
+                        F.struct("lo", "hi"),
+                    )
+                ).alias("ed")
+            )
+            .groupBy("ed.lo", "ed.hi")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .where(F.col("support") >= k - 2)
+        )
+        e = e.join(
+            sup.select("lo", "hi"), ["lo", "hi"], "left_semi"
+        ).localCheckpoint(eager=False)
+    return sup.join(e, ["lo", "hi"], "left_semi")

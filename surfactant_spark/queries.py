@@ -6137,6 +6137,58 @@ SELECT * FROM (VALUES
 """
 
 
+def q_ktruss(spark, sf):
+    """Fixed-round k-truss peeling (graphquery.ktruss_peel, k=4,
+    rounds=2) over the k-core gate's near-ring lineitem graph: edges
+    must sit in ≥2 triangles to survive each round — the edge-level
+    density backbone.  Wedge join on the lowest-id endpoint (each
+    triangle enumerated once), 3-way explode + partial-agg support,
+    semi-join shrink; oracle unrolls both rounds."""
+    from .operators.graphquery import ktruss_peel
+
+    li = _t(spark, sf, "lineitem")
+    e = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_orderkey") - 4 + (F.col("l_partkey") % 9)).alias("dst"),
+    )
+    return ktruss_peel(e, k=4, rounds=2).select(
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+        F.col("support").cast("long").alias("support"),
+    )
+
+
+def _ktruss_round_sql(r: int) -> str:
+    return f"""
+tri{r} AS (
+  SELECT w1.lo AS apex, w1.hi AS mlo, w2.hi AS mhi
+  FROM e{r - 1} w1
+  JOIN e{r - 1} w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+  JOIN e{r - 1} c ON c.lo = w1.hi AND c.hi = w2.hi
+),
+sup{r} AS (
+  SELECT lo, hi, count(*) AS support FROM (
+    SELECT apex AS lo, mlo AS hi FROM tri{r}
+    UNION ALL SELECT apex, mhi FROM tri{r}
+    UNION ALL SELECT mlo, mhi FROM tri{r}
+  ) t GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e{r} AS (SELECT lo, hi FROM sup{r})"""
+
+
+O_KTRUSS = f"""
+WITH raw AS (
+  SELECT l_orderkey AS s, l_orderkey - 4 + (l_partkey % 9) AS d FROM lineitem
+),
+e0 AS (
+  SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+  FROM raw WHERE s <> d
+),{_ktruss_round_sql(1)},{_ktruss_round_sql(2)}
+SELECT lo::BIGINT AS lo, hi::BIGINT AS hi, support::BIGINT AS support
+FROM sup2
+"""
+
+
 _PQ_CB: list[list[list[float]]] | None = None
 
 
@@ -7035,6 +7087,7 @@ REGISTRY: dict[str, tuple] = {
     "leak_split": (q_leak_split, O_LEAK_SPLIT),
     "hard_negatives": (q_hard_negatives, _hard_negatives_sql),  # callable
     "ivfpq_topk": (q_ivfpq, _ivfpq_sql),  # callable → generated SQL
+    "ktruss": (q_ktruss, O_KTRUSS),
     # --- driver-attested r1-r5 (green in CORRECTNESS_r01..r05) ------
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),

@@ -361,6 +361,10 @@ AUDITS = {
     # IVF-PQ: cluster-gated candidate join over code columns (raw
     # vectors dropped before the join), never a cross join
     "ivfpq_topk": ["BroadcastHashJoin", "!CartesianProduct"],
+    # k-truss: wedge equi-join on the low endpoint + partial-agg
+    # support; never a nested loop
+    "ktruss": ["HashAggregate", "!CartesianProduct",
+               "!BroadcastNestedLoopJoin"],
 }
 
 
@@ -409,7 +413,7 @@ def main() -> None:
         "seq_materialize", "capture_drift", "entity_disambig",
         "frecency", "dsir_select", "textrank", "mp_topk", "shacl",
         "cdc_chunks", "hyperball", "pmi", "microdata", "bcubed",
-        "leak_split", "hard_negatives", "ivfpq_topk",
+        "leak_split", "hard_negatives", "ivfpq_topk", "ktruss",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
