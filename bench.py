@@ -287,7 +287,15 @@ def main() -> None:
     from surfactant_spark.sources.pages import synth_pages
     from surfactant_spark.stats import column_stats, dup_rate
 
-    spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=max(2 * cores, 8))
+    # shuffle partitions = cores (r6; was 2·cores): at sandbox scale
+    # (100k-page pipeline, sf0.1 gates) the extra tasks are pure
+    # dispatch overhead — measured A/B same code same data: kg
+    # pipeline 18.1 s at 64 vs 11.2 s at 32 (steady state, best-of-3).
+    # AQE coalescing does not recover it because the pipeline's
+    # cache() stage boundaries materialize at the configured width.
+    # At cluster scale the 2-3x-cores rule applies and is set per
+    # deployment (see session.py) — this is the sandbox sweet spot.
+    spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=max(cores, 8))
     spark.range(1000).selectExpr("sum(id)").collect()  # warm-up
     # warm the parquet reader, shuffle machinery, and noop sink so the
     # FIRST timed query doesn't absorb their one-time JVM setup (region
@@ -298,19 +306,17 @@ def main() -> None:
     import statistics
 
     registry = q.queries()
-    trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _round in range(TRIALS):
-        for name in HEADLINE:
-            fn = registry[name]
-            trials[name].append(round(_run_once(lambda: fn(spark, sf_dir)), 3))
-    times = {n: round(statistics.median(v), 3) for n, v in trials.items()}
-    times_min = {n: round(min(v), 3) for n, v in trials.items()}
 
     # KG pipeline end-to-end (compute + edge/node materialization to noop).
     # Best-of-2 with per-stage wall times: the r2 driver run measured this
     # once and caught a steal storm (50.2 s reported vs ~15 s steady-state,
     # see tools/bisect_kg.py) — single-shot numbers on this host lie, the
     # same lesson the scaling probe already encodes.
+    # Measured BEFORE the query loop (r6): the headline grew to ~90
+    # queries × 3 trials, and a JVM that has executed ~300 jobs reads
+    # the edges stage ~2x slower (heap/GC pollution — 8.6 s vs 3.7 s in
+    # a fresh session, same code, same data).  The flagship number must
+    # reflect the pipeline, not the harness's accumulated heap state.
     compiled = compile_dictionary()
     emap = entity_canonical_map(
         spark, sorted({p.entity_key for p in compiled.patterns}), alias_edges()
@@ -321,8 +327,11 @@ def main() -> None:
     spark.range(4 * cores).repartition(4 * cores).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # best-of-3 (r6; was 2): the first run carries JIT ramp (~17 s vs
+    # ~11 s steady on the same code) and two runs often both land on
+    # the ramp — the third is where the steady state shows up
     kg_runs = []
-    for _ in range(2):
+    for _ in range(3):
         pages = synth_pages(spark, KG_PAGES, partitions=4 * cores)
         stages = {}
         t0 = t = time.monotonic()
@@ -357,13 +366,22 @@ def main() -> None:
         ext.unpersist()
         mentions.unpersist()
     kg_sec = min(r["sec"] for r in kg_runs)
-    times["kg_pipeline"] = round(kg_sec, 3)
     kg = {
         "n_pages": KG_PAGES,
         "sec": round(kg_sec, 3),
         "docs_per_sec": round(KG_PAGES / kg_sec, 1),
         "runs": kg_runs,
     }
+    emap.unpersist()
+
+    trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _round in range(TRIALS):
+        for name in HEADLINE:
+            fn = registry[name]
+            trials[name].append(round(_run_once(lambda: fn(spark, sf_dir)), 3))
+    times = {n: round(statistics.median(v), 3) for n, v in trials.items()}
+    times_min = {n: round(min(v), 3) for n, v in trials.items()}
+    times["kg_pipeline"] = round(kg_sec, 3)
     spark.stop()
 
     scaling = {}
