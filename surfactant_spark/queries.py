@@ -6318,13 +6318,16 @@ def q_hard_negatives(spark, sf):
     """Contrastive hard-negative mining (similarity.hard_negatives):
     per anchor the most-similar NON-duplicate (cos < 0.9) from the LSH
     candidate seam — bucketed self-join, exact rerank, one max_by per
-    anchor (two partial-agg groupBys, no per-anchor window)."""
+    anchor (two partial-agg groupBys, no per-anchor window).  Gate
+    pins bits=6 (64 buckets/table): at sf0.1's 5k vectors, bits=4's
+    16 buckets made the symmetric bucket join ~6M candidate pairs —
+    4x the work for mining that only needs plausible negatives."""
     emb = _t(spark, sf, "embeddings")
-    return sim.hard_negatives(emb, max_cos_x10000=9000, bits=4, tables=4)
+    return sim.hard_negatives(emb, max_cos_x10000=9000, bits=6, tables=4)
 
 
 def _hard_negatives_sql(
-    max_cos_x10000: int = 9000, dim: int = 64, bits: int = 4, tables: int = 4
+    max_cos_x10000: int = 9000, dim: int = 64, bits: int = 6, tables: int = 4
 ) -> str:
     planes = sim.table_planes(dim, bits, tables)
     cos = (
