@@ -133,6 +133,7 @@ HEADLINE = [
     "hard_negatives",
     "ivfpq_topk",
     "ktruss",
+    "hll_distinct",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))

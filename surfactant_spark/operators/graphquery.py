@@ -1395,3 +1395,45 @@ def ktruss_peel(
             sup.select("lo", "hi"), ["lo", "hi"], "left_semi"
         ).localCheckpoint(eager=False)
     return sup.join(e, ["lo", "hi"], "left_semi")
+
+
+def hll_group_distinct(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT val) per key with the same 16-register
+    integer-exact HLL as :func:`hyperball_harmonic` → (key,
+    distinct_x1000).  The sketch path for distinct-counting at 100 TB:
+    the groupBy state is ≤16 rows per key regardless of value
+    cardinality, registers merge with MAX (associative/commutative →
+    map-side partial agg does most of the work), and the estimate —
+    raw HLL with the linear-counting small-range table — is identical
+    in any engine because every step is integer (Spark's own
+    approx_count_distinct is float-HLL and NOT replayable in DuckDB;
+    this variant is, which is what the oracle gate needs)."""
+    x = F.conv(F.substring(F.md5(F.col(val_col)), 3, 8), 16, 10).cast("long")
+    reg = df.select(
+        F.col(key_col).alias("key"),
+        (F.conv(F.substring(F.md5(F.col(val_col)), 1, 2), 16, 10).cast("long") % 16)
+        .cast("int")
+        .alias("j"),
+        F.when(x == 0, F.lit(32))
+        .otherwise(F.lit(33) - F.length(F.bin(x)))
+        .cast("int")
+        .alias("r"),
+    ).groupBy("key", "j").agg(F.max("r").alias("r"))
+    num = 172288 * (1 << 32)
+    lc = ", ".join(str(v) for v in hll16_linear_counting_table())
+    return reg.groupBy("key").agg(
+        F.expr(
+            f"CASE WHEN {num}L div (sum(shiftleft(1L, 32 - r))"
+            f" + (16 - count(1)) * {1 << 32}L) <= 40000"
+            " AND count(1) < 16"
+            f" THEN element_at(array({lc}), cast(16 - count(1) as int))"
+            f" ELSE {num}L div (sum(shiftleft(1L, 32 - r))"
+            f" + (16 - count(1)) * {1 << 32}L) END"
+        )
+        .cast("long")
+        .alias("distinct_x1000")
+    )

@@ -6137,6 +6137,55 @@ SELECT * FROM (VALUES
 """
 
 
+def q_hll_distinct(spark, sf):
+    """Per-group approximate distinct counting with the integer-exact
+    16-register HLL (graphquery.hll_group_distinct): distinct
+    customers per nation from orders — sketch state ≤16 rows/key,
+    MAX-mergeable map-side.  Accuracy vs exact is asserted in
+    tests/test_hyperball.py-style bounds; parity is the gate."""
+    from .operators.graphquery import hll_group_distinct
+
+    o = _t(spark, sf, "orders")
+    return hll_group_distinct(
+        o.select((F.col("o_custkey") % 25).alias("nation_bucket"),
+                 F.col("o_custkey").cast("string").alias("cust")),
+        "nation_bucket", "cust",
+    ).select(F.col("key").cast("long").alias("nation_bucket"),
+             "distinct_x1000")
+
+
+def _hll_distinct_sql() -> str:
+    from .operators.graphquery import hll16_linear_counting_table
+
+    num = 172288 * (1 << 32)
+    raw = (
+        f"{num} // (sum(1::BIGINT << (32 - r))"
+        " + (16 - count(*)) * (1::BIGINT << 32))"
+    )
+    lc = "[" + ", ".join(str(v) for v in hll16_linear_counting_table()) + "]"
+    return f"""
+WITH v AS (
+  SELECT o_custkey % 25 AS key, o_custkey::VARCHAR AS val FROM orders
+),
+reg AS (
+  SELECT key,
+         (('0x' || substr(md5(val), 1, 2))::BIGINT % 16)::INT AS j,
+         max(CASE WHEN x = 0 THEN 32 ELSE 33 - length(bin(x)) END) AS r
+  FROM (SELECT key, val, ('0x' || substr(md5(val), 3, 8))::BIGINT AS x
+        FROM v)
+  GROUP BY 1, 2
+)
+SELECT key::BIGINT AS nation_bucket,
+       (CASE WHEN {raw} <= 40000 AND count(*) < 16
+             THEN ({lc})[(16 - count(*))::INT]
+             ELSE {raw} END)::BIGINT AS distinct_x1000
+FROM reg GROUP BY key
+"""
+
+
+O_HLL_DISTINCT = _hll_distinct_sql()
+
+
 def q_ktruss(spark, sf):
     """Fixed-round k-truss peeling (graphquery.ktruss_peel, k=4,
     rounds=2) over the k-core gate's near-ring lineitem graph: edges
@@ -7091,6 +7140,7 @@ REGISTRY: dict[str, tuple] = {
     "hard_negatives": (q_hard_negatives, _hard_negatives_sql),  # callable
     "ivfpq_topk": (q_ivfpq, _ivfpq_sql),  # callable → generated SQL
     "ktruss": (q_ktruss, O_KTRUSS),
+    "hll_distinct": (q_hll_distinct, O_HLL_DISTINCT),
     # --- driver-attested r1-r5 (green in CORRECTNESS_r01..r05) ------
     "sidefile_attach": (q_sidefile_attach, O_SIDEFILE_ATTACH),
     "installs_hash_join": (q_installs_hash_join, O_INSTALLS),

@@ -102,3 +102,35 @@ def test_hyperball_monotone_deltas(spark):
     df = spark.createDataFrame(EDGES, "src string, dst string")
     for r in hyperball_harmonic(df, rounds=3).collect():
         assert 0 <= r.harmonic_x1000 <= r.reach_x1000 * 3
+
+
+def test_hll_group_distinct_accuracy(spark):
+    """16-register HLL per-group distinct estimates land within the
+    sketch's accuracy envelope vs exact counts (tight in the
+    linear-counting regime, ~±40% at a few hundred distincts)."""
+    import pyspark.sql.functions as F
+
+    from surfactant_spark.operators.graphquery import hll_group_distinct
+
+    df = spark.range(5000).select(
+        (F.col("id") % 5).alias("g"),
+        # group g holds (g+1)*100 distinct values
+        F.concat(
+            F.lit("v"),
+            (F.col("id") % ((F.col("id") % 5 + 1) * 100)).cast("string"),
+            F.lit("g"), (F.col("id") % 5).cast("string"),
+        ).alias("val"),
+    )
+    exact = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(
+            F.countDistinct("val").alias("n")
+        ).collect()
+    }
+    got = {
+        r.key: r.distinct_x1000 / 1000
+        for r in hll_group_distinct(df, "g", "val").collect()
+    }
+    assert set(got) == set(exact)
+    for g, est in got.items():
+        assert 0.6 * exact[g] <= est <= 1.6 * exact[g], (g, exact[g], est)

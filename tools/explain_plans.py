@@ -365,6 +365,8 @@ AUDITS = {
     # support; never a nested loop
     "ktruss": ["HashAggregate", "!CartesianProduct",
                "!BroadcastNestedLoopJoin"],
+    # HLL distinct: two partial-agg groupBys, no join at all
+    "hll_distinct": ["HashAggregate", "!Join", "!CartesianProduct"],
 }
 
 
@@ -414,6 +416,7 @@ def main() -> None:
         "frecency", "dsir_select", "textrank", "mp_topk", "shacl",
         "cdc_chunks", "hyperball", "pmi", "microdata", "bcubed",
         "leak_split", "hard_negatives", "ivfpq_topk", "ktruss",
+        "hll_distinct",
     ]
     out = ["# EXPLAIN — physical plans of key operators\n"]
     failures = []
