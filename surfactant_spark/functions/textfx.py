@@ -238,8 +238,17 @@ def canonical_url(col: str | Column = "url") -> Column:
     path = F.regexp_replace(path, "/{2,}", "/")
     path = F.regexp_replace(path, "/index\\.html?$", "/")
     query = F.regexp_extract(u, "\\?([^#]*)", 1)
+    # array_remove + sort_array instead of filter(lambda)/array_sort:
+    # identical output (split yields no NULL elements, so null-ordering
+    # differences can't arise; removing '' elements ≡ the lambda), but
+    # these are codegen expressions where the lambda HOFs are
+    # CodegenFallback — one HOF dropped the ENTIRE canonicalization
+    # projection out of whole-stage codegen, which also disabled
+    # common-subexpression elimination and re-evaluated the fragment-
+    # strip/scheme/host regexes per use (~25 interpreted regex ops per
+    # row; see plans/r07/url_canon_before.txt).
     query = F.array_join(
-        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")), "&"
+        F.sort_array(F.array_remove(F.split(query, "&"), "")), "&"
     )
     return F.concat(
         scheme, F.lit("://"), host, path,

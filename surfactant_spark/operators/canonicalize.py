@@ -66,9 +66,17 @@ def _small_graph_labels(
     non-self edges only.  String min parity holds because UTF-8 byte
     order (Spark) equals code-point order (Python)."""
     pairs = edges.select(src, dst)
-    if pairs.limit(threshold + 1).count() > threshold:
+    # ONE execution of the (possibly expensive) upstream chain: collect
+    # through the same early-aborting limit that used to feed a count —
+    # when the graph exceeds the threshold the limit stops at
+    # threshold+1 rows and we fall through to the distributed path;
+    # when it fits, the collected rows ARE the edge list (the previous
+    # count-then-collect shape executed the upstream chain twice, ~2×
+    # the construction cost of every CC-backed gate).
+    collected = pairs.limit(threshold + 1).collect()
+    if len(collected) > threshold:
         return None
-    rows = [(r[0], r[1]) for r in pairs.collect()
+    rows = [(r[0], r[1]) for r in collected
             if r[0] is not None and r[1] is not None and r[0] != r[1]]
     parent: dict = {}
 
@@ -397,7 +405,7 @@ def entity_canonical_map(
     )
     comp_canon = all_nodes.groupBy("component").agg(
         F.concat(F.lit("e:"), F.min(F.sha2(F.col("entity_key"), 256))).alias("canonical_id"),
-        F.array_sort(F.collect_set("entity_key")).alias("member_keys"),
+        F.sort_array(F.collect_set("entity_key")).alias("member_keys"),
     )
     return all_nodes.join(comp_canon, "component").select(
         "entity_key", "canonical_id", "member_keys"

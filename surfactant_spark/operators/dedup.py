@@ -33,7 +33,7 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.concat_ws(
-                "|", F.array_sort(F.collect_list(F.col(id_col).cast("string")))
+                "|", F.sort_array(F.collect_list(F.col(id_col).cast("string")))
             ).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
@@ -87,7 +87,7 @@ def passage_dedup(
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(
+                F.sort_array(
                     F.collect_list(
                         F.when(F.col("kept"), F.struct("p_idx", "p_txt"))
                     )
@@ -548,7 +548,7 @@ def winnow_fingerprints(
         ),
     ).otherwise(F.array().cast("array<long>"))
     fp = F.transform(
-        F.array_sort(F.array_distinct(wins)), lambda x: x.cast("string")
+        F.sort_array(F.array_distinct(wins)), lambda x: x.cast("string")
     )
     return hashed.select(
         F.col("id").alias(id_col), F.concat_ws("|", fp).alias("fingerprint")
@@ -749,7 +749,7 @@ def remove_boilerplate_chunks(
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                F.sort_array(F.collect_list(F.struct("pos", "chunk"))),
                 lambda s: s["chunk"],
             ),
             " ",
@@ -825,7 +825,7 @@ def dedup_delta_against_base(
     return hits.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_base_hits"),
         F.array_join(
-            F.array_sort(F.collect_list(F.col("bid").cast("string"))), "|"
+            F.sort_array(F.collect_list(F.col("bid").cast("string"))), "|"
         ).alias("base_ids"),
     )
 

@@ -120,7 +120,7 @@ def add_installpath(nodes: DataFrame, container_prefix: str, install_prefix: str
         lambda u: F.concat(F.lit(install_prefix), u.substr(F.lit(len(container_prefix) + 1), F.length(u))),
     )
     return nodes.withColumn(
-        "urls", F.array_sort(F.array_distinct(F.concat(F.col("urls"), rewritten)))
+        "urls", F.sort_array(F.array_distinct(F.concat(F.col("urls"), rewritten)))
     )
 
 
@@ -154,14 +154,29 @@ def pagerank_int(
     cluster scale pre-partition edges and ranks by node key so the
     per-iteration join co-locates.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # LAZY localCheckpoints truncate the per-iteration lineage: the
+    # nested fixed-round plan otherwise duplicates the e/nodes/rank
+    # subtrees per reference and per round (66 Exchange nodes in the
+    # r7 before-plan for 3 iterations — plans/r07/pagerank_before.txt),
+    # paying plan analysis + physical planning on an exponentially
+    # grown tree.  Results are integer-exact and unchanged under any
+    # materialization; no job runs at construction (lazy), each frame
+    # materializes exactly once inside the single final action.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e2 = e.join(outdeg, "src")  # every src has outdeg >= 1 by construction
+    e2 = e.join(outdeg, "src").localCheckpoint(
+        eager=False
+    )  # every src has outdeg >= 1 by construction
     base = (r0 * (100 - damping_x100)) // 100
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
     for _ in range(iterations):
@@ -182,6 +197,7 @@ def pagerank_int(
                     )
                 ).cast("long").alias("rank"),
             )
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -378,11 +394,21 @@ def hits_int(
     loop).  Pre-partition edges by src/dst at cluster scale exactly
     like pagerank_int.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # lazy per-round localCheckpoints: same rationale (and same
+    # result-invariance argument) as pagerank_int — the before-plan
+    # for 2 iterations held 660 Exchange nodes because araw/auth/hraw
+    # are each referenced twice per round (join + max agg) and the
+    # duplication compounds per round.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
     auth = None
@@ -391,6 +417,7 @@ def hits_int(
             e.join(hub, e["src"] == hub["node"])
             .groupBy("dst")
             .agg(F.sum("hub").alias("a_raw"))
+            .localCheckpoint(eager=False)
         )
         amax = araw.agg(F.max("a_raw").alias("a_max"))
         auth = (
@@ -402,11 +429,13 @@ def hits_int(
                 .cast("long")
                 .alias("auth"),
             )
+            .localCheckpoint(eager=False)
         )
         hraw = (
             e.join(auth, e["dst"] == auth["node"])
             .groupBy("src")
             .agg(F.sum("auth").alias("h_raw"))
+            .localCheckpoint(eager=False)
         )
         hmax = hraw.agg(F.max("h_raw").alias("h_max"))
         hub = (
@@ -418,6 +447,7 @@ def hits_int(
                 .cast("long")
                 .alias("hub"),
             )
+            .localCheckpoint(eager=False)
         )
     return nodes.join(hub, "node").join(auth, "node").select(
         "node", F.col("hub").alias("hub_u"), F.col("auth").alias("auth_u")
@@ -450,6 +480,9 @@ def label_propagation(
     """
     from pyspark.sql.window import Window
 
+    # lazy per-round localCheckpoints bound the nested-plan growth
+    # (pagerank_int rationale); labels are deterministic under any
+    # materialization, so results are unchanged.
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
@@ -457,6 +490,7 @@ def label_propagation(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nodes = und.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
@@ -477,6 +511,7 @@ def label_propagation(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),
             )
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -508,7 +543,7 @@ def resource_allocation_pairs(
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("z")).distinct()
     grouped = e.groupBy("z").agg(
-        F.array_sort(F.collect_set("s")).alias("ss")
+        F.sort_array(F.collect_set("s")).alias("ss")
     )
     capped = grouped.select(
         F.expr(f"CAST({scale} DIV size(ss) AS BIGINT)").alias("w"),
@@ -937,7 +972,11 @@ def personalized_pagerank_int(
     hub pages) → the seed flag attaches by BROADCAST join once before
     the loop; per iteration the shapes are pagerank_int's: one
     contribution shuffle + one node-set join."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -949,7 +988,7 @@ def personalized_pagerank_int(
     ).select("node", F.coalesce("_isseed", F.lit(0)).alias("_isseed"))
     flagged = flagged.localCheckpoint(eager=False)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e2 = e.join(outdeg, "src")
+    e2 = e.join(outdeg, "src").localCheckpoint(eager=False)
     base = (r0 * (100 - damping_x100)) // 100
     seed_base = F.when(F.col("_isseed") == 1, F.lit(base)).otherwise(F.lit(0))
     ranks = flagged.select(
@@ -975,6 +1014,7 @@ def personalized_pagerank_int(
                     + F.expr(f"({damping_x100} * coalesce(s, 0L)) div 100")
                 ).cast("long").alias("rank"),
             )
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -1085,7 +1125,7 @@ def cocitation_pairs(
         edges.select(F.col(dst).alias("t"), F.col(src).alias("s"))
         .distinct()
         .groupBy("t")
-        .agg(F.slice(F.array_sort(F.collect_set("s")), 1, max_fanin).alias("ss"))
+        .agg(F.slice(F.sort_array(F.collect_set("s")), 1, max_fanin).alias("ss"))
     )
     ss = F.col("ss")
     pairs = F.flatten(

@@ -230,7 +230,7 @@ def materialize_sequences(
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.array_sort(
+                    F.sort_array(
                         F.collect_list(F.struct("tok_offset", "piece"))
                     ),
                     lambda s: s["piece"],

@@ -57,7 +57,7 @@ def build_inverted_index(
     postings = top.groupBy("term").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("rn", id_col, "tf"))),
+                F.sort_array(F.collect_list(F.struct("rn", id_col, "tf"))),
                 lambda s: F.concat_ws(":", s[id_col].cast("string"),
                                       s["tf"].cast("string")),
             ),
@@ -159,7 +159,7 @@ def cooccurrence_pairs(
     terms = docs.select(
         id_col,
         F.slice(
-            F.array_sort(
+            F.sort_array(
                 F.array_distinct(
                     F.expr(
                         f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
@@ -436,7 +436,7 @@ def pmi_collocations(
     terms = docs.select(
         id_col,
         F.slice(
-            F.array_sort(
+            F.sort_array(
                 F.array_distinct(
                     F.expr(
                         f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"

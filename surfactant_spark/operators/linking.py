@@ -261,8 +261,8 @@ def page_nodes(extracted: DataFrame) -> DataFrame:
     return (
         extracted.groupBy("content_sha256")
         .agg(
-            F.array_sort(F.collect_set("url")).alias("urls"),
-            F.array_sort(
+            F.sort_array(F.collect_set("url")).alias("urls"),
+            F.sort_array(
                 F.collect_set(F.substring_index("text", "\n", 1))
             ).alias("names"),
             F.min("lang").alias("lang"),
@@ -300,7 +300,7 @@ def entity_nodes(mentions: DataFrame, entity_map: DataFrame) -> DataFrame:
         )
     )
     names = entity_map.groupBy("canonical_id").agg(
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list("member_keys")))).alias("names")
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("member_keys")))).alias("names")
     )
     return (
         mentioned.join(names, "canonical_id")
@@ -613,7 +613,7 @@ def anchor_text_profile(
         .groupBy("canon")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_links"),
-            F.array_sort(F.collect_set("_anchor")).alias("_aset"),
+            F.sort_array(F.collect_set("_anchor")).alias("_aset"),
             F.collect_set("_src").alias("_sset"),
         )
     )
@@ -663,7 +663,7 @@ def block_by_domain(df, blocked, url_col: str = "url"):
     sufs = domain_suffixes(url_col)
     if isinstance(blocked, (list, tuple)):
         lit = F.array(*[F.lit(b) for b in blocked])
-        matched = F.array_join(F.array_sort(F.array_intersect(sufs, lit)), "|")
+        matched = F.array_join(F.sort_array(F.array_intersect(sufs, lit)), "|")
         return df.withColumn("matched", matched).withColumn(
             "blocked", F.col("matched") != ""
         )
@@ -674,7 +674,7 @@ def block_by_domain(df, blocked, url_col: str = "url"):
         )
         .groupBy(url_col)
         .agg(
-            F.array_join(F.array_sort(F.collect_set("_suf")), "|").alias(
+            F.array_join(F.sort_array(F.collect_set("_suf")), "|").alias(
                 "matched"
             )
         )

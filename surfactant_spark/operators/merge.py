@@ -96,8 +96,8 @@ def merge_graphs(
         .agg(
             F.min("node_type").alias("node_type"),
             *[F.min(hc).alias(hc) for hc in _present_hash_cols(nodes)],
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("names")))).alias("names"),
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("urls")))).alias("urls"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("names")))).alias("names"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("urls")))).alias("urls"),
             F.min("lang").alias("lang"),
         )
     )

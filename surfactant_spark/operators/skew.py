@@ -28,6 +28,7 @@ def find_hot_keys(
     key: str,
     hot_share: float = 0.01,
     max_keys: int = 64,
+    exact: bool = False,
 ) -> list:
     """Heavy-hitter detection over the FULL column, no row sample.
 
@@ -52,6 +53,21 @@ def find_hot_keys(
     cands = [c for c in (cands_row[0] or []) if c is not None]
     if not cands:
         return []
+    if not exact:
+        # r7: skip the exact-count confirmation pass.  The sketch's
+        # candidate list is a SUPERSET of the truly-hot keys (no false
+        # negatives) and is bounded by ~1/hot_share entries, so routing
+        # every candidate through the broadcast hot slice costs at most
+        # a slightly larger (still key-bounded) broadcast — while the
+        # confirmation pass cost a SECOND full scan of the probe side
+        # per join (the kg edges stage paid it on the exploded link
+        # frame every run).  Join output is identical either way: the
+        # hot/cold split is a partition of keys, not a semantic choice.
+        # Sorted for a deterministic broadcast list (no cap: dropping a
+        # candidate would route a possibly-hot key to the shuffle path);
+        # ``exact=True`` restores true-frequency ranking for callers
+        # that need the top-``max_keys`` by count.
+        return sorted(cands, key=str)
     counted = (
         df.select(
             F.when(F.col(key).isin(cands), F.col(key)).alias("_k")
@@ -117,7 +133,7 @@ def salted_groupby_sets(
     return (
         partial.groupBy(*key_cols)
         .agg(
-            F.array_sort(
+            F.sort_array(
                 F.array_distinct(F.flatten(F.collect_list("_part")))
             ).alias(out_col)
         )

@@ -96,7 +96,7 @@ def kg_qa_pairs(
         edges.where(F.col(pred).isin(list(qt)))
         .groupBy(subj, pred)
         .agg(
-            F.array_sort(F.collect_set(obj)).alias("_objs"),
+            F.sort_array(F.collect_set(obj)).alias("_objs"),
         )
     )
     q = None

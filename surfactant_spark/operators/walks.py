@@ -45,7 +45,7 @@ def random_walks(
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     adj = e.groupBy("u").agg(
-        F.slice(F.array_sort(F.collect_set("v")), 1, max_neighbors)
+        F.slice(F.sort_array(F.collect_set("v")), 1, max_neighbors)
         .alias("ns")
     ).localCheckpoint(eager=False)
 

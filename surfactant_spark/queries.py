@@ -223,7 +223,7 @@ def q_field_merge(spark, sf):
         sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
         .groupBy("n_name")
         .agg(
-            F.concat_ws("|", F.array_sort(F.collect_set("s_name"))).alias("supplier_names"),
+            F.concat_ws("|", F.sort_array(F.collect_set("s_name"))).alias("supplier_names"),
             F.countDistinct("s_suppkey").alias("n_suppliers"),
         )
     )
@@ -549,7 +549,7 @@ def q_fingerprint_dedup(spark, sf):
         .groupBy("prefix_fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.concat_ws("|", F.array_sort(F.collect_list(F.col("doc_id").cast("string")))).alias("doc_ids"),
+            F.concat_ws("|", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
     )
@@ -6100,9 +6100,9 @@ def q_incremental_equiv(spark, sf):
         def canon_nodes(df):
             return df.select(
                 "canonical_id", "node_type", "sha256", "lang",
-                F.array_sort("names").cast("string").alias("names"),
-                F.array_sort("urls").cast("string").alias("urls"),
-                F.array_sort(F.map_entries("attrs")).cast("string").alias("attrs"),
+                F.sort_array("names").cast("string").alias("names"),
+                F.sort_array("urls").cast("string").alias("urls"),
+                F.sort_array(F.map_entries("attrs")).cast("string").alias("attrs"),
             )
 
         def canon_edges(df):
@@ -6371,8 +6371,11 @@ def q_hard_negatives(spark, sf):
     pins bits=6 (64 buckets/table): at sf0.1's 5k vectors, bits=4's
     16 buckets made the symmetric bucket join ~6M candidate pairs —
     4x the work for mining that only needs plausible negatives."""
+    from .stats import column_stats
+
     emb = _t(spark, sf, "embeddings")
-    return sim.hard_negatives(emb, max_cos_x10000=9000, bits=6, tables=4)
+    stats = column_stats(emb, "embedding", cache_key=(sf, "embeddings", "embedding"))
+    return sim.hard_negatives(emb, max_cos_x10000=9000, bits=6, tables=4, stats=stats)
 
 
 def _hard_negatives_sql(

@@ -42,7 +42,7 @@ def read_graph_csv(spark: SparkSession, out_dir: str) -> DataFrame:
     grouped = raw.groupBy("id").agg(
         F.min("type").alias("node_type"),
         F.min("name").alias("name"),
-        F.array_sort(F.collect_set("url")).alias("urls"),
+        F.sort_array(F.collect_set("url")).alias("urls"),
         F.min("lang").alias("lang"),
         F.min("version").alias("version"),
         F.min("capture_start").alias("capture_start"),
