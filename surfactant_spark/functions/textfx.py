@@ -101,34 +101,55 @@ def quality_bucket(col: str | Column = "text") -> Column:
     )
 
 
+def _let1(bound: Column, body) -> Column:
+    """LET-bind ``bound`` via a singleton transform — the lambda
+    variable is a VALUE, so ``body`` may reference it any number of
+    times (including inside nested per-element lambdas) while the
+    bound expression is evaluated exactly ONCE per row.  Without this,
+    an expression referenced inside a transform lambda is re-evaluated
+    PER ELEMENT: ngram_strings re-ran the tokenizer regex once per
+    gram — ~2.7 s of a 3.3 s gopher_repetition run at sf0.1 (r7)."""
+    return F.get(F.transform(F.array(bound), body), 0)
+
+
 def ngram_strings(col: str | Column = "text", n: int = 3) -> Column:
     """All consecutive token n-grams of a document as space-joined
     strings (array<string>); empty array when the doc has < n tokens.
     JVM-side (sequence → transform → slice); the Gopher-style
-    repetition signals are aggregations over this array's explode."""
-    t = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
-    # sequence(1, k) with k < 1 counts DOWN — guard short docs explicitly
-    return F.when(F.size(t) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    repetition signals are aggregations over this array's explode.
+    The token array is let-bound (see _let1), so the tokenizer regex
+    runs once per row, not once per gram."""
+
+    def build(t: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+        # sequence(1, k) with k < 1 counts DOWN — guard short docs
+        return F.when(F.size(t) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _let1(tokens(col), build)
 
 
 def passage_strings(col: str | Column = "text", chunk: int = 10) -> Column:
     """Non-overlapping ``chunk``-token passages of a document as
     space-joined strings (the C4-style paragraph analog for
     single-line text; last passage may be shorter).  Empty array for
-    zero-token docs."""
-    t = tokens(col)
-    n_chunks = F.ceil(F.size(t) / F.lit(chunk)).cast("int")
-    ps = F.transform(
-        F.sequence(F.lit(0), n_chunks - F.lit(1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i * chunk + F.lit(1), chunk)),
-    )
-    return F.when(F.size(t) > 0, ps).otherwise(F.array().cast("array<string>"))
+    zero-token docs.  Token array let-bound like ngram_strings."""
+
+    def build(t: Column) -> Column:
+        n_chunks = F.ceil(F.size(t) / F.lit(chunk)).cast("int")
+        ps = F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i * chunk + F.lit(1), chunk)),
+        )
+        return F.when(F.size(t) > 0, ps).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _let1(tokens(col), build)
 
 
 def content_fingerprint(col: str | Column = "text") -> Column:

@@ -297,8 +297,13 @@ def registrable_domain(
         rrows.append((body, exc, n - 1 if exc else n))
     rules = spark.createDataFrame(rrows, ["rule", "is_exc", "ps_labels"])
 
-    hosts = df.select(F.col(host_col).alias("_h")).distinct()
-    labels = F.split(F.col("_h"), r"\.")
+    # labels materialized as a column so the per-suffix lambdas below
+    # reference an attribute — the inline split used to re-run per
+    # candidate element (textfx._let1 rationale)
+    hosts = df.select(F.col(host_col).alias("_h")).distinct().select(
+        "_h", F.split(F.col("_h"), r"\.").alias("_labels")
+    )
+    labels = F.col("_labels")
     tail = lambda i: F.array_join(  # noqa: E731
         F.slice(labels, i, F.size(labels)), "."
     )

@@ -673,12 +673,16 @@ def ngram_contamination(
       check).
     """
     def grams_expr(text_column):
-        return F.expr(
-            f"transform(sequence(1, greatest(size(_toks_)-{n - 1}, 0)), "
-            f"i -> md5(array_join(slice(_toks_, i, {n}), ' ')))".replace(
-                "_toks_", f"regexp_extract_all(lower({text_column}), '[a-z0-9]+', 0)"
-            )
+        # token array LET-BOUND via a singleton transform (textfx._let1
+        # pattern): the previous textual substitution re-evaluated the
+        # tokenizer regex once PER GRAM inside the lambda (~2 s of the
+        # 3 s contamination gate at sf0.1, r7)
+        toks = f"regexp_extract_all(lower({text_column}), '[a-z0-9]+', 0)"
+        inner = (
+            f"transform(sequence(1, greatest(size(t)-{n - 1}, 0)), "
+            f"i -> md5(array_join(slice(t, i, {n}), ' ')))"
         )
+        return F.expr(f"element_at(transform(array({toks}), t -> {inner}), 1)")
 
     bench_grams = (
         bench.select(F.explode(grams_expr(bench_text_col)).alias("g")).distinct()

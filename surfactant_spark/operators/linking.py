@@ -637,11 +637,17 @@ def domain_suffixes(url_col: str = "url"):
             r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1,
         )
     )
-    parts = F.split(host, r"\.")
-    return F.transform(
-        F.sequence(F.lit(1), F.size(parts)),
-        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
-    )
+    from ..functions.textfx import _let1
+
+    # split (and the host regex feeding it) LET-BOUND so it evaluates
+    # once per row instead of once per suffix element (textfx._let1)
+    def build(parts):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(parts)),
+            lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+        )
+
+    return _let1(F.split(host, r"\."), build)
 
 
 def block_by_domain(df, blocked, url_col: str = "url"):

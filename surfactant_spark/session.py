@@ -30,6 +30,20 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     # Parquet scans: default 128MB splits are right for the sandbox files.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Always use the sort/serialized shuffle writer, never the bypass
+    # writer (r7, guide §2.2).  With R reduce partitions <= 200 the
+    # bypass writer opens R files PER MAP TASK (M x R file creates):
+    # measured on this box, a 128-map-task -> 32-partition groupBy costs
+    # 1.5 s under bypass vs 0.3 s with the sort writer (one data file +
+    # index per map task) — and the same 4-5x held on 5M- and 20M-row
+    # shuffles.  On a real cluster R is normally > 200 so bypass never
+    # engages; forcing the sort writer is therefore safe at every scale
+    # while removing the dominant fixed cost of EVERY small shuffle in
+    # the sandbox bench.  Env-overridable for deployments that want the
+    # bypass behavior back.
+    "spark.shuffle.sort.bypassMergeThreshold": os.environ.get(
+        "SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "0"
+    ),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     # single-JVM local mode: driver heap IS executor memory.  16g is
