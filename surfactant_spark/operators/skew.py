@@ -28,7 +28,7 @@ def find_hot_keys(
     key: str,
     hot_share: float = 0.01,
     max_keys: int = 64,
-    exact: bool = False,
+    exact: bool = True,
 ) -> list:
     """Heavy-hitter detection over the FULL column, no row sample.
 
@@ -54,7 +54,9 @@ def find_hot_keys(
     if not cands:
         return []
     if not exact:
-        # r7: skip the exact-count confirmation pass.  The sketch's
+        # r7: skip the exact-count confirmation pass (OPT-IN — callers
+        # whose downstream output is invariant to the key partition,
+        # i.e. skew_aware_join routing).  The sketch's
         # candidate list is a SUPERSET of the truly-hot keys (no false
         # negatives) and is bounded by ~1/hot_share entries, so routing
         # every candidate through the broadcast hot slice costs at most
@@ -101,7 +103,11 @@ def skew_aware_join(
     (AQE may still rebalance residual mild skew).
     """
     if hot_keys is None:
-        hot_keys = find_hot_keys(probe, key)
+        # exact=False: the freqItems superset is enough here — the join
+        # result is identical for ANY hot/cold key partition, so the
+        # exact-count confirmation scan of the probe side is pure cost
+        # (the kg edges stage paid it on the exploded link frame).
+        hot_keys = find_hot_keys(probe, key, exact=False)
     if not hot_keys:
         return probe.join(build, key, how)
     # Null-safe slicing: `isin` evaluates to NULL for NULL keys, which
