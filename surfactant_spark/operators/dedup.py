@@ -136,6 +136,11 @@ def shingle_rows(
 ) -> DataFrame:
     """(id, s) exploded distinct shingles; tokens materialized once per
     row via a separate projection (see shingles_from_tokens)."""
+    from ..partitioning import spread
+
+    # tokenize+shingle is the chain's heavy projection — make sure a
+    # narrow (single-row-group) scan doesn't serialize it on one task
+    df = spread(df, id_col)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
     staged = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
     return staged.select(
@@ -225,6 +230,9 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     Shape: explode tokens → one groupBy with 32 conditional-sum
     aggregates (map-side partial agg keeps the shuffle tiny)."""
+    from ..partitioning import spread
+
+    df = spread(df, id_col)
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(distinct_tokens(text_col)).alias("tok")
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
@@ -252,6 +260,9 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     Shape: explode tokens → ONE groupBy with 64 conditional-sum
     aggregates; map-side partial agg keeps the shuffle tiny."""
+    from ..partitioning import spread
+
+    df = spread(df, id_col)
     tok = (
         df.select(
             F.col(id_col).alias("id"), F.explode(distinct_tokens(text_col)).alias("tok")
@@ -1140,34 +1151,45 @@ def bcubed_scores(
     integral divisions, averages divide the sums integrally, F1 =
     2·P·R div (P+R) — identical in any engine, no float.
 
-    Shape: three partial-agg groupBys (predicted sizes, true sizes,
-    intersection sizes) + equi-joins back onto the items — every stage
-    keyed, nothing quadratic, so the metric runs at corpus scale (the
-    eval harness for dedup clustering quality, complementing the
-    pair-level lsh_eval gate)."""
+    Shape (r7): ONE corpus pass.  Every item of an intersection cell
+    (p, t) shares the same ratios — _pi = ni·10⁶ div np — so the
+    per-item sums collapse to cell-weighted sums over the (p, t)
+    contingency table, and the cluster sizes themselves are row/column
+    sums of that table (np = Σ_t ni, nt = Σ_p ni).  The items frame is
+    scanned ONCE into the cell counts; everything after runs on the
+    compact cell frame (lazily checkpointed — it feeds three
+    consumers).  The previous shape joined sizes back onto the items
+    frame and re-executed the (expensive, gate-synthesized) items
+    subtree four times — 38 Exchanges in plans/r07/bcubed_before.txt.
+    Identical output: the integer divisions happen per cell with
+    exactly the values they had per item."""
     pred = F.col(pred_col)
     true = F.col(true_col)
     base = items.select(
         F.col(id_col).alias("_id"), pred.alias("_p"), true.alias("_t")
     )
-    sz_p = base.groupBy("_p").agg(F.count(F.lit(1)).alias("_np"))
-    sz_t = base.groupBy("_t").agg(F.count(F.lit(1)).alias("_nt"))
-    inter = base.groupBy("_p", "_t").agg(F.count(F.lit(1)).alias("_ni"))
+    cells = (
+        base.groupBy("_p", "_t")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+        .localCheckpoint(eager=False)
+    )
+    sz_p = cells.groupBy("_p").agg(F.sum("_ni").alias("_np"))
+    sz_t = cells.groupBy("_t").agg(F.sum("_ni").alias("_nt"))
     per = (
-        base.join(inter, ["_p", "_t"])
-        .join(sz_p, "_p")
+        cells.join(sz_p, "_p")
         .join(sz_t, "_t")
         .select(
-            F.expr("_ni * 1000000L div _np").alias("_pi"),
-            F.expr("_ni * 1000000L div _nt").alias("_ri"),
+            F.col("_ni"),
+            F.expr("_ni * (_ni * 1000000L div _np)").alias("_spi"),
+            F.expr("_ni * (_ni * 1000000L div _nt)").alias("_sri"),
         )
     )
     return per.agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.expr("sum(_pi) div count(1)").cast("long").alias("b3_precision_x1e6"),
-        F.expr("sum(_ri) div count(1)").cast("long").alias("b3_recall_x1e6"),
+        F.coalesce(F.sum("_ni"), F.lit(0)).cast("long").alias("n_items"),
+        F.expr("sum(_spi) div sum(_ni)").cast("long").alias("b3_precision_x1e6"),
+        F.expr("sum(_sri) div sum(_ni)").cast("long").alias("b3_recall_x1e6"),
         F.expr(
-            "2 * (sum(_pi) div count(1)) * (sum(_ri) div count(1))"
-            " div ((sum(_pi) div count(1)) + (sum(_ri) div count(1)))"
+            "2 * (sum(_spi) div sum(_ni)) * (sum(_sri) div sum(_ni))"
+            " div ((sum(_spi) div sum(_ni)) + (sum(_sri) div sum(_ni)))"
         ).cast("long").alias("b3_f1_x1e6"),
     )

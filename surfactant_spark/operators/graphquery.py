@@ -11,6 +11,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Periodic lineage-truncation interval for the fixed-round graph
+# loops.  localCheckpoint — even eager=False — finalizes AQE, which
+# executes every pending shuffle as its own job; checkpointing EVERY
+# round therefore pays per-round job-dispatch latency even on tiny
+# graphs (measured: pagerank 3 rounds, 16 jobs / 1.96 s per-round vs
+# 15 jobs / 1.22 s with setup-only checkpoints — identical results).
+# Gates run 2-3 rounds and skip intra-loop checkpoints entirely;
+# production-depth runs still truncate every few rounds so plan
+# analysis stays bounded.  Loops whose round frame is referenced more
+# than once per round (hits/kcore/ktruss/label-prop) use the lower
+# interval so untruncated subtree duplication stays shallow;
+# exchange reuse dedupes the copies at runtime within one action.
+_CKPT_EVERY = 6
+_CKPT_EVERY_BRANCHY = 2
+
 
 def find_nodes(
     nodes: DataFrame,
@@ -154,14 +169,18 @@ def pagerank_int(
     cluster scale pre-partition edges and ranks by node key so the
     per-iteration join co-locates.
     """
-    # LAZY localCheckpoints truncate the per-iteration lineage: the
-    # nested fixed-round plan otherwise duplicates the e/nodes/rank
-    # subtrees per reference and per round (66 Exchange nodes in the
-    # r7 before-plan for 3 iterations — plans/r07/pagerank_before.txt),
-    # paying plan analysis + physical planning on an exponentially
-    # grown tree.  Results are integer-exact and unchanged under any
-    # materialization; no job runs at construction (lazy), each frame
-    # materializes exactly once inside the single final action.
+    # Setup frames (e/nodes/e2) are localCheckpoint-ed: each is
+    # referenced once per round, so truncating them bounds the plan to
+    # a LINEAR chain (66 Exchange nodes before — pagerank_before.txt).
+    # The per-round rank checkpoint was dropped in r7: the rank
+    # recurrence is linear (each round references the previous ranks
+    # exactly once), so the un-truncated chain stays O(iterations)
+    # deep, while every localCheckpoint call — even eager=False —
+    # finalizes AQE and runs the pending shuffle jobs one by one
+    # (measured: 16 jobs / 1.96 s with per-round checkpoints vs
+    # 15 jobs / 1.22 s without, identical results).  Long runs still
+    # truncate every ``_CKPT_EVERY`` rounds for lineage/analysis
+    # safety at production iteration counts.
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -179,7 +198,7 @@ def pagerank_int(
     )  # every src has outdeg >= 1 by construction
     base = (r0 * (100 - damping_x100)) // 100
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
         s = (
             e2.join(ranks, e2["src"] == ranks["node"])
             .select("dst", F.expr("rank div outdeg").alias("c"))
@@ -197,8 +216,9 @@ def pagerank_int(
                     )
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        if (it + 1) % _CKPT_EVERY == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -346,7 +366,7 @@ def kcore_peel(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    for _ in range(rounds):
+    for it in range(rounds):
         deg = (
             e.select(F.col("lo").alias("node"))
             .unionByName(e.select(F.col("hi").alias("node")))
@@ -357,8 +377,9 @@ def kcore_peel(
         e = (
             e.join(alive.select(F.col("node").alias("lo")), "lo", "left_semi")
             .join(alive.select(F.col("node").alias("hi")), "hi", "left_semi")
-            .localCheckpoint(eager=False)
         )
+        if (it + 1) % _CKPT_EVERY_BRANCHY == 0 and it + 1 < rounds:
+            e = e.localCheckpoint(eager=False)
     return (
         e.select(F.col("lo").alias("node"))
         .unionByName(e.select(F.col("hi").alias("node")))
@@ -394,11 +415,16 @@ def hits_int(
     loop).  Pre-partition edges by src/dst at cluster scale exactly
     like pagerank_int.
     """
-    # lazy per-round localCheckpoints: same rationale (and same
-    # result-invariance argument) as pagerank_int — the before-plan
-    # for 2 iterations held 660 Exchange nodes because araw/auth/hraw
-    # are each referenced twice per round (join + max agg) and the
-    # duplication compounds per round.
+    # Setup checkpoints + PERIODIC round checkpoints (r7): the
+    # before-plan for 2 iterations held 660 Exchange nodes because
+    # araw/auth/hraw are each referenced twice per round (join + max
+    # agg) and the duplication compounds per round — but with e/nodes
+    # checkpointed the duplicated copies are shallow and runtime
+    # exchange reuse dedupes them inside the single final action,
+    # while a checkpoint per frame per round paid 4 AQE
+    # finalizations' worth of jobs per iteration (31 jobs for the
+    # 2-iteration gate).  Deep runs truncate every
+    # _CKPT_EVERY_BRANCHY iterations.
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -412,12 +438,11 @@ def hits_int(
     )
     hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
     auth = None
-    for _ in range(iterations):
+    for it in range(iterations):
         araw = (
             e.join(hub, e["src"] == hub["node"])
             .groupBy("dst")
             .agg(F.sum("hub").alias("a_raw"))
-            .localCheckpoint(eager=False)
         )
         amax = araw.agg(F.max("a_raw").alias("a_max"))
         auth = (
@@ -429,13 +454,11 @@ def hits_int(
                 .cast("long")
                 .alias("auth"),
             )
-            .localCheckpoint(eager=False)
         )
         hraw = (
             e.join(auth, e["dst"] == auth["node"])
             .groupBy("src")
             .agg(F.sum("auth").alias("h_raw"))
-            .localCheckpoint(eager=False)
         )
         hmax = hraw.agg(F.max("h_raw").alias("h_max"))
         hub = (
@@ -447,8 +470,10 @@ def hits_int(
                 .cast("long")
                 .alias("hub"),
             )
-            .localCheckpoint(eager=False)
         )
+        if (it + 1) % _CKPT_EVERY_BRANCHY == 0 and it + 1 < iterations:
+            auth = auth.localCheckpoint(eager=False)
+            hub = hub.localCheckpoint(eager=False)
     return nodes.join(hub, "node").join(auth, "node").select(
         "node", F.col("hub").alias("hub_u"), F.col("auth").alias("auth_u")
     )
@@ -495,7 +520,7 @@ def label_propagation(
     nodes = und.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
-    for _ in range(rounds):
+    for it in range(rounds):
         nbr = und.join(
             labels.select(F.col("node").alias("b"), "label"), "b"
         ).select(F.col("a").alias("node"), "label")
@@ -511,8 +536,9 @@ def label_propagation(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),
             )
-            .localCheckpoint(eager=False)
         )
+        if (it + 1) % _CKPT_EVERY_BRANCHY == 0 and it + 1 < rounds:
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 
@@ -998,7 +1024,7 @@ def personalized_pagerank_int(
         .cast("long")
         .alias("rank"),
     )
-    for _ in range(iterations):
+    for it in range(iterations):
         s = (
             e2.join(ranks, e2["src"] == ranks["node"])
             .select("dst", F.expr("rank div outdeg").alias("c"))
@@ -1014,8 +1040,9 @@ def personalized_pagerank_int(
                     + F.expr(f"({damping_x100} * coalesce(s, 0L)) div 100")
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        if (it + 1) % _CKPT_EVERY == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -1398,7 +1425,7 @@ def ktruss_peel(
         .localCheckpoint(eager=False)
     )
     sup = None
-    for _ in range(rounds):
+    for it in range(rounds):
         w1, w2 = e.alias("w1"), e.alias("w2")
         wedges = (
             w1.join(
@@ -1431,9 +1458,9 @@ def ktruss_peel(
             .agg(F.count(F.lit(1)).cast("long").alias("support"))
             .where(F.col("support") >= k - 2)
         )
-        e = e.join(
-            sup.select("lo", "hi"), ["lo", "hi"], "left_semi"
-        ).localCheckpoint(eager=False)
+        e = e.join(sup.select("lo", "hi"), ["lo", "hi"], "left_semi")
+        if (it + 1) % _CKPT_EVERY_BRANCHY == 0 and it + 1 < rounds:
+            e = e.localCheckpoint(eager=False)
     return sup.join(e, ["lo", "hi"], "left_semi")
 
 

@@ -597,7 +597,12 @@ def anchor_text_profile(
     per-target sample if targets are adversarially hot).
     """
     from ..functions.textfx import canonical_url
+    from ..partitioning import spread
 
+    # ~10 regex ops per row: spread a narrow scan to compute width so
+    # the canonicalization doesn't run inside one or two scan tasks
+    # (single-row-group parquet input; no-op on wide cluster scans)
+    links = spread(links, url_col)
     # distinct counts come from the collect_set sizes rather than
     # countDistinct: two countDistincts in one agg make Catalyst
     # Expand every input row 3x (one replica per distinct-aggregate

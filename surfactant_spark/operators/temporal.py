@@ -176,7 +176,11 @@ def latest_capture(
     on the canonical key, no join, no driver state.
     """
     from ..functions.textfx import canonical_url
+    from ..partitioning import spread
 
+    # canonicalization is ~10 regex ops/row: widen a narrow scan so it
+    # doesn't run inside 1-3 tasks (no-op when the scan is already wide)
+    df = spread(df, url_col)
     tie = [F.asc(tie_col)] if tie_col else []
     w = Window.partitionBy("canon").orderBy(F.desc(ts_col), *tie)
     wc = Window.partitionBy("canon")
