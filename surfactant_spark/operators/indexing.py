@@ -25,6 +25,9 @@ def term_frequencies(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, term, tf) — one explode + one partial-agg groupBy."""
+    from ..partitioning import spread
+
+    docs = spread(docs, id_col)
     toks = docs.select(
         id_col,
         F.explode(
@@ -156,6 +159,9 @@ def cooccurrence_pairs(
     partial-agg groupBy.  The cap is the hot-doc guard: without it a
     100k-distinct-term doc alone emits 5e9 pairs.
     """
+    from ..partitioning import spread
+
+    docs = spread(docs, id_col)
     terms = docs.select(
         id_col,
         F.slice(
@@ -384,7 +390,10 @@ def textrank_keywords(
     Top-k is TakeOrderedAndProject.  Composition gate: co-occurrence
     extraction ∘ pagerank, both independently oracle-gated."""
     from .graphquery import pagerank_int
+    from ..partitioning import spread
 
+    # tokenize+pair-expand is the heavy projection: widen narrow scans
+    docs = spread(docs)
     toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
     pairs = (
         f"zip_with(slice({toks}, 1, greatest(size({toks}) - 1, 0)), "
@@ -433,6 +442,9 @@ def pmi_collocations(
     cap bounds pair fan-out per doc); two partial-agg groupBys; counts
     joined back onto the (min_count-filtered, therefore much smaller)
     pair frame; top-k = TakeOrderedAndProject."""
+    from ..partitioning import spread
+
+    docs = spread(docs, id_col)
     terms = docs.select(
         id_col,
         F.slice(

@@ -137,7 +137,13 @@ def extract_jsonld(
         .select("url", "bidx", F.md5("jstr").alias("jhash"), "jstr")
     )
 
-    uniq = blocks.select("jhash", "jstr").distinct()
+    from ..partitioning import pin_groups
+
+    # same AQE-coalescing escape as extract_microdata: keep the Python
+    # flatten pass wide (dropDuplicates reuses the jhash partitioning)
+    uniq = pin_groups(blocks.select("jhash", "jstr"), "jhash").dropDuplicates(
+        ["jhash", "jstr"]
+    )
 
     def flatten_batches(it):
         import pandas as pd
@@ -205,6 +211,9 @@ def extract_svo(
     following space stays attached — the SVO pattern is not
     end-anchored, so it matches regardless).
     """
+    from ..partitioning import spread
+
+    docs = spread(docs, id_col)
     sent = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), _SENT_SPLIT_RE)).alias("s"),
@@ -326,7 +335,15 @@ def extract_microdata(
         F.md5(F.col(html_col)).alias("hhash"),
         F.col(html_col).alias("_html"),
     )
-    uniq = hashed.select("hhash", "_html").distinct()
+    from ..partitioning import pin_groups
+
+    # pin the dedup-shuffle width: the stack-parser pass below is
+    # Python per distinct page, and AQE's size-based coalescing would
+    # run it on 1-2 partitions; dropDuplicates reuses the pinned
+    # hhash partitioning (hhash ⊆ the dedup key), no extra exchange
+    uniq = pin_groups(hashed.select("hhash", "_html"), "hhash").dropDuplicates(
+        ["hhash", "_html"]
+    )
 
     def parse_batches(it):
         import pandas as pd

@@ -30,6 +30,25 @@ def compute_width(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
 
 
+def pin_groups(df: DataFrame, *key_cols: str, width: int | None = None) -> DataFrame:
+    """Explicit hash repartition on the grouping key that AQE will NOT
+    coalesce — for frames feeding per-group / per-batch PYTHON stages
+    (applyInPandas, mapInPandas-after-distinct) where parallelism
+    matters more than shuffle bytes: AQE's size-based coalescing sees
+    a tiny-by-bytes shuffle and shrinks it to 1-2 partitions, making
+    the Python stage serial.  The following groupBy / dropDuplicates /
+    applyInPandas on the same (or a superset) key reuses this
+    partitioning, so no extra exchange is introduced; width defaults
+    to max(compute width, configured shuffle partitions) so a cluster
+    deployment never loses parallelism to the pin."""
+    spark = df.sparkSession
+    w = width or max(
+        compute_width(df),
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    return df.repartition(w, *[F.col(c) for c in key_cols])
+
+
 def spread(df: DataFrame, *key_cols: str, width: int | None = None) -> DataFrame:
     """Hash-repartition ``df`` on ``key_cols`` up to ``width`` when (and
     only when) its current plan would run narrower than that.

@@ -1201,8 +1201,11 @@ def q_gopher_repetition(spark, sf):
     Shape: explode 3-grams → two-level groupBy (both stages partial-agg
     map-side; the per-(doc, gram) counts never leave the doc's hash
     partition between the two groupBys under AQE coalescing)."""
+    from .partitioning import spread
+
     docs = _t(spark, sf, "documents")
-    g = docs.select(
+    # tokenize+3-gram explode is the heavy projection — widen the scan
+    g = spread(docs, "doc_id").select(
         "doc_id", F.explode(textfx.ngram_strings("text", 3)).alias("g")
     )
     per = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
@@ -1311,7 +1314,11 @@ def q_hashed_quality(spark, sf):
     deterministic weight, mean weight ×1000 + keep/drop label.  Pure
     codegen projection — no UDF, no shuffle; a trained model swaps the
     weight expression for a broadcast array lookup."""
-    docs = _t(spark, sf, "documents")
+    from .partitioning import spread
+
+    # per-token md5 scoring is the heavy projection: widen the
+    # (single-row-group) scan so it doesn't run in 1-2 tasks
+    docs = spread(_t(spark, sf, "documents"), "doc_id")
     n = textfx.token_count("text")
     score = textfx.hashed_quality_score("text")
     return docs.select(
@@ -2110,7 +2117,12 @@ def q_archive_members(spark, sf):
             }
         )
 
-    return li.groupBy("l_orderkey").applyInPandas(
+    from .partitioning import pin_groups
+
+    # pin the group-shuffle width: the archive build+parse is Python
+    # work per group, and AQE would coalesce this tiny-by-bytes
+    # shuffle to 1-2 partitions (serial Python) without the pin
+    return pin_groups(li, "l_orderkey").groupBy("l_orderkey").applyInPandas(
         build_and_parse,
         "archive_id string, member_name string, member_sha256 string, "
         "member_size long",
@@ -2649,7 +2661,11 @@ def q_quality_percentile(spark, sf):
     per-score strictly-above count back to the docs.  ``keep`` is
     tie-inclusive (every doc whose strictly-better count < ceil(n/10))
     so the result is deterministic under any partitioning."""
-    docs = _t(spark, sf, "documents")
+    from .partitioning import spread
+
+    # the per-token scoring pass runs ONCE (eager checkpoint below) —
+    # widen the narrow scan so that pass is parallel
+    docs = spread(_t(spark, sf, "documents"), "doc_id")
     sc = docs.select(
         "doc_id", textfx.hashed_quality_score("text").alias("score_u")
     ).where(F.col("score_u").isNotNull())
@@ -3068,7 +3084,9 @@ def q_gopher_quality(spark, sf):
     codegen projection over the scan.  Thresholds relaxed to the
     synthetic corpus' scale (min_words=20, min_stop_hits=1) so both
     labels occur."""
-    docs = _t(spark, sf, "documents")
+    from .partitioning import spread
+
+    docs = spread(_t(spark, sf, "documents"), "doc_id")
     f = textfx.gopher_features("text")
     keep = textfx.gopher_keep("text", min_words=20, min_stop_hits=1)
     return docs.select(
