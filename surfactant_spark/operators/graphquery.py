@@ -243,6 +243,17 @@ def triangle_counts(
     including zero counts — deterministic, engine-portable (pure
     integer arithmetic).
     """
+    return _tri_deg(edges, src, dst).select(
+        "node", F.col("n_tri").cast("long").alias("n_tri")
+    )
+
+
+def _tri_deg(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(node, deg, n_tri) — shared core of triangle_counts and
+    clustering_coefficients.  The und/deg/oriented frames are each
+    referenced 2-3 times; lazy localCheckpoints stop the whole
+    upstream edge synthesis from re-executing per reference (the r7
+    before-plan for the triangle gate held 66 Exchange nodes)."""
     # canonical undirected simple edges (lo < hi)
     und = (
         edges.select(
@@ -251,12 +262,14 @@ def triangle_counts(
         )
         .where(F.col("lo") != F.col("hi"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("lo").alias("node"))
         .unionByName(und.select(F.col("hi").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     # orient: lower (deg, node) endpoint -> higher (deg, node) endpoint
     dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo"))
@@ -276,6 +289,7 @@ def triangle_counts(
                 F.col("hi"),
             ).otherwise(F.col("lo")).alias("b"),
         )
+        .localCheckpoint(eager=False)
     )
     e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -293,7 +307,7 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
     return deg.join(per_node, "node", "left").select(
-        "node", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri")
+        "node", "deg", F.coalesce("n_tri", F.lit(0)).alias("n_tri")
     )
 
 
@@ -1053,24 +1067,16 @@ def clustering_coefficients(
     simple graph: cc = 2·tri / (deg·(deg−1)), reported ×1000 with
     floor (NULL for degree-1 nodes) — the link-farm / tight-community
     signal on top of triangle_counts' degree-ordered enumeration.
-    Output (node, deg, n_tri, cc_x1000); integer arithmetic only."""
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
-        )
-        .where(F.col("lo") != F.col("hi"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("lo").alias("node"))
-        .unionByName(und.select(F.col("hi").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    tri = triangle_counts(edges, src, dst)
+    Output (node, deg, n_tri, cc_x1000); integer arithmetic only.
+
+    r7: reuses triangle_counts' internal (node, deg, n_tri) frame
+    (_tri_deg) — the previous shape re-derived und+deg a second time
+    on top of triangle_counts' own derivation (74 Exchange nodes,
+    plans/r07/clustering_coef_before.txt); deg values are identical
+    (same und frame), so cc_x1000 is unchanged."""
+    td = _tri_deg(edges, src, dst)
     d = F.col("deg")
-    return deg.join(tri, "node").select(
+    return td.select(
         "node",
         d.cast("long").alias("deg"),
         F.col("n_tri").cast("long").alias("n_tri"),
