@@ -27,6 +27,9 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """Groups of byte-identical texts: (content_md5, n_docs, doc_ids)
     for groups with >1 member.  doc_ids is a sorted '|'-join so output
     is deterministic and engine-portable."""
+    from ..partitioning import spread
+
+    df = spread(df, id_col)
     return (
         df.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col))
         .groupBy("content_md5")
@@ -66,7 +69,9 @@ def passage_dedup(
     over the full corpus, no driver state.
     """
     from ..functions.textfx import passage_strings
+    from ..partitioning import spread
 
+    df = spread(df, id_col)
     # first-occurrence key is a (doc_id, p_idx) STRUCT min — lexicographic
     # over the id's native type — not an arithmetic encoding: casting a
     # non-numeric string id to long would NULL the key (every doc reports
@@ -535,6 +540,9 @@ def winnow_fingerprints(
     no UDF, no shuffle, whole-stage codegen.  Hash = first 8 md5 hex
     chars (engine-portable).  Docs with < k tokens → empty fingerprint;
     < w grams → one window over all grams."""
+    from ..partitioning import spread
+
+    df = spread(df, id_col)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
     staged = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
     idx = F.sequence(F.lit(0), F.size(F.col("_toks")) - k)
@@ -698,7 +706,9 @@ def ngram_contamination(
     bench_grams = (
         bench.select(F.explode(grams_expr(bench_text_col)).alias("g")).distinct()
     )
-    doc_grams = docs.select(
+    from ..partitioning import spread
+
+    doc_grams = spread(docs, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(grams_expr(text_col))).alias("g"),
     )
@@ -738,6 +748,9 @@ def remove_boilerplate_chunks(
     Output: (id, clean_text, n_kept) for every input document, empty
     string when every chunk was boilerplate.
     """
+    from ..partitioning import spread
+
+    docs = spread(docs, id_col)
     toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("t"))
     chunked = toks.select(
         id_col,
@@ -934,7 +947,9 @@ def duplicate_spans(
     corpus scale where materializing ~n_tokens rows costs more than
     recomputing them, pass False to trade CPU for storage."""
     from ..functions.textfx import ngram_strings
+    from ..partitioning import spread
 
+    df = spread(df, id_col)
     g = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(ngram_strings(text_col, k)).alias("pos0", "gram"),
@@ -1116,6 +1131,9 @@ element_at(transform(
                     size(t)) - element_at(starts, cast(j as int))), ' '))
         ))), 1)), 1)), 1)
 """
+    from ..partitioning import spread
+
+    df = spread(df, id_col)
     chunks = (
         df.select(
             F.col(id_col).alias("id"),
