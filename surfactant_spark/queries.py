@@ -3004,7 +3004,10 @@ def q_url_canon(spark, sf):
     synthesized from orders: mixed-case scheme/host, default and
     explicit ports, duplicate slashes, index.html suffixes, unsorted
     query params, fragments.  Pure codegen — rides the scan."""
-    o = _t(spark, sf, "orders")
+    from .partitioning import spread
+
+    # ~10 regex ops/row in canonical_url — widen the narrow scan
+    o = spread(_t(spark, sf, "orders"), "o_orderkey")
     messy = o.select(
         F.col("o_orderkey").cast("long").alias("okey"),
         F.concat(
