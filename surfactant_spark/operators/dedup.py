@@ -177,14 +177,21 @@ def minhash_signature(set_col: Column, k: int = 8) -> list[Column]:
 
 def minhash_signature_agg(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 8, shingle_n: int = 3,
+    k: int = 8, shingle_n: int = 3, shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh0..mh{k-1}) via explode+groupBy: the shingle array is
     computed ONCE per row, then k seeded md5-mins partial-aggregate
     map-side.  The array-expression form (minhash_signature) inlines
     the shingle computation into every signature column — k× the
-    regex/md5 work — so this is the formulation that scales."""
-    exploded = shingle_rows(df, id_col, text_col, shingle_n)
+    regex/md5 work — so this is the formulation that scales.
+
+    ``shingle_df``: a caller-prebuilt ``shingle_rows`` frame (same
+    id / text / n) so co-resident consumers share one tokenize pass."""
+    exploded = (
+        shingle_df
+        if shingle_df is not None
+        else shingle_rows(df, id_col, text_col, shingle_n)
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}") for i in range(k)
     ]
@@ -198,13 +205,14 @@ def lsh_candidate_pairs(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: (id_a, id_b) where any band of
     the signature collides.  The band join shuffles on the band hash —
     at corpus scale this is the standard sub-quadratic dedup path (the
     full cross-join never materializes)."""
     rows = k // bands
-    sig = minhash_signature_agg(df, id_col, text_col, k, shingle_n)
+    sig = minhash_signature_agg(df, id_col, text_col, k, shingle_n, shingle_df)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
@@ -618,6 +626,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard_x1000: int = 1,
     max_df: int | None = None,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard similarity (×1000, floor+0.5 scaled)
     for every pair sharing at least one shingle.
@@ -640,7 +649,7 @@ def ngram_jaccard_pairs(
     Requires ``min_jaccard_x1000 >= 1``: zero-overlap pairs are never
     emitted (their Jaccard is 0)."""
     assert min_jaccard_x1000 >= 1
-    ex = shingle_rows(df, id_col, text_col, n)
+    ex = shingle_df if shingle_df is not None else shingle_rows(df, id_col, text_col, n)
     if max_df is not None:
         hot = (
             ex.groupBy("s")
@@ -1043,13 +1052,17 @@ def lsh_eval(
     index for truth, band join for candidates) — the evaluation never
     goes all-pairs either; the confusion counts come from one full
     outer join on the pair key + one global aggregate."""
+    # ONE tokenize+shingle pass shared by both generators (r7): truth
+    # and candidates consume the identical shingle frame, lazily
+    # checkpointed so neither side re-runs the regex/md5 projection
+    ex = shingle_rows(df, id_col, text_col, shingle_n).localCheckpoint(eager=False)
     truth = ngram_jaccard_pairs(
         df, id_col=id_col, text_col=text_col, n=shingle_n,
-        min_jaccard_x1000=min_jaccard_x1000, max_df=max_df,
+        min_jaccard_x1000=min_jaccard_x1000, max_df=max_df, shingle_df=ex,
     ).select("id_a", "id_b", F.lit(1).alias("_t"))
     pred = lsh_candidate_pairs(
         df, id_col=id_col, text_col=text_col, k=k, bands=bands,
-        shingle_n=shingle_n,
+        shingle_n=shingle_n, shingle_df=ex,
     ).select("id_a", "id_b", F.lit(1).alias("_p"))
     j = truth.join(pred, ["id_a", "id_b"], "full").select(
         F.coalesce("_t", F.lit(0)).alias("t"),
