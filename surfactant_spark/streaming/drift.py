@@ -99,7 +99,21 @@ def _drift_fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
                     continue  # token-less capture: not in the chain
                 buf.append((int(ts.value // 1_000), int(c), fp[0], fp[1]))
     if not buf:
-        if state.exists:
+        if head is not None:
+            # A finalized chain HEAD with no buffered region must
+            # survive: a micro-batch whose captures were all
+            # token-less (py_simhash64 None) lands here, and removing
+            # the state would orphan the url's next real capture —
+            # its drift row would silently vanish, diverging from
+            # batch capture_drift, which chains across token-less
+            # captures (r7 fix; the old code removed the state
+            # whenever buf was empty).  Re-persist the head with no
+            # pending region; no timeout is re-armed — a head-only
+            # entry is the stream's memory of the last emitted
+            # capture and must outlive any watermark gap, exactly as
+            # the batch lag() does.
+            state.update(([], [], [], [], head[0], head[1]))
+        elif state.exists:
             state.remove()
         return
     buf.sort()

@@ -176,3 +176,76 @@ def test_stream_drift_late_capture_rechains(spark, tmp_path):
     }
     assert got == exp
     assert {c for c, _ in got} == {2, 3}  # both chained rows emitted
+
+
+def test_stream_drift_tokenless_batch_keeps_head(spark, tmp_path):
+    """A micro-batch whose captures are all token-less must NOT erase
+    the url's finalized chain head: the next real capture still
+    chains to the last emitted one, exactly as batch capture_drift
+    does (r7 fix — the old code removed the state whenever the
+    buffered region was empty, silently dropping the next drift row)."""
+
+    def cap(cid, ts_h, text, url="u1"):
+        return (cid, url, ts_h, text)
+
+    drops = [
+        # c0 arrives; sentinel pushes max event time to h=4
+        [cap(1, 0, "alpha beta gamma"), cap(901, 4, "wm push one", "zz")],
+        # c0 finalizes via timeout during this batch; then a purely
+        # token-less capture for u1 lands (the buggy path: buf empty,
+        # head set) and the watermark moves past it
+        [cap(2, 6, "???"), cap(902, 8, "wm push two", "zz")],
+        # the next REAL capture must still chain to c0
+        [cap(3, 10, "alpha beta gamma delta"), cap(903, 14, "wm push three", "zz")],
+        # final watermark push so c3 finalizes
+        [cap(904, 23, "wm push four", "zz")],
+    ]
+    src = str(tmp_path / "caps")
+    for rows in drops:
+        spark.createDataFrame(
+            rows, "capture_id long, url string, h long, text string"
+        ).select(
+            "capture_id", "url",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("h") * 3600).alias(
+                "capture_ts"
+            ),
+            "text",
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(
+            "capture_id long, url string, capture_ts timestamp, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        capture_drift_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_drift_headkeep")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    got = {
+        (r.capture_id, r.drift_bits)
+        for r in spark.sql(
+            "SELECT * FROM t_drift_headkeep WHERE url = 'u1'"
+        ).collect()
+    }
+    h0 = py_simhash64("alpha beta gamma")
+    h3 = py_simhash64("alpha beta gamma delta")
+    expected_bits = bin(h0[0] ^ h3[0]).count("1") + bin(h0[1] ^ h3[1]).count("1")
+    # exactly one drift row: capture 3 chained to capture 1 (the
+    # token-less capture 2 is not part of the chain, matching batch)
+    assert got == {(3, expected_bits)}, got
