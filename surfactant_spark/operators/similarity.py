@@ -783,19 +783,42 @@ def hard_negatives(
     if stats[1] > max_bucket:
         b = _skip_overfull_buckets(b, "v", max_bucket, "hard_negatives")
     a, c = b.alias("a"), b.alias("b")
-    cand = (
+    # rerank each unordered pair ONCE (r7): cosine is exactly
+    # symmetric here (element multiply and the na·nb denominator are
+    # IEEE-commutative, the fold order over j is unchanged), so the
+    # previous a.id != b.id join computed every candidate's cosine
+    # twice — once per orientation.  Canonical a.id < b.id pairs are
+    # reranked, deduped and thresholded at half the rows, then both
+    # orientations are emitted by a single explode (no second pass,
+    # no duplicated subtree).
+    pair = (
         a.join(c, ["tbl", "bucket"])
-        .where(F.col("a.id") != F.col("b.id"))
+        .where(F.col("a.id") < F.col("b.id"))
         .select(
-            F.col("a.id").alias("anchor_id"),
-            F.col("b.id").alias("negative_id"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
             _cosine_from_norms(
                 F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")
             ).alias("cos_x10000"),
         )
-        .dropDuplicates(["anchor_id", "negative_id"])
+        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("cos_x10000") < max_cos_x10000)
     )
+    cand = pair.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("anchor_id"),
+                    F.col("id_b").alias("negative_id"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("anchor_id"),
+                    F.col("id_a").alias("negative_id"),
+                ),
+            )
+        ).alias("_p"),
+        "cos_x10000",
+    ).select("_p.anchor_id", "_p.negative_id", "cos_x10000")
     # hardest negative = max cosine, deterministic min-id tie-break:
     # two partial-agg groupBys (the cluster_keep_best pattern), never
     # a per-anchor window sort
