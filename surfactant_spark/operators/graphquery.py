@@ -199,12 +199,26 @@ def pagerank_int(
     base = (r0 * (100 - damping_x100)) // 100
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
     for it in range(iterations):
-        s = (
-            e2.join(ranks, e2["src"] == ranks["node"])
-            .select("dst", F.expr("rank div outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
+        if it == 0:
+            # Round-0 fold (r7): ranks are uniformly r0, so the
+            # rank-lookup join is the identity — contribution is
+            # r0 div outdeg straight off the edge frame.  Same BIGINT
+            # arithmetic, one less corpus-sized join.
+            s = (
+                e2.select(
+                    "dst",
+                    F.expr(f"cast({r0} as bigint) div outdeg").alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+        else:
+            s = (
+                e2.join(ranks, e2["src"] == ranks["node"])
+                .select("dst", F.expr("rank div outdeg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
         ranks = (
             nodes.join(s, nodes["node"] == s["dst"], "left")
             .select(
@@ -387,10 +401,17 @@ def kcore_peel(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        alive = deg.where(F.col("deg") >= k)
+        # r7: filter via ANTI-join against the DEAD set (deg < k)
+        # instead of semi-join against the alive set.  Every endpoint
+        # of e is in deg, so "in alive" ≡ "not in dead" — identical
+        # output — but the dead set is the small side of the peel
+        # (few nodes die per round once the graph settles), so AQE can
+        # broadcast it and the edge frame is never shuffled (guide
+        # §3.1); the alive side is node-sized and never broadcastable.
+        dead = deg.where(F.col("deg") < k)
         e = (
-            e.join(alive.select(F.col("node").alias("lo")), "lo", "left_semi")
-            .join(alive.select(F.col("node").alias("hi")), "hi", "left_semi")
+            e.join(dead.select(F.col("node").alias("lo")), "lo", "left_anti")
+            .join(dead.select(F.col("node").alias("hi")), "hi", "left_anti")
         )
         if (it + 1) % _CKPT_EVERY_BRANCHY == 0 and it + 1 < rounds:
             e = e.localCheckpoint(eager=False)
@@ -450,21 +471,35 @@ def hits_int(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    # r7 sparse-loop rewrite: score frames inside the loop carry ONLY
+    # nodes with a nonzero raw sum (auth keyed off araw, hub off hraw).
+    # A node absent from the sparse frame has score 0 and a 0 score
+    # contributes 0 to every downstream sum, and the one-row max aggs
+    # read the raw frames (unchanged), so every normalized value is
+    # bit-identical to the dense formulation — the 2 nodes-sized left
+    # joins per iteration collapse to 2 left joins at the very end
+    # (where missing = 0 via coalesce).  Round 0 is additionally
+    # folded: hub is uniformly `scale`, so a_raw = in-degree * scale
+    # without the score join.
+    hub = None
     auth = None
     for it in range(iterations):
-        araw = (
-            e.join(hub, e["src"] == hub["node"])
-            .groupBy("dst")
-            .agg(F.sum("hub").alias("a_raw"))
-        )
+        if it == 0:
+            araw = e.groupBy("dst").agg(
+                (F.count(F.lit(1)) * scale).cast("long").alias("a_raw")
+            )
+        else:
+            araw = (
+                e.join(hub, e["src"] == hub["node"])
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("a_raw"))
+            )
         amax = araw.agg(F.max("a_raw").alias("a_max"))
         auth = (
-            nodes.join(araw, nodes["node"] == araw["dst"], "left")
-            .crossJoin(F.broadcast(amax))
+            araw.crossJoin(F.broadcast(amax))
             .select(
-                "node",
-                F.expr(f"(coalesce(a_raw, 0L) * {scale}L) div a_max")
+                F.col("dst").alias("node"),
+                F.expr(f"(a_raw * {scale}L) div a_max")
                 .cast("long")
                 .alias("auth"),
             )
@@ -476,11 +511,10 @@ def hits_int(
         )
         hmax = hraw.agg(F.max("h_raw").alias("h_max"))
         hub = (
-            nodes.join(hraw, nodes["node"] == hraw["src"], "left")
-            .crossJoin(F.broadcast(hmax))
+            hraw.crossJoin(F.broadcast(hmax))
             .select(
-                "node",
-                F.expr(f"(coalesce(h_raw, 0L) * {scale}L) div h_max")
+                F.col("src").alias("node"),
+                F.expr(f"(h_raw * {scale}L) div h_max")
                 .cast("long")
                 .alias("hub"),
             )
@@ -488,8 +522,14 @@ def hits_int(
         if (it + 1) % _CKPT_EVERY_BRANCHY == 0 and it + 1 < iterations:
             auth = auth.localCheckpoint(eager=False)
             hub = hub.localCheckpoint(eager=False)
-    return nodes.join(hub, "node").join(auth, "node").select(
-        "node", F.col("hub").alias("hub_u"), F.col("auth").alias("auth_u")
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0).cast("long")).alias("hub_u"),
+            F.coalesce(F.col("auth"), F.lit(0).cast("long")).alias("auth_u"),
+        )
     )
 
 
@@ -713,13 +753,18 @@ def type_closure(
     scale cost, logarithmic.  Checkpointed per round to keep the plan
     tree flat (same policy as canonicalize.py's CC fixpoint).
     """
+    # depth is tracked as INT inside the loop (r7, guide §2.3 narrower
+    # types): bounded by max_depth (and by 2*max_depth pre-filter), it
+    # never needs 8 bytes — halves the depth column's bytes in every
+    # closure shuffle; cast back to long at the boundary so the public
+    # schema is unchanged.
     r = (
         edges.select(
             F.col(child).alias("node"), F.col(parent).alias("anc")
         )
         .where(F.col(child) != F.col(parent))
         .distinct()
-        .withColumn("depth", F.lit(1).cast("long"))
+        .withColumn("depth", F.lit(1).cast("int"))
     )
     rounds = max(1, (max_depth - 1).bit_length())  # ceil(log2(max_depth))
     for i in range(rounds):
@@ -741,7 +786,7 @@ def type_closure(
             .groupBy("node", "anc")
             .agg(F.min("depth").alias("depth"))
         )
-    return r
+    return r.select("node", "anc", F.col("depth").cast("long").alias("depth"))
 
 
 def match_bgp(
@@ -1039,12 +1084,36 @@ def personalized_pagerank_int(
         .alias("rank"),
     )
     for it in range(iterations):
-        s = (
-            e2.join(ranks, e2["src"] == ranks["node"])
-            .select("dst", F.expr("rank div outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
+        if it == 0:
+            # Round-0 fold (r7): ranks are r0 on seeds and 0 elsewhere,
+            # and 0-rank sources contribute 0 div outdeg = 0 — so the
+            # rank lookup collapses to a broadcast semi against the
+            # dimension-sized seed set.  The seed list is read off the
+            # CHECKPOINTED flagged frame (not `sd`, whose lineage would
+            # re-execute the caller's seed synthesis); in-graph
+            # membership is identical since flagged = nodes ⟕ sd.
+            s = (
+                e2.join(
+                    F.broadcast(
+                        flagged.where(F.col("_isseed") == 1)
+                        .select(F.col("node").alias("src"))
+                    ),
+                    "src",
+                )
+                .select(
+                    "dst",
+                    F.expr(f"cast({r0} as bigint) div outdeg").alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+        else:
+            s = (
+                e2.join(ranks, e2["src"] == ranks["node"])
+                .select("dst", F.expr("rank div outdeg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
         ranks = (
             flagged.join(s, flagged["node"] == s["dst"], "left")
             .select(
