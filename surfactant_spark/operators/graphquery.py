@@ -574,22 +574,24 @@ def label_propagation(
     nodes = und.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    # r7 identity-join elimination: every node comes FROM und, so each
+    # has >= 1 neighbor, the argmax window emits exactly one row per
+    # node, and the old labels ⟕ picked attach (coalesce for isolated
+    # nodes) was always the identity — `labels = picked` directly.
+    # Round 0's neighbor-label lookup is also the identity (label =
+    # node id), so the first round reads labels straight off und.
     for it in range(rounds):
-        nbr = und.join(
-            labels.select(F.col("node").alias("b"), "label"), "b"
-        ).select(F.col("a").alias("node"), "label")
+        if it == 0:
+            nbr = und.select(F.col("a").alias("node"), F.col("b").alias("label"))
+        else:
+            nbr = und.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
+            ).select(F.col("a").alias("node"), "label")
         cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
-        picked = (
+        labels = (
             cnt.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
-        )
-        labels = (
-            labels.join(picked, "node", "left")
-            .select(
-                "node",
-                F.coalesce("new_label", "label").alias("label"),
-            )
+            .select("node", "label")
         )
         if (it + 1) % _CKPT_EVERY_BRANCHY == 0 and it + 1 < rounds:
             labels = labels.localCheckpoint(eager=False)
@@ -689,19 +691,19 @@ def bfs_distances(
                 (F.col("dist") + F.lit(1)).cast("int").alias("dist"),
             )
         )
-        merged = (
-            dist.unionByName(nxt)
-            .groupBy("node")
+        # r7: with unit edge weights a node's first-assigned dist is
+        # final (round-r frontier is exactly the dist-r set, so every
+        # candidate dist is r+1 >= anything already recorded).  The
+        # old shape re-min-aggregated the ENTIRE dist table per round
+        # and diffed it against its previous self; the new frontier is
+        # simply the candidates not yet in dist (anti-join), and dist
+        # grows by disjoint union — no full-table re-agg, same rows.
+        frontier = (
+            nxt.groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+            .join(dist, "node", "left_anti")
         )
-        # new frontier: nodes that improved this round
-        frontier = merged.join(
-            dist.withColumnRenamed("dist", "old"), "node", "left"
-        ).where(
-            F.col("old").isNull() | (F.col("dist") < F.col("old"))
-        ).select("node", "dist")
-        dist = merged
+        dist = dist.unionByName(frontier).localCheckpoint(eager=False)
     return dist
 
 

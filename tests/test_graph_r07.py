@@ -2,7 +2,9 @@
 sparse score frames must be output-identical to the dense formulation."""
 
 from surfactant_spark.operators.graphquery import (
+    bfs_distances,
     hits_int,
+    label_propagation,
     pagerank_int,
     personalized_pagerank_int,
     type_closure,
@@ -52,6 +54,31 @@ def test_ppr_round0_fold_ignores_out_of_graph_and_sink_seeds(spark):
         2: (85 * 1_000_000) // 100,
         3: 150_000,
     }
+
+
+def test_bfs_frontier_dedups_and_ignores_back_edges(spark):
+    # diamond a->{b,c}->d plus a back-edge d->a: d is reached twice in
+    # the same round (one dist row, not two) and the round-3 candidate
+    # a must not re-enter dist (anti-join path).
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "a")],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    rows = bfs_distances(e, seeds, max_rounds=4).collect()
+    assert len(rows) == len({r.node for r in rows})  # unique per node
+    assert {r.node: r.dist for r in rows} == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_label_prop_single_round_hand_values(spark):
+    # one round exercises the round-0 identity fold: each node takes
+    # its most frequent (tie -> smallest) neighbor ID.
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], ["src", "dst"])
+    got = {
+        r.node: r.label
+        for r in label_propagation(e, rounds=1).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 1}
 
 
 def test_type_closure_depth_stays_bigint(spark):
