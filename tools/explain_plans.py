@@ -82,7 +82,12 @@ AUDITS = {
                  "!BroadcastNestedLoopJoin"],
     # feature-hashed scorer: ONE codegen projection over the scan —
     # no shuffle, no join anywhere in the plan
-    "hashed_quality": ["!Exchange", "!Join", "!CartesianProduct"],
+    # r7: hashed_quality/url_canon/gopher_quality/cdc_chunks gained a
+    # CONDITIONAL spread (hash repartition only when the scan plans
+    # narrower than the session parallelism — partitioning.spread), so
+    # on the single-row-group audit fixture exactly one keyed Exchange
+    # appears before the map projection; still no join anywhere.
+    "hashed_quality": ["!Join", "!CartesianProduct"],
     # as-of join is union-tag-window: NO join operator of any kind
     "asof_join": ["Window", "!Join", "!CartesianProduct"],
     # binned range join: plain equi-join on the bin key — the naive
@@ -136,8 +141,8 @@ AUDITS = {
                    "!CartesianProduct"],
     # URL canonicalization / gopher rules: pure codegen projections
     # riding the scan (higher-order lambdas stay plain Project)
-    "url_canon": ["Project", "!Exchange", "!Join"],
-    "gopher_quality": ["Project", "!Exchange", "!Join"],
+    "url_canon": ["Project", "!Join"],
+    "gopher_quality": ["Project", "!Join"],
     # bm25: tf/df/dl partial aggs + term/doc equi-joins; top-k plans
     # as WindowGroupLimit (N and avgdl are driver literals, no
     # scalar-frame join in the plan)
@@ -337,7 +342,7 @@ AUDITS = {
               "!BroadcastNestedLoopJoin"],
     # content-defined chunking: pure array expressions riding the
     # scan — posexplode only, no shuffle, no join
-    "cdc_chunks": ["Generate", "!Exchange", "!Join"],
+    "cdc_chunks": ["Generate", "!Join"],
     # HyperBall: per-round register join + partial-agg max groupBy;
     # state O(16|V|), never a cross join
     "hyperball": ["HashAggregate", "!CartesianProduct",
